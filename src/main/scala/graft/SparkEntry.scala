@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * `queries` is the union of the per-family suites; every SQL-
+  * expressible operator also appears in `oracleSql` with matching
+  * column names (the driver hash-compares against DuckDB).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The 6-table broadcast star join exercises the most plan
+    * surface.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.queries("q5_multijoin")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++
+      TemporalQueries.queries ++
+      EtlQueries.queries ++
+      TextQueries.queries
+
+  /** DuckDB-runnable oracle per SQL-expressible query (same column
+    * names/aliases as the Spark side; rows-only ops are omitted).
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++
+      TemporalQueries.oracles ++
+      EtlQueries.oracles ++
+      TextQueries.oracles
 }

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline
+  * surface (language id, quality scoring, token counting, content
+  * fingerprinting, shingling).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions`
+  * primitives so it stays inside whole-stage codegen — no UDFs. All
+  * ops are row-local (no shuffle); semantics are deliberately
+  * replicable in ANSI SQL so the DuckDB oracle can verify them.
+  */
+object TextFunctions {
+
+  /** Collapse whitespace + trim + lowercase — canonical form used by
+    * fingerprinting and dedup.
+    */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    size(split(trim(c), "\\s+"))
+
+  /** Cheap BPE-ish token estimate: chars/4, the standard rule of
+    * thumb, as a bigint ceil.
+    */
+  def tokenEstimate(c: Column): Column =
+    ceil(length(c).cast("double") / lit(4.0)).cast("long")
+
+  /** Occurrences of a literal substring, via length arithmetic (keeps
+    * the exact same semantics in SQL oracles: replace + length).
+    */
+  def countOccurrences(c: Column, sub: String): Column =
+    ((length(c) - length(replace(c, lit(sub), lit("")))) / lit(sub.length))
+      .cast("long")
+
+  /** Tiny per-language stopword marker sets for the heuristic
+    * language id. Spaces around each word make them word-anchored.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " a "),
+    "es" -> Seq(" el ", " la ", " de ", " y "),
+    "de" -> Seq(" der ", " und ", " die ", " das "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "))
+
+  /** Stopword-count score for one language over a normalized,
+    * space-padded text column.
+    */
+  def langScore(padded: Column, markers: Seq[String]): Column =
+    markers.map(m => countOccurrences(padded, m)).reduce(_ + _)
+
+  /** Heuristic language id: argmax of stopword-marker counts with a
+    * fixed precedence order (ties -> earlier language in
+    * [[langMarkers]]); "und" when nothing matches.
+    */
+  def langId(c: Column): Column = {
+    val padded = concat(lit(" "), normalizeText(c), lit(" "))
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(padded, ms) }
+    val best = scores.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
+    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality score in [0,1]: blends length saturation, alpha ratio,
+    * digit/punct penalty and mean word length plausibility. Rounded
+    * to 4 dp so the oracle can match exactly.
+    */
+  def qualityScore(c: Column): Column = {
+    val t = normalizeText(c)
+    val chars = length(t).cast("double")
+    val words = size(split(t, " ")).cast("double")
+    val alpha = length(regexp_replace(t, "[^a-z]", "")).cast("double")
+    val digits = length(regexp_replace(t, "[^0-9]", "")).cast("double")
+    val lengthScore = least(chars / lit(500.0), lit(1.0))
+    val alphaRatio = alpha / greatest(chars, lit(1.0))
+    val digitPenalty = lit(1.0) - least(digits / greatest(chars, lit(1.0)) * 4.0, lit(1.0))
+    val meanWordLen = chars / greatest(words, lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    val score = lengthScore * 0.3 + alphaRatio * 0.3 + digitPenalty * 0.2 +
+      wordLenScore * 0.2
+    // floor(x*1e4+0.5)/1e4 instead of round(): both engines run the
+    // same IEEE ops, so results are bit-identical even on rounding
+    // ties (round() semantics differ between Spark and DuckDB).
+    floor(score * 10000.0 + 0.5) / 10000.0
+  }
+
+  /** Content fingerprint: md5 of the normalized text — the exact
+    * dedup key. Hex string matches DuckDB's md5().
+    */
+  def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
+
+  /** Word array of the normalized text. */
+  def words(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Distinct word n-gram shingles (as strings joined by spaces).
+    * Pure array ops — row-local, codegen'd.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val w = words(c)
+    val idx = sequence(lit(0), size(w) - n)
+    array_distinct(
+      when(size(w) >= n,
+        transform(idx, i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", w))))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Schema-hygiene transforms re-expressing the reference's pandas
+  * cleaning surface (dataframe_tasks.py:54-67, enhanced_tasks.py:94-167,
+  * tasks_postgres.py:98-112) as declarative DataFrame ops.
+  *
+  * All of these are metadata-only (renames) or narrow row-local
+  * projections/filters — no shuffle, fully codegen'd, safe at any
+  * scale.
+  */
+object CleanOps {
+
+  /** Normalize a single column name the way the reference does:
+    * non-alphanumeric runs -> '_', strip leading/trailing '_',
+    * lowercase. (dataframe_tasks.py:56-57)
+    */
+  def cleanName(name: String): String =
+    name.replaceAll("[^a-zA-Z0-9_]", "_")
+      .replaceAll("^_+|_+$", "")
+      .toLowerCase
+
+  /** Rename every column via [[cleanName]]. Pure metadata op. */
+  def cleanColumnNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(cleanName): _*)
+
+  /** Disambiguate duplicate column names with positional suffixes,
+    * mirroring dataframe_tasks.py:60-62: later duplicates become
+    * `name_<position>`.
+    */
+  def dedupeColumnNames(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    val counts = cols.groupBy(identity).view.mapValues(_.length).toMap
+    val renamed = cols.zipWithIndex.map { case (c, i) =>
+      if (counts(c) > 1 && cols.indexOf(c) != i) s"${c}_$i" else c
+    }
+    df.toDF(renamed: _*)
+  }
+
+  /** Drop rows where EVERY listed column is null (pandas
+    * `dropna(how='all')`, enhanced_tasks.py:99). Row-local filter;
+    * pushes to the scan when the columns are scan-level.
+    */
+  def dropEmptyRows(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val target = if (cols.nonEmpty) cols else df.columns.toSeq
+    val anyNotNull = target.map(c => col(c).isNotNull).reduce(_ || _)
+    df.filter(anyNotNull)
+  }
+
+  /** Name-heuristic type coercion (enhanced_tasks.py:156-167):
+    * string columns whose name contains "date" are parsed to
+    * timestamp, "amount"/"price" to double; unparseable values
+    * become null (pandas errors='coerce' == Spark try_ functions,
+    * which also keeps us safe under ANSI mode).
+    */
+  def coerceByName(df: DataFrame): DataFrame = {
+    val projected: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      val n = f.name.toLowerCase
+      if (f.dataType.typeName == "string" && n.contains("date"))
+        expr(s"try_to_timestamp(`${f.name}`)").as(f.name)
+      else if (f.dataType.typeName == "string" &&
+               (n.contains("amount") || n.contains("price")))
+        expr(s"try_cast(`${f.name}` AS DOUBLE)").as(f.name)
+      else col(f.name)
+    }
+    df.select(projected: _*)
+  }
+
+  /** Metadata enrichment (dataframe_tasks.py:65-67). The reference
+    * stamps wall-clock times; those are non-deterministic, so the
+    * batch id is caller-supplied (at 100 TB you want one batch id per
+    * ingest run anyway, minted on the driver once).
+    */
+  def addMetadata(df: DataFrame, sourceName: String, batchId: String,
+                  sheetName: Option[String] = None): DataFrame = {
+    val base = df
+      .withColumn("source_name", lit(sourceName))
+      .withColumn("processing_batch", lit(batchId))
+    sheetName.fold(base)(s => base.withColumn("etl_sheet_name", lit(s)))
+  }
+
+  /** Row-level validation gates derived from the watcher's file gates
+    * (pattern_config.yaml data_quality, pattern_watcher_configurable
+    * .py:240): non-null/non-empty payload, bounded size.
+    */
+  def validateRows(df: DataFrame, textCol: String, maxChars: Long): DataFrame =
+    df.filter(col(textCol).isNotNull &&
+      length(col(textCol)) > 0 && length(col(textCol)) <= maxChars)
+
+  /** The composed ingest pipeline: clean names -> dedupe names ->
+    * coerce types -> drop empty rows -> stamp metadata. Mirrors the
+    * reference's process_dataframe/process_excel_to_postgres flow
+    * end-to-end.
+    */
+  def ingestPipeline(df: DataFrame, sourceName: String, batchId: String,
+                     emptyCheckCols: Seq[String] = Nil): DataFrame =
+    addMetadata(
+      dropEmptyRows(coerceByName(dedupeColumnNames(cleanColumnNames(df))),
+        emptyCheckCols.map(cleanName)),
+      sourceName, batchId)
+}

@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{CleanOps, PatternRouter, Quality}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference-derived ETL surface (SURVEY §2, "ETL surface").
+  * Each query exercises one operator from graft.operators on the
+  * testdata, shaped so a DuckDB oracle can verify it exactly.
+  *
+  * Testdata columns are already clean, so the dirty inputs the
+  * reference deals with (spaces, punctuation, mixed case, stringly
+  * types, fully-empty rows) are reconstructed deterministically from
+  * the tables before the operator under test is applied.
+  */
+object EtlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** orders with reference-style dirty column names + stringly typed
+    * date/price columns, with a deterministic subset corrupted.
+    */
+  private def dirtyOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("Order Key!"),
+      when(col("o_orderkey") % 100 === 0, lit("not-a-date"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("Order-Date"),
+      when(col("o_orderkey") % 100 === 50, lit("N/A"))
+        .otherwise(concat((col("o_orderkey") % 9000).cast("string"), lit("."),
+          lpad((col("o_orderkey") % 100).cast("string"), 2, "0")))
+        .as("Total Price ($)"),
+      col("o_orderstatus").as("STATUS"))
+
+  /** events with two columns nulled out for 'error' rows so some rows
+    * are fully empty on the checked columns.
+    */
+  private def holeyEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      when(col("event_type") === "error", lit(null).cast("long"))
+        .otherwise(col("user_id")).as("u"),
+      when(col("event_type") === "error", lit(null).cast("double"))
+        .otherwise(round(col("value"), 4)).as("v"))
+
+  val queries: Map[String, Q] = Map(
+    // Column-name normalization (dataframe_tasks.py:56).
+    "etl_clean_names" -> ((s, d) => {
+      CleanOps.cleanColumnNames(dirtyOrders(s, d))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          max(col("order_key")).as("max_key"))
+        .orderBy(col("status"))
+    }),
+
+    // Duplicate-name suffixing — schema-shape op, rows-only check.
+    "etl_dedupe_names" -> ((s, d) => {
+      val dup = Tables.nation(s, d).select(
+        col("n_nationkey").as("k"), col("n_name").as("name"),
+        col("n_regionkey").as("name"))
+      CleanOps.dedupeColumnNames(dup).orderBy(col("k"))
+    }),
+
+    // dropna(how='all') over the two nullable columns.
+    "etl_drop_empty" -> ((s, d) => {
+      CleanOps.dropEmptyRows(holeyEvents(s, d), Seq("u", "v"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("u")).cast("long").as("sum_u"),
+          round(sum(col("v")), 2).as("sum_v"))
+    }),
+
+    // Name-heuristic type coercion with errors->null.
+    "etl_type_coercion" -> ((s, d) => {
+      val cleaned = CleanOps.coerceByName(CleanOps.cleanColumnNames(dirtyOrders(s, d)))
+      cleaned.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("order_date")).as("valid_dates"),
+        count(col("total_price")).as("valid_prices"),
+        max(col("order_date")).as("max_date"),
+        round(sum(col("total_price")), 2).as("sum_price"))
+    }),
+
+    // Deterministic metadata enrichment.
+    "etl_metadata" -> ((s, d) => {
+      CleanOps.addMetadata(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          sourceName = "documents.parquet", batchId = "batch_0001",
+          sheetName = Some("0"))
+        .filter(col("doc_id") < 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Path-substring -> table routing over synthetic drop-zone paths.
+    "etl_pattern_route" -> ((s, d) => {
+      val mapping = Seq(
+        "src1" -> "dim_customers", "src2" -> "fact_sales",
+        "src3" -> "dim_products", "src4" -> "staging_reports")
+      val withPath = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("Z:\\drop\\"), col("source"), lit("\\file_"),
+          col("doc_id").cast("string"), lit(".csv")).as("path"))
+      PatternRouter.route(withPath, "path", mapping)
+        .groupBy(col("target_table"))
+        .agg(count(lit(1)).as("n_files"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("target_table"))
+    }),
+
+    // Per-column null-count quality report.
+    "etl_quality_report" -> ((s, d) =>
+      Quality.nullReport(holeyEvents(s, d), Seq("event_id", "u", "v"))),
+
+    // Row-level validation gates (non-empty, bounded size).
+    "etl_validate" -> ((s, d) => {
+      CleanOps.validateRows(Tables.documents(s, d), "text", maxChars = 900)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_valid"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("source"))
+    }),
+
+    // The reference's get_processing_stats aggregation over a
+    // deterministic log derived from events.
+    "etl_processing_stats" -> ((s, d) => {
+      val log = Tables.events(s, d).select(
+        when(col("event_type") === "error", lit("error"))
+          .otherwise(lit("success")).as("status"),
+        col("user_id").as("rows_processed"),
+        round(col("value"), 4).as("processing_time_seconds"))
+      Quality.processingStats(log)
+    }),
+
+    // Full pipeline composition: clean -> coerce -> drop-empty ->
+    // metadata, summarized per status.
+    "etl_ingest_pipeline" -> ((s, d) => {
+      CleanOps.ingestPipeline(dirtyOrders(s, d),
+          sourceName = "orders_drop.csv", batchId = "batch_0001",
+          emptyCheckCols = Seq("Order-Date", "Total Price ($)"))
+        .groupBy(col("status"), col("source_name"), col("processing_batch"))
+        .agg(count(lit(1)).as("n"),
+          count(col("order_date")).as("valid_dates"),
+          round(sum(col("total_price")), 2).as("sum_price"))
+        .orderBy(col("status"))
+    }))
+
+  /** Shared SQL fragment mirroring [[dirtyOrders]] + clean names. */
+  private val dirtyCleanSql =
+    """SELECT o_orderkey AS order_key,
+      |  CASE WHEN o_orderkey % 100 = 0 THEN 'not-a-date'
+      |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS order_date,
+      |  CASE WHEN o_orderkey % 100 = 50 THEN 'N/A'
+      |       ELSE CAST(o_orderkey % 9000 AS VARCHAR) || '.' ||
+      |            lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') END AS total_price,
+      |  o_orderstatus AS status
+      |FROM orders""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "etl_clean_names" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "etl_drop_empty" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(u) AS BIGINT) AS sum_u,
+        |  round(sum(v), 2) AS sum_v
+        |FROM (SELECT CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS u,
+        |             CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 4) END AS v
+        |      FROM events)
+        |WHERE u IS NOT NULL OR v IS NOT NULL""".stripMargin,
+
+    "etl_type_coercion" ->
+      s"""SELECT count(*) AS n_rows,
+         |  count(TRY_CAST(order_date AS TIMESTAMP)) AS valid_dates,
+         |  count(TRY_CAST(total_price AS DOUBLE)) AS valid_prices,
+         |  max(TRY_CAST(order_date AS TIMESTAMP)) AS max_date,
+         |  round(sum(TRY_CAST(total_price AS DOUBLE)), 2) AS sum_price
+         |FROM ($dirtyCleanSql)""".stripMargin,
+
+    "etl_metadata" ->
+      """SELECT doc_id, source,
+        |  'documents.parquet' AS source_name,
+        |  'batch_0001' AS processing_batch,
+        |  '0' AS etl_sheet_name
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+
+    "etl_pattern_route" ->
+      """SELECT target_table, count(*) AS n_files, min(doc_id) AS min_doc
+        |FROM (SELECT doc_id,
+        |        CASE WHEN contains(lower('Z:/drop/' || source || '/file_' || doc_id || '.csv'), 'src1') THEN 'dim_customers'
+        |             WHEN contains(lower('Z:/drop/' || source || '/file_' || doc_id || '.csv'), 'src2') THEN 'fact_sales'
+        |             WHEN contains(lower('Z:/drop/' || source || '/file_' || doc_id || '.csv'), 'src3') THEN 'dim_products'
+        |             WHEN contains(lower('Z:/drop/' || source || '/file_' || doc_id || '.csv'), 'src4') THEN 'staging_reports'
+        |        END AS target_table
+        |      FROM documents)
+        |WHERE target_table IS NOT NULL
+        |GROUP BY target_table ORDER BY target_table""".stripMargin,
+
+    "etl_quality_report" ->
+      """SELECT count(*) AS n_rows,
+        |  count(CASE WHEN event_id IS NULL THEN 1 END) AS nulls_event_id,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS nulls_u,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS nulls_v
+        |FROM events""".stripMargin,
+
+    "etl_validate" ->
+      """SELECT source, count(*) AS n_valid,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0 AND length(text) <= 900
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "etl_processing_stats" ->
+      """SELECT count(*) AS total_jobs,
+        |  count(CASE WHEN event_type <> 'error' THEN 1 END) AS successful_jobs,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS failed_jobs,
+        |  CAST(sum(user_id) AS BIGINT) AS total_rows_processed,
+        |  round(avg(round(value, 4)), 4) AS avg_processing_time_seconds
+        |FROM events""".stripMargin,
+
+    "etl_ingest_pipeline" ->
+      s"""SELECT status, 'orders_drop.csv' AS source_name,
+         |  'batch_0001' AS processing_batch, count(*) AS n,
+         |  count(TRY_CAST(order_date AS TIMESTAMP)) AS valid_dates,
+         |  round(sum(TRY_CAST(total_price AS DOUBLE)), 2) AS sum_price
+         |FROM ($dirtyCleanSql)
+         |WHERE order_date IS NOT NULL OR total_price IS NOT NULL
+         |GROUP BY status ORDER BY status""".stripMargin)
+}

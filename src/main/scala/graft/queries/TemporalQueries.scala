@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time operators: as-of join, range (band) join, gap-based
+  * sessionization (SURVEY §2), all over the events stream table
+  * (orders live in 1995-2001 and events in 2024, so meaningful
+  * time-joins are events-to-events).
+  *
+  * Oracles replicate the semantics in plain SQL (rank / band
+  * predicates / window chains).
+  */
+object TemporalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // For each purchase event, attach the same user's latest 'view'
+    // event at or before it. Single-shuffle union-sort as-of join
+    // (see AsOfJoin scaladoc for the cost model).
+    "asof_join" -> ((s, d) => {
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") <= 400)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = Tables.events(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"), col("value").as("view_value"))
+      AsOfJoin.asof(purchases, views, key = "user_id",
+          leftTime = "ts", rightTime = "view_ts",
+          rightPayload = Seq("view_id", "view_value"),
+          rightTiebreak = "view_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_view_id").as("last_view_id"),
+          round(col("asof_view_value"), 4).as("last_view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Band join: same user's clicks within the hour before each
+    // purchase. Equi-key + range predicate -> shuffled hash/sort-merge
+    // join on user_id with a residual band filter; summarized per
+    // purchase so output stays small and deterministic.
+    "range_join" -> ((s, d) => {
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") <= 300)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("ts"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("c_value")), 4).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Gap-based sessionization: a >30-minute silence starts a new
+    // session. One shuffle on user_id; both windows share it.
+    "sessionize" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") <= 100)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT event_id, user_id, last_view_id, last_view_value FROM (
+        |  SELECT p.event_id, p.user_id,
+        |    v.event_id AS last_view_id,
+        |    round(v.value, 4) AS last_view_value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM (SELECT event_id, user_id, ts FROM events
+        |        WHERE event_type = 'purchase' AND user_id <= 400) p
+        |  LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+        |             WHERE event_type = 'view') v
+        |    ON v.user_id = p.user_id AND v.ts <= p.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "range_join" ->
+      """SELECT p.event_id, p.user_id, count(*) AS n_clicks,
+        |  round(sum(c.value), 4) AS click_value
+        |FROM events p
+        |JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND p.user_id <= 300
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
+
+    "sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1
+        |           ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        lag(ts, 1) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev_ts
+        |      FROM events WHERE user_id <= 100)))
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the documents table (SURVEY §2).
+  * All row-local, codegen'd column expressions — zero shuffles until
+  * the final (small) summarizing aggregation.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Whitespace token counts + chars/4 BPE-ish estimate.
+    "text_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          tokenEstimate(col("text")).as("n_tokens_bpe"),
+          length(col("text")).cast("long").as("n_chars_actual"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Composite quality score, plus the raw signals.
+    "text_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          qualityScore(col("text")).as("quality"),
+          tokenCount(col("text")).cast("long").as("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stopword-marker language heuristic vs the labeled lang column.
+    "text_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          langId(col("text")).as("detected_lang"))
+        .groupBy(col("labeled_lang"), col("detected_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("labeled_lang"), col("detected_lang"))
+    }),
+
+    // md5 fingerprint of normalized content — the exact-dedup key.
+    "text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Distinct 3-gram shingle counts per document.
+    "text_ngrams" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(shingles(col("text"), 3)).cast("long").as("n_shingles"),
+          tokenCount(col("text")).cast("long").as("n_words"))
+        .orderBy(col("doc_id"))
+    }))
+
+  /** SQL mirror of TextFunctions.normalizeText. */
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** SQL mirror of langScore for one marker (occurrence count via
+    * replace+length arithmetic, same as the Spark side).
+    */
+  private def occSql(expr: String, sub: String): String =
+    s"CAST((length($expr) - length(replace($expr, '$sub', ''))) / ${sub.length} AS BIGINT)"
+
+  private val paddedSql = s"' ' || $normSql || ' '"
+
+  private def langScoreSql(markers: Seq[String]): String =
+    markers.map(m => occSql(paddedSql, m)).mkString("(", " + ", ")")
+
+  private val langCaseSql: String = {
+    val scores = graft.functions.TextFunctions.langMarkers
+      .map { case (lang, ms) => lang -> langScoreSql(ms) }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val whens = scores.map { case (lang, s) =>
+      s"WHEN $s > 0 AND $s = $best THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  floor((
+         |    least(length(n) / 500.0, 1.0) * 0.3 +
+         |    (length(regexp_replace(n, '[^a-z]', '', 'g')) /
+         |       greatest(length(n), 1)) * 0.3 +
+         |    (1.0 - least(length(regexp_replace(n, '[^0-9]', '', 'g')) /
+         |       greatest(length(n), 1) * 4.0, 1.0)) * 0.2 +
+         |    (CASE WHEN length(n) / greatest(len(string_split(n, ' ')), 1)
+         |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         |    ) * 10000.0 + 0.5) / 10000.0
+         |    AS quality,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
+         |FROM (SELECT doc_id, text, $normSql AS n FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""SELECT lang AS labeled_lang, $langCaseSql AS detected_lang,
+         |  count(*) AS n
+         |FROM documents
+         |GROUP BY 1, 2 ORDER BY labeled_lang, detected_lang""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_ngrams" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN len(w) >= 3 THEN
+         |      len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                         for i in range(1, len(w) - 1)]))
+         |    ELSE 1 END AS BIGINT) AS n_shingles,
+         |  CAST(len(w) AS BIGINT) AS n_words
+         |FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -22,7 +22,10 @@ object SparkEntry {
     RelationalQueries.queries ++
       TemporalQueries.queries ++
       EtlQueries.queries ++
-      TextQueries.queries
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      SimilarityQueries.queries ++
+      SourceQueries.queries
 
   /** DuckDB-runnable oracle per SQL-expressible query (same column
     * names/aliases as the Spark side; rows-only ops are omitted).
@@ -31,5 +34,8 @@ object SparkEntry {
     RelationalQueries.oracles ++
       TemporalQueries.oracles ++
       EtlQueries.oracles ++
-      TextQueries.oracles
+      TextQueries.oracles ++
+      DedupQueries.oracles ++
+      SimilarityQueries.oracles ++
+      SourceQueries.oracles
 }

@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for the training-data pipeline (SURVEY §2):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Shuffle budget at scale:
+  *  - exact: one hash-partitioned groupBy on the fingerprint
+  *    (uniform keys by construction — md5 output);
+  *  - minhash/simhash: signatures row-local, then ONE shuffle on
+  *    (band, bucket); pairs are generated per-bucket, never O(n²);
+  *  - jaccard verify runs only on LSH candidates;
+  *  - embedding: exact all-pairs version for oracle-checkable
+  *    correctness — at 100 TB use srpBucket candidates + verify
+  *    (same shape as minhash) instead.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized-content fingerprint: keep the lowest
+    * id per group, count the copies.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("doc_id_kept"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures via the scale-friendly explode shape: one
+    * pass computes shingles, explode yields (id, shingle) rows, and a
+    * single hash-aggregate on id takes 64 `min(xxhash64(i, shingle))`
+    * aggregates. Everything stays in whole-stage codegen — the naive
+    * nested-lambda formulation (64 transforms re-evaluating the
+    * shingle expression per permutation) falls out of codegen and is
+    * ~1000x slower.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        perms: Int, shingleSize: Int): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+        explode(T.shingles(col(textCol), shingleSize)).as("sh"))
+    val aggs = (0 until perms).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h_$i"))
+    exploded.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until perms).map(i => col(s"h_$i")): _*).as("sig"))
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH banding, annotated with
+    * the signature-estimated Jaccard.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   perms: Int = 64, bands: Int = 16,
+                   shingleSize: Int = 3): DataFrame = {
+    val rows = perms / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, perms, shingleSize)
+      .withColumn("banded", H.minhashBands(col("sig"), bands, rows))
+    val exploded = sigs.select(col("id"), col("sig"),
+        explode(col("banded")).as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
+    val a = exploded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = exploded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        H.minhashEstimate(col("sig_a"), col("sig_b"), perms).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash signatures, same explode + wide-aggregate shape
+    * as [[minhashSignatures]]: hash each token once, 64 per-bit
+    * +-1 sums in one hash-aggregate, pack the sign vector.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+        explode(T.words(col(textCol))).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    val aggs = (0 until 64).map { j =>
+      sum(when(call_function("shiftright", col("h"), lit(j))
+        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    exploded.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), packed.as("sig"))
+  }
+
+  /** Near-dup pairs via 64-bit SimHash: bucket on 16-bit bands
+    * (pigeonhole guarantees hamming<=3 pairs collide), verify the
+    * actual hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+      .withColumn("banded", H.simhashBands(col("sig")))
+    val exploded = sigs.select(col("id"), col("sig"), explode(col("banded")).as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
+    val a = exploded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = exploded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        H.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard verification over candidate pairs:
+    * |A ∩ B| / |A ∪ B| on distinct shingle sets. `candidates` must
+    * have (id_a, id_b); shingle sets are joined in (two broadcast-or-
+    * shuffle hash joins on the doc id — candidates are the small side
+    * after LSH).
+    */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleSize: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      T.shingles(col(textCol), shingleSize).as("sh"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Exact embedding-cosine near-dup pairs (threshold on the ROUNDED
+    * similarity so engine FP noise can't flip membership). All-pairs:
+    * oracle-checkable ground truth; swap in srpBucket candidates for
+    * the 100 TB path.
+    */
+  def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double): DataFrame = {
+    val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(V.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup family over the documents/embeddings tables (SURVEY §2).
+  * dedup_exact and dedup_embedding have exact SQL oracles; the LSH
+  * families are approximate-by-design, so they are rows-only — their
+  * correctness is asserted in DedupSpec with planted duplicates.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents plus planted exact duplicates of doc_id < 50 (new ids
+    * offset by 100000) — deterministic on both engines.
+    */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), col("text")).union(
+      docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup on md5(normalized text): planted dups collapse to
+    // their original id with n_copies = 2.
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exact(docsWithDups(s, d), "doc_id", "text")
+        .select(col("doc_id_kept"), col("n_copies"))
+        .orderBy(col("doc_id_kept"))
+    }),
+
+    // MinHash LSH candidates on the dup-planted corpus, summarized.
+    "dedup_minhash" -> ((s, d) => {
+      Dedup.minhashPairs(docsWithDups(s, d), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash hamming<=3 pairs on the dup-planted corpus.
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(docsWithDups(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact n-gram Jaccard verify over the MinHash candidates.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = docsWithDups(s, d)
+      val cands = Dedup.minhashPairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.jaccardVerify(docs, cands, "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Embedding-cosine near-dup pairs (exact; threshold on rounded
+    // cosine; see Dedup.embeddingPairs for the 100 TB shape).
+    "dedup_embedding" -> ((s, d) => {
+      Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          minCosine = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        |SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |      FROM corpus)
+        |GROUP BY fp ORDER BY doc_id_kept""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.e, b.e), 6) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search surface over the embeddings table (SURVEY §2).
+  * Brute-force cosine top-k has an exact DuckDB oracle; the LSH
+  * variant is approximate-by-design (rows-only; recall asserted in
+  * SimilaritySpec against the brute-force baseline).
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def queryVec(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+
+  val queries: Map[String, Q] = Map(
+    "ann_bruteforce" -> ((s, d) => {
+      Similarity.bruteForceTopK(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+          queryVec(s, d), "vec_id", "embedding", k = 10)
+    }),
+
+    "ann_lsh" -> ((s, d) => {
+      Similarity.lshTopK(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+          queryVec(s, d), "vec_id", "embedding", k = 10)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |        (SELECT e FROM q)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.operators.PatternRouter
+import graft.sources.{Sinks, Sources, Xlsx}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink round-trips + multimodal plumbing (SURVEY §2).
+  * Each query materializes testdata through the format under test
+  * and summarizes the result so the output is small, deterministic,
+  * and (where the format round-trip is lossless) oracle-checkable
+  * against the original parquet.
+  */
+object SourceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, Q] = Map(
+    // parquet -> csv -> parquet round trip with explicit schema on
+    // the read side (schema inference at scale = an extra full scan).
+    "src_csv" -> ((s, d) => {
+      val dir = tmp("graft_csv")
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+        StructField("l_returnflag", StringType)))
+      Sources.csv(s, dir, Some(schema))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // parquet -> jsonl -> summary round trip.
+    "src_jsonl" -> ((s, d) => {
+      val dir = tmp("graft_jsonl")
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").json(dir)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+      Sources.jsonl(s, dir, Some(schema))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Plain parquet source summary (pushdown verified in specs).
+    "src_parquet" -> ((s, d) => {
+      Sources.parquet(s, s"$d/part.parquet")
+        .filter(col("p_size") <= 25)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("p_retailprice")), 4).as("avg_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // nation -> xlsx (pure-JVM writer) -> xlsx reader -> summary.
+    "src_excel" -> ((s, d) => {
+      val dir = tmp("graft_xlsx")
+      val rows = Tables.nation(s, d)
+        .orderBy(col("n_nationkey"))
+        .collect()
+        .map(r => Seq[Any](r.getInt(0), r.getString(1), r.getInt(2)))
+        .toSeq
+      Xlsx.write(s"$dir/nation.xlsx",
+        Seq("n_nationkey", "n_name", "n_regionkey"), rows)
+      Xlsx.read(s, s"$dir/nation.xlsx")
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // Routed partitioned parquet sink: write docs partitioned by
+    // routed target table, read back, summarize.
+    "sink_parquet" -> ((s, d) => {
+      val dir = tmp("graft_sink")
+      val mapping = Seq(
+        "src1" -> "dim_customers", "src2" -> "fact_sales",
+        "src3" -> "dim_products", "src4" -> "staging_reports")
+      val withPath = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        concat(lit("/drop/"), col("source"), lit("/f_"),
+          col("doc_id").cast("string"), lit(".csv")).as("path"))
+      Sinks.parquet(PatternRouter.route(withPath, "path", mapping)
+          .select(col("doc_id"), col("n_chars"), col("target_table")),
+        dir, ifExists = "replace", partitionBy = Seq("target_table"))
+      Sources.parquet(s, dir)
+        .groupBy(col("target_table"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("target_table"))
+    }),
+
+    // Binary payload + metadata struct plumbing.
+    "mm_ingest" -> ((s, d) => {
+      val media = Multimodal.ingest(
+        Tables.documents(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          lit("text/plain").as("mt")),
+        "doc_id", "payload", "mt")
+      media.select(col("media_id"), col("meta.media_type").as("media_type"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Partition-wise decode (stubbed) -> fixed-width features.
+    "mm_features" -> ((s, d) => {
+      val media = Multimodal.ingest(
+        Tables.documents(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          lit("text/plain").as("mt")),
+        "doc_id", "payload", "mt")
+      Multimodal.extractFeatures(s, media).toDF()
+        .select(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
+          col("checksum"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        .orderBy(col("media_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "src_csv" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "src_jsonl" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey < 2000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "src_parquet" ->
+      """SELECT p_brand, count(*) AS n,
+        |  round(avg(p_retailprice), 4) AS avg_price
+        |FROM part WHERE p_size <= 25
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "src_excel" ->
+      """SELECT n_regionkey, count(*) AS n, max(n_name) AS max_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "sink_parquet" ->
+      """SELECT target_table, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM (SELECT doc_id, n_chars,
+        |        CASE WHEN contains(source, 'src1') THEN 'dim_customers'
+        |             WHEN contains(source, 'src2') THEN 'fact_sales'
+        |             WHEN contains(source, 'src3') THEN 'dim_products'
+        |             WHEN contains(source, 'src4') THEN 'staging_reports'
+        |        END AS target_table
+        |      FROM documents)
+        |WHERE target_table IS NOT NULL
+        |GROUP BY target_table ORDER BY target_table""".stripMargin)
+}

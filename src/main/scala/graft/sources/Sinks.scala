@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sinks re-expressing the reference's load side.
+  *
+  * The reference appends pandas frames into Postgres in 1000-row
+  * chunks (`df.to_sql(..., if_exists='append', chunksize=1000)`,
+  * dataframe_tasks.py:78-85). On Spark the moral equivalents are:
+  *  - parquet append to a (partitioned) lake path — the scalable
+  *    default; partition columns give the same "route to table"
+  *    layout the watcher implements with per-table inserts;
+  *  - a JDBC batched append for actual warehouse targets.
+  */
+object Sinks {
+
+  /** Parquet sink; `ifExists` mirrors pandas' to_sql modes
+    * (append / replace / fail).
+    */
+  def parquet(df: DataFrame, path: String, ifExists: String = "append",
+              partitionBy: Seq[String] = Nil): Unit = {
+    val mode = ifExists match {
+      case "append" => SaveMode.Append
+      case "replace" => SaveMode.Overwrite
+      case _ => SaveMode.ErrorIfExists
+    }
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** JDBC append with executor-side batching — the direct analogue of
+    * the reference's chunked to_sql. Plumbing only in this container
+    * (no live database): options are assembled exactly as a cluster
+    * deployment would use them.
+    */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 user: String, password: String,
+                 batchSize: Int = 1000, numPartitions: Int = 32): Unit =
+    df.write.mode(SaveMode.Append)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("batchsize", batchSize)
+      .option("numPartitions", numPartitions)
+      .option("isolationLevel", "READ_COMMITTED")
+      .save()
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.CleanOps
+import org.apache.spark.sql.functions._
+
+class CleanOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanName matches the reference's normalization") {
+    assert(CleanOps.cleanName("Order Key!") == "order_key")
+    assert(CleanOps.cleanName("  Total Price ($)  ") == "total_price")
+    assert(CleanOps.cleanName("already_clean") == "already_clean")
+    assert(CleanOps.cleanName("CamelCase-Col") == "camelcase_col")
+  }
+
+  test("dedupeColumnNames suffixes later duplicates positionally") {
+    val df = Seq((1, "a", 2)).toDF("k", "name", "name")
+    assert(CleanOps.dedupeColumnNames(df).columns.toSeq == Seq("k", "name", "name_2"))
+  }
+
+  test("dropEmptyRows keeps rows with any non-null checked column") {
+    val df = Seq(
+      (Some(1), Some("x")), (None, Some("y")), (Option.empty[Int], Option.empty[String]))
+      .toDF("a", "b")
+    assert(CleanOps.dropEmptyRows(df, Seq("a", "b")).count() == 2)
+  }
+
+  test("coerceByName parses date/price-like string columns, errors to null") {
+    val df = Seq(
+      ("2020-01-02", "12.5"), ("garbage", "nope"))
+      .toDF("ship_date", "unit_price")
+    val out = CleanOps.coerceByName(df)
+    assert(out.schema("ship_date").dataType.typeName == "timestamp")
+    assert(out.schema("unit_price").dataType.typeName == "double")
+    assert(out.filter(col("ship_date").isNotNull).count() == 1)
+    assert(out.filter(col("unit_price").isNotNull).count() == 1)
+  }
+
+  test("ingestPipeline composes and stamps metadata") {
+    val df = Seq(("1", "2020-01-01", "9.99")).toDF("ID!", "Order Date", "Price ($)")
+    val out = CleanOps.ingestPipeline(df, "s.csv", "b1")
+    assert(out.columns.contains("order_date") && out.columns.contains("price"))
+    assert(out.select("source_name", "processing_batch").first().toSeq ==
+      Seq("s.csv", "b1"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far " +
+    "away into the deep dark forest tonight while stars shine bright above"
+  // near-dup: one word changed
+  private val nearDup = base.replace("dark", "cold")
+  private val unrelated = "completely different content about spark engines " +
+    "aggregating massive distributed datasets with columnar formats quickly"
+
+  private def corpus = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup collapses identical normalized text") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+      .select("doc_id_kept", "n_copies")
+      .orderBy("doc_id_kept").collect()
+    assert(out.length == 3)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L) // 1 & 4
+  }
+
+  test("minhash LSH surfaces near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 4L)), s"exact dup pair missing from $keys")
+    assert(keys.contains((1L, 2L)) || keys.contains((2L, 4L)),
+      s"near dup pair missing from $keys")
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 4L)).get
+    assert(exact._3 == 1.0) // identical signatures
+    assert(!keys.contains((1L, 3L)) && !keys.contains((2L, 3L)),
+      "unrelated doc should not pair")
+  }
+
+  test("simhash: exact dups collide at hamming 0; near-dups are closer than unrelated") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 4L))
+    assert(exact.exists(_._3 == 0), s"exact dup should have hamming 0: $pairs")
+    // banding only guarantees recall for hamming<=3; assert the
+    // signature-distance ordering directly instead
+    val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 4L) == 0)
+    assert(ham(1L, 2L) < ham(1L, 3L),
+      s"near-dup should be closer: ${ham(1L, 2L)} vs ${ham(1L, 3L)}")
+  }
+
+  test("jaccard verify gives 1.0 for exact dups, high for near-dups") {
+    val cands = Seq((1L, 4L), (1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardVerify(corpus, cands, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 4L)) == 1.0)
+    assert(out((1L, 2L)) > 0.7 && out((1L, 2L)) < 1.0)
+    assert(out((1L, 3L)) < 0.1)
+  }
+
+  test("embedding pairs pass threshold on rounded cosine") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    val out = Dedup.embeddingPairs(embs, "id", "vec", minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+}

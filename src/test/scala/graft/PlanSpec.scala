@@ -1,0 +1,62 @@
+package graft
+
+import graft.Tables
+import graft.queries.RelationalQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-shape assertions: the scale properties SURVEY §5 promises
+  * (pushdown reaches the scan, dims broadcast, no redundant
+  * shuffles) hold in the optimized physical plans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projections push down to the parquet scan") {
+    val df = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("q5 star join broadcasts every dimension") {
+    val df = RelationalQueries.queries("q5_multijoin")(spark, sf0001)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only sort-merge/shuffle join allowed is lineitem x orders
+    val smj = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(smj <= 1, s"expected <=1 shuffled join, got $smj:\n$plan")
+  }
+
+  test("q1 aggregation does partial (map-side) aggregation") {
+    val df = RelationalQueries.queries("q1_agg")(spark, sf0001)
+    val plan = planString(df)
+    assert(plan.contains("HashAggregate"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final agg:\n$plan")
+  }
+
+  test("window chain in window_running shares one shuffle") {
+    val df = RelationalQueries.queries("window_running")(spark, sf0001)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    // one for the groupBy, one for the window partition, none extra
+    assert(shuffles.length <= 2, s"too many shuffles: ${shuffles.length}")
+  }
+
+  test("whole-stage codegen covers the hot paths") {
+    // codegen'd operators render with the "*(n)" stage prefix
+    val df = Tables.documents(spark, sf0001)
+      .select(graft.functions.TextFunctions.fingerprint(col("text")))
+    assert(planString(df).contains("*(1)"), planString(df))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def embs = Tables.embeddings(spark, sf0001)
+
+  test("brute-force top-k: self-similarity is 1, results ordered") {
+    val q = embs.filter(col("vec_id") === 0)
+    val out = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(out.length == 5)
+    assert(out.head.getLong(0) == 0L && out.head.getDouble(1) == 1.0)
+    val sims = out.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse, "results must be descending")
+  }
+
+  test("LSH top-k recalls a reasonable share of the true top-k") {
+    val q = embs.filter(col("vec_id") === 0)
+    val others = embs.filter(col("vec_id") =!= 0)
+    val truth = Similarity.bruteForceTopK(others, q, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(others, q, "vec_id", "embedding", 10,
+      planes = 8, maxBitDiff = 3).collect().map(_.getLong(0)).toSet
+    assert(approx.nonEmpty, "LSH should return candidates")
+    assert((truth intersect approx).nonEmpty,
+      s"LSH recall zero: truth=$truth approx=$approx")
+  }
+
+  test("LSH prunes the candidate set vs brute force") {
+    val q = embs.filter(col("vec_id") === 0)
+    val others = embs.filter(col("vec_id") =!= 0)
+    val total = others.count()
+    val candidates = Similarity.lshTopK(others, q, "vec_id", "embedding",
+      k = Int.MaxValue, planes = 12, maxBitDiff = 2).count()
+    assert(candidates < total, s"bucketing should prune ($candidates vs $total)")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file stream ingests a CSV drop zone and cleans names") {
+    val drop = Files.createTempDirectory("drop").toString
+    val out = Files.createTempDirectory("memout").toString
+    Files.writeString(java.nio.file.Paths.get(s"$drop/f1.csv"),
+      "Order Key!,Total Price ($)\n1,9.99\n2,5.00\n")
+    val schema = StructType(Seq(
+      StructField("Order Key!", StringType), StructField("Total Price ($)", StringType)))
+    val stream = StreamIngest.fileStream(spark, drop, schema)
+    assert(stream.isStreaming)
+    assert(stream.columns.toSeq.take(2) == Seq("order_key", "total_price"))
+    val q = stream.writeStream
+      .format("memory").queryName("ingested")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT order_key, total_price FROM ingested ORDER BY order_key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("1", "9.99"), ("2", "5.00")))
+  }
+
+  test("watermarked tumbling window counts per type") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 10:40:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 11:10:00"), "view"))
+    val counts = StreamIngest.windowedCounts(
+      mem.toDF().toDF("ts", "event_type"), "ts", "event_type")
+    val q = counts.writeStream
+      .format("memory").queryName("wc").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT window_start, event_type, n FROM wc ORDER BY 1, 2")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L),
+      ("2024-01-01 11:00:00.0", "view", 1L)))
+  }
+
+  test("routed sink fans a mixed drop into per-table partitions") {
+    val drop = Files.createTempDirectory("drop2").toString
+    val sink = Files.createTempDirectory("sink2").toString
+    val cp = Files.createTempDirectory("cp2").toString
+    Files.writeString(java.nio.file.Paths.get(s"$drop/sales_data_jan.csv"),
+      "amount\n10\n20\n")
+    Files.writeString(java.nio.file.Paths.get(s"$drop/customer_data_a.csv"),
+      "amount\n5\n")
+    Files.writeString(java.nio.file.Paths.get(s"$drop/ignore_me.csv"),
+      "amount\n99\n")
+    val schema = StructType(Seq(StructField("amount", StringType)))
+    val stream = StreamIngest.fileStream(spark, drop, schema)
+    StreamIngest.runOnce(
+      StreamIngest.routedSink(stream, "__source_file", sink, cp))
+    val got = spark.read.parquet(sink)
+      .groupBy("target_table").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("fact_sales" -> 2L, "dim_customers" -> 1L))
+  }
+}

@@ -38,27 +38,30 @@ object TextFunctions {
       .cast("long")
 
   /** Tiny per-language stopword marker sets for the heuristic
-    * language id. Spaces around each word make them word-anchored.
+    * language id (word-anchored membership).
     */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq(" the ", " and ", " of ", " a "),
-    "es" -> Seq(" el ", " la ", " de ", " y "),
-    "de" -> Seq(" der ", " und ", " die ", " das "),
-    "fr" -> Seq(" le ", " la ", " et ", " les "))
+    "en" -> Seq("the", "and", "of", "a"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "fr" -> Seq("le", "la", "et", "les"))
 
-  /** Stopword-count score for one language over a normalized,
-    * space-padded text column.
+  /** Stopword-count score for one language over a word array
+    * (duplicates count — `filter` keeps multiplicity).
     */
-  def langScore(padded: Column, markers: Seq[String]): Column =
-    markers.map(m => countOccurrences(padded, m)).reduce(_ + _)
+  def langScore(wordsCol: Column, markers: Seq[String]): Column =
+    size(filter(wordsCol, w => w.isin(markers: _*))).cast("long")
 
-  /** Heuristic language id: argmax of stopword-marker counts with a
-    * fixed precedence order (ties -> earlier language in
-    * [[langMarkers]]); "und" when nothing matches.
+  /** Heuristic language id: argmax of stopword counts with a fixed
+    * precedence order (ties -> earlier language in [[langMarkers]]);
+    * "und" when nothing matches. Word-array membership instead of
+    * per-marker substring replace: one split + 4 array filters keeps
+    * the expression tree small enough for whole-stage codegen (the
+    * replace form was 20x slower at sf0.1).
     */
   def langId(c: Column): Column = {
-    val padded = concat(lit(" "), normalizeText(c), lit(" "))
-    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(padded, ms) }
+    val w = words(c)
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(w, ms) }
     val best = scores.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
     scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
       when(s > 0 && s === best, lit(lang)).otherwise(elseCol)

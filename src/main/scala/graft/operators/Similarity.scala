@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.functions.{VectorFunctions => V}
-import org.apache.spark.sql.DataFrame
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -13,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Cosine via the native codegen'd [[graft.plans.CosineSimilarity]]
+    * expression (registered on demand); math identical to
+    * VectorFunctions.cosine but runs as a primitive loop.
+    */
+  private def cosineFast(df: DataFrame, a: String, b: String): Column = {
+    GraftExtensions.ensureRegistered(df.sparkSession)
+    expr(s"graft_cosine(`$a`, `$b`)")
+  }
+
   /** Exact top-k by cosine to one query vector. The query side is a
     * 1-row broadcast; ordering ties resolve by id so results are
     * deterministic.
@@ -20,8 +30,9 @@ object Similarity {
   def bruteForceTopK(embs: DataFrame, query: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = query.select(col(vecCol).as("q_vec"))
-    embs.crossJoin(broadcast(q))
-      .select(col(idCol), round(V.cosine(col(vecCol), col("q_vec")), 6).as("cos"))
+    val joined = embs.crossJoin(broadcast(q))
+    joined
+      .select(col(idCol), round(cosineFast(joined, vecCol, "q_vec"), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -38,9 +49,10 @@ object Similarity {
     val bucketed = embs.withColumn("bucket", V.srpBucket(col(vecCol), planes, dims))
     val q = query.select(col(vecCol).as("q_vec"),
       V.srpBucket(col(vecCol), planes, dims).as("q_bucket"))
-    bucketed.crossJoin(broadcast(q))
+    val joined = bucketed.crossJoin(broadcast(q))
       .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= maxBitDiff)
-      .select(col(idCol), round(V.cosine(col(vecCol), col("q_vec")), 6).as("cos"))
+    joined
+      .select(col(idCol), round(cosineFast(joined, vecCol, "q_vec"), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

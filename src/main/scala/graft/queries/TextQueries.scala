@@ -61,16 +61,13 @@ object TextQueries {
   /** SQL mirror of TextFunctions.normalizeText. */
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
-  /** SQL mirror of langScore for one marker (occurrence count via
-    * replace+length arithmetic, same as the Spark side).
+  /** SQL mirror of langScore: word-anchored stopword membership
+    * count over the normalized word list.
     */
-  private def occSql(expr: String, sub: String): String =
-    s"CAST((length($expr) - length(replace($expr, '$sub', ''))) / ${sub.length} AS BIGINT)"
-
-  private val paddedSql = s"' ' || $normSql || ' '"
-
-  private def langScoreSql(markers: Seq[String]): String =
-    markers.map(m => occSql(paddedSql, m)).mkString("(", " + ", ")")
+  private def langScoreSql(markers: Seq[String]): String = {
+    val set = markers.map(m => s"'$m'").mkString(", ")
+    s"CAST(len(list_filter(string_split($normSql, ' '), w -> w IN ($set))) AS BIGINT)"
+  }
 
   private val langCaseSql: String = {
     val scores = graft.functions.TextFunctions.langMarkers

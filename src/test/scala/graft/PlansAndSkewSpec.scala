@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Skew
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+class PlansAndSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_cosine expression matches the HOF formulation and codegens") {
+    GraftExtensions.ensureRegistered(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+    val got = df.select(expr("graft_cosine(a, b)")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+    val hof = df.select(graft.functions.VectorFunctions.cosine(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == hof.toSeq, "native expression must match HOF math exactly")
+    // whole-stage codegen must cover the projection (use a parquet-
+    // backed frame; a local relation folds to LocalTableScan)
+    val emb = Tables.embeddings(spark, sf0001)
+    val plan = emb.select(expr("graft_cosine(embedding, embedding)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("salted join returns the same rows as the plain join") {
+    val large = (1 to 1000).map(i => (if (i % 3 == 0) 1L else i.toLong, i))
+      .toDF("k", "v") // key 1 is hot
+    val small = Seq((1L, "hot"), (2L, "a"), (5L, "b")).toDF("k", "name")
+    val plain = large.join(small, Seq("k")).count()
+    val salted = Skew.saltedJoin(large, small, Seq("k"), buckets = 8).count()
+    assert(salted == plain)
+    // and the salt actually spreads the hot key
+    val salts = Skew.saltLarge(large.filter(col("k") === 1L), 8)
+      .select("__salt").distinct().count()
+    assert(salts > 1)
+  }
+}

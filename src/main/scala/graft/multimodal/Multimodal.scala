@@ -61,6 +61,31 @@ object Multimodal {
         lit(0).as("sample_rate_hz")).as("meta"),
       col(payloadCol).cast("binary").as("payload"))
 
+  case class Frame(mediaId: Long, frameIdx: Int, offset: Long,
+                   frame: Array[Byte])
+
+  /** Frame/window sampling over binary payloads: split each payload
+    * into fixed-size frames and keep every `stride`-th one — the
+    * video-frame-sampling shape with the codec stubbed (a real
+    * implementation swaps the byte-slicing for codec keyframe
+    * extraction; the fan-out plumbing is identical). One row in,
+    * O(len/frameSize/stride) rows out, no shuffle.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameSize: Int = 1024, stride: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Iterator.range(0, math.max(bytes.length, 1), frameSize)
+          .zipWithIndex
+          .collect { case (off, idx) if idx % stride == 0 =>
+            Frame(id, idx, off.toLong,
+              bytes.slice(off, math.min(off + frameSize, bytes.length)))
+          }
+      }
+  }
+
   /** Partition-wise decode -> feature extraction over the typed
     * Dataset (the Scala analogue of a pandas-batch UDF): no shuffle,
     * decoder instantiated once per partition.

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => V}
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scale-path ANN structures beyond the single-query search in
+  * [[Similarity]]: IVF partitioning and k-NN self-join (SURVEY §2).
+  */
+object Ann {
+
+  /** Train an IVF coarse quantizer: k-means (cosine-friendly via
+    * L2-normalized input) over a sample, returning the centroid
+    * matrix. Deterministic (fixed seed, fixed iterations).
+    *
+    * At 100 TB: train on a driver-sized sample (standard practice —
+    * IVF centroids are a tiny sketch of the distribution), assign in
+    * one scan, store `list_id` as a partition column so a probe scans
+    * only nprobe/nlist of the data.
+    */
+  def trainCentroids(embs: DataFrame, vecCol: String, nlist: Int,
+                     iters: Int = 10, sampleLimit: Int = 100000): Array[Array[Double]] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val sample = embs.select(col(vecCol)).limit(sampleLimit)
+      .as[Array[Float]].collect()
+      .map(v => normalize(v.map(_.toDouble)))
+    require(sample.length >= nlist, s"need >= $nlist vectors to train")
+    // deterministic init: evenly spaced sample points
+    var centroids = Array.tabulate(nlist)(i => sample(i * (sample.length / nlist)))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        val s = sums(c)
+        var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) centroids(c)
+        else normalize(sums(c).map(_ / counts(c)))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val d = math.sqrt(n)
+    if (d == 0) v else v.map(_ / d)
+  }
+
+  private[operators] def nearestCentroid(v: Array[Double],
+                                         cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0; var i = 0
+      while (i < v.length) { dot += v(i) * cent(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign every vector to its IVF list. One scan, no shuffle. */
+  def assignLists(embs: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    embs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, v, Ann.nearestCentroid(normalize(v.map(_.toDouble)), bc.value))
+      }
+      .toDF(idCol, vecCol, "list_id")
+  }
+
+  /** IVF probe: search only the `nprobe` lists whose centroids are
+    * closest to the query, exact cosine within them.
+    */
+  def ivfSearch(assigned: DataFrame, query: DataFrame, idCol: String,
+                vecCol: String, centroids: Array[Array[Double]],
+                k: Int, nprobe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qv = query.select(col(vecCol)).as[Array[Float]].head()
+    val qn = normalize(qv.map(_.toDouble))
+    val lists = centroids.indices
+      .map(c => c -> {
+        var dot = 0.0; var i = 0
+        while (i < qn.length) { dot += qn(i) * centroids(c)(i); i += 1 }
+        dot
+      })
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    GraftExtensions.ensureRegistered(spark)
+    val qDf = query.select(col(vecCol).as("q_vec"))
+    val pruned = assigned.filter(col("list_id").isin(lists: _*))
+      .crossJoin(broadcast(qDf))
+    pruned
+      .select(col(idCol),
+        round(expr(s"graft_cosine(`$vecCol`, q_vec)"), 6).as("cos"),
+        col("list_id"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** k-NN self-join via SRP-LSH buckets: candidates share a bucket
+    * (single shuffle on the bucket id), exact cosine ranks within the
+    * candidate set, top-k per probe row. Approximate: recall depends
+    * on planes/probe width, asserted against brute force in specs.
+    */
+  def knnJoin(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+              planes: Int = 8, dims: Int = 64): DataFrame = {
+    GraftExtensions.ensureRegistered(embs.sparkSession)
+    val bucketed = embs
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", V.srpBucket(col("vec"), planes, dims))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("v_b"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("graft_cosine(v_a, v_b)"), 6).as("cos"))
+      // a pair can collide in at most one bucket value (bucket is a
+      // function of the vector), so no dedup needed
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+}

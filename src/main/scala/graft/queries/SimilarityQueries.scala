@@ -27,6 +27,29 @@ object SimilarityQueries {
       Similarity.lshTopK(
           Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
           queryVec(s, d), "vec_id", "embedding", k = 10)
+    }),
+
+    // IVF: train coarse quantizer, assign lists, probe half the lists.
+    "ann_ivf" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val cents = graft.operators.Ann.trainCentroids(embs, "embedding",
+        nlist = 8, iters = 5)
+      val assigned = graft.operators.Ann.assignLists(embs, "vec_id",
+        "embedding", cents)
+      graft.operators.Ann.ivfSearch(
+          assigned.filter(col("vec_id") =!= 0), queryVec(s, d),
+          "vec_id", "embedding", cents, k = 10, nprobe = 4)
+        .select(col("vec_id"), col("cos"))
+    }),
+
+    // Approximate k-NN self-join over LSH buckets, summarized.
+    "knn_join" -> ((s, d) => {
+      graft.operators.Ann.knnJoin(
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 3, planes = 6)
+        .groupBy(col("id_a"))
+        .agg(count(lit(1)).as("n_neighbors"),
+          max(col("cos")).as("best_cos"))
+        .orderBy(col("id_a"))
     }))
 
   val oracles: Map[String, String] = Map(

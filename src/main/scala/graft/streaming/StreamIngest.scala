@@ -80,4 +80,16 @@ object StreamIngest {
     q.awaitTermination()
     q
   }
+
+  /** Exactly-once-per-key semantics within the watermark horizon:
+    * late duplicates of an id (retries, at-least-once upstreams) are
+    * dropped with bounded state — the streaming analogue of
+    * dedup_exact.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           idCols: Seq[String],
+                           watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
 }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.Tables
+import graft.operators.{Ann, Similarity}
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+
+  private def embs = Tables.embeddings(spark, sf0001)
+
+  test("IVF: centroid training deterministic, probe finds near-neighbors") {
+    val cents1 = Ann.trainCentroids(embs, "embedding", nlist = 4, iters = 5)
+    val cents2 = Ann.trainCentroids(embs, "embedding", nlist = 4, iters = 5)
+    assert(cents1.flatten.toSeq == cents2.flatten.toSeq, "training must be deterministic")
+    val assigned = Ann.assignLists(embs, "vec_id", "embedding", cents1)
+    assert(assigned.select("list_id").distinct().count() == 4)
+    val q = embs.filter(col("vec_id") === 0)
+    val full = Ann.ivfSearch(assigned, q, "vec_id", "embedding", cents1,
+      k = 5, nprobe = 4).collect()
+    assert(full.head.getLong(0) == 0L && full.head.getDouble(1) == 1.0)
+    // probing all lists == brute force
+    val brute = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full.map(_.getLong(0)).toSeq == brute)
+    // probing fewer lists prunes work but still finds the self-match
+    val pruned = Ann.ivfSearch(assigned, q, "vec_id", "embedding", cents1,
+      k = 5, nprobe = 1).collect()
+    assert(pruned.head.getLong(0) == 0L)
+  }
+
+  test("knn join: k rows per id, self excluded, ranked by cosine") {
+    val knn = Ann.knnJoin(embs.limit(100), "vec_id", "embedding", k = 3,
+      planes = 4)
+    val rows = knn.collect()
+    assert(rows.nonEmpty)
+    val byA = rows.groupBy(_.getLong(0))
+    assert(byA.values.forall(_.length <= 3))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    byA.values.foreach { rs =>
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+}

@@ -19,6 +19,15 @@ class MultimodalSpec extends SparkSpec {
     assert(media.count() == 2)
   }
 
+  test("frame sampling yields strided fixed-size frames") {
+    val frames = Multimodal.sampleFrames(spark, media, frameSize = 2, stride = 2)
+      .collect().sortBy(f => (f.mediaId, f.frameIdx))
+    // "hello" (5 bytes, frames of 2: [he][ll][o]) -> stride 2 keeps idx 0, 2
+    val m1 = frames.filter(_.mediaId == 1L)
+    assert(m1.map(_.frameIdx).toSeq == Seq(0, 2))
+    assert(new String(m1.head.frame) == "he" && new String(m1(1).frame) == "o")
+  }
+
   test("feature extraction is deterministic and fixed-width") {
     val f1 = Multimodal.extractFeatures(spark, media).collect()
       .sortBy(_.mediaId)

@@ -35,11 +35,26 @@ object Dedup {
     * shingle expression per permutation) falls out of codegen and is
     * ~1000x slower.
     */
+  /** Spread compute-heavy per-row work across all cores: a small
+    * input (one parquet file) otherwise yields one task and the
+    * shingle/hash pipeline runs single-threaded. The shuffled bytes
+    * are just the raw rows — negligible next to the per-row compute.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         perms: Int, shingleSize: Int): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
+    val exploded = spread(docs).select(col(idCol).as("id"),
         explode(T.shingles(col(textCol), shingleSize)).as("sh"))
-    val aggs = (0 until perms).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h_$i"))
+      // hash the shingle string ONCE; the k permutation hashes then
+      // re-hash that fixed-width long (k string hashes -> 1; the
+      // string hashing dominated the signature cost, and wrapping
+      // linear transforms would trip ANSI overflow checks)
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val aggs = (0 until perms).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"h_$i")
+    }
     exploded.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until perms).map(i => col(s"h_$i")): _*).as("sig"))
@@ -73,7 +88,7 @@ object Dedup {
     * +-1 sums in one hash-aggregate, pack the sign vector.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
+    val exploded = spread(docs).select(col(idCol).as("id"),
         explode(T.words(col(textCol))).as("w"))
       .select(col("id"), xxhash64(col("w")).as("h"))
     val aggs = (0 until 64).map { j =>
@@ -119,7 +134,7 @@ object Dedup {
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
                     idCol: String, textCol: String,
                     shingleSize: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
+    val sets = spread(docs).select(col(idCol).as("id"),
       T.shingles(col(textCol), shingleSize).as("sh"))
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

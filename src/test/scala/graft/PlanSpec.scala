@@ -53,6 +53,27 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.length <= 2, s"too many shuffles: ${shuffles.length}")
   }
 
+  test("asof join uses exactly one shuffle (union-sort, no pair explosion)") {
+    val df = graft.queries.TemporalQueries.queries("asof_join")(spark, sf0001)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    // one hash-partition on the key for the window; the final global
+    // orderBy adds a range exchange
+    assert(shuffles.length <= 2, s"expected <=2 shuffles, got ${shuffles.length}")
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("range join is an equi-join with band residual, not a nested loop") {
+    val df = graft.queries.TemporalQueries.queries("range_join")(spark, sf0001)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to a product:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // codegen'd operators render with the "*(n)" stage prefix
     val df = Tables.documents(spark, sf0001)

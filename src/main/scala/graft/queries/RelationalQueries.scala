@@ -204,7 +204,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))

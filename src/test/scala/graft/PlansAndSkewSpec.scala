@@ -27,6 +27,23 @@ class PlansAndSkewSpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("bucketed join elides the shuffle on both sides") {
+    import graft.operators.Bucketing
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Bucketing.writeBucketed(li, "li_b", Seq("l_orderkey"), numBuckets = 4)
+    Bucketing.writeBucketed(ord, "ord_b", Seq("l_orderkey"), numBuckets = 4)
+    val joined = Bucketing.bucketedJoin(spark, "li_b", "ord_b", Seq("l_orderkey"))
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed join should not shuffle:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() ==
+      li.join(ord, Seq("l_orderkey")).count())
+  }
+
   test("salted join returns the same rows as the plain join") {
     val large = (1 to 1000).map(i => (if (i % 3 == 0) 1L else i.toLong, i))
       .toDF("k", "v") // key 1 is hot

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{AsOfJoin, CleanOps, Dedup}
+
+import scala.util.Random
+
+/** Randomized (seeded, deterministic) validation of operators whose
+  * semantics have a simple in-memory reference model.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanName is idempotent and produces postgres-safe names") {
+    val rnd = new Random(42)
+    (1 to 200).foreach { _ =>
+      val s = rnd.alphanumeric.take(rnd.nextInt(12)).mkString("", " !($-", "")
+      val once = CleanOps.cleanName(s)
+      assert(CleanOps.cleanName(once) == once, s"not idempotent for '$s'")
+      assert(once.matches("[a-z0-9_]*"), s"unsafe name '$once'")
+      assert(!once.startsWith("_") && !once.endsWith("_"))
+    }
+  }
+
+  test("asof join matches the in-memory reference model on random data") {
+    val rnd = new Random(7)
+    (1 to 8).foreach { _ =>
+      val leftRows = Seq.fill(1 + rnd.nextInt(25))((1L + rnd.nextInt(4), rnd.nextInt(100).toLong))
+      val rightRows = Seq.fill(1 + rnd.nextInt(25))((1L + rnd.nextInt(4), rnd.nextInt(100).toLong))
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t), i) => (k, new Timestamp(t * 1000), i.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rightRows.zipWithIndex
+        .map { case ((k, t), i) => (k, new Timestamp(t * 1000), i.toLong) }
+        .toDF("k", "rt", "rid")
+      val got = AsOfJoin.asof(left, right, "k", "t", "rt", Seq("rid"), "rid")
+        .collect()
+        .map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+        .toMap
+      val expected = leftRows.zipWithIndex.map { case ((k, t), i) =>
+        val candidates = rightRows.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt <= t }
+        i.toLong -> (if (candidates.isEmpty) None
+                     else Some(candidates.maxBy { case ((_, rt), ri) => (rt, ri) }._2.toLong))
+      }.toMap
+      assert(got == expected,
+        s"asof mismatch\n left=$leftRows\n right=$rightRows\n got=$got\n exp=$expected")
+    }
+  }
+
+  test("minhash estimate tracks exact jaccard on random docs") {
+    val rnd = new Random(11)
+    val vocab = ('a' to 'z').map(_.toString)
+    def doc() = Seq.fill(20 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (1 to 6).foreach { _ =>
+      val (a, b) = (doc(), doc())
+      val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+      val sigs = Dedup.minhashSignatures(df, "id", "text", perms = 64, shingleSize = 3)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 64.0
+      def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val (sa, sb) = (sh(a), sh(b))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(est - exact) < 0.35,
+        s"minhash estimate $est too far from exact $exact")
+    }
+  }
+}

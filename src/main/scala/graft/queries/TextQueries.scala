@@ -49,6 +49,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Flagship training-data pipeline: validate -> exact-dedup ->
+    // quality gate -> language id -> per-language corpus stats.
+    // Row-local ops end-to-end until the two aggregations (dedup
+    // groupBy on the fingerprint, final tiny groupBy on language).
+    "pipeline_training_data" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val validated = graft.operators.CleanOps.validateRows(docs, "text", maxChars = 2000)
+      val deduped = validated
+        .withColumn("fp", fingerprint(col("text")))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+      deduped
+        .withColumn("quality", qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .withColumn("detected_lang", langId(col("text")))
+        .groupBy(col("detected_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).cast("long").as("total_tokens"),
+          // integer-exact quality total (a float avg would be
+          // summation-order-dependent across engines)
+          sum(floor(col("quality") * 10000.0 + 0.5).cast("long")).cast("long")
+            .as("total_quality_e4"))
+        .orderBy(col("detected_lang"))
+    }),
+
     // Distinct 3-gram shingle counts per document.
     "text_ngrams" -> ((s, d) => {
       Tables.documents(s, d)
@@ -79,7 +106,40 @@ object TextQueries {
     s"CASE $whens ELSE 'und' END"
   }
 
+  /** SQL mirror of TextFunctions.qualityScore over a normalized-text
+    * expression `n` (floor-based rounding; see qualityScore).
+    */
+  private def qualitySql(n: String): String =
+    s"""floor((
+       |    least(length($n) / 500.0, 1.0) * 0.3 +
+       |    (length(regexp_replace($n, '[^a-z]', '', 'g')) /
+       |       greatest(length($n), 1)) * 0.3 +
+       |    (1.0 - least(length(regexp_replace($n, '[^0-9]', '', 'g')) /
+       |       greatest(length($n), 1) * 4.0, 1.0)) * 0.2 +
+       |    (CASE WHEN length($n) / greatest(len(string_split($n, ' ')), 1)
+       |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+       |    ) * 10000.0 + 0.5) / 10000.0""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pipeline_training_data" ->
+      s"""WITH validated AS (
+         |  SELECT doc_id, text, $normSql AS n
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0 AND length(text) <= 2000),
+         |deduped AS (
+         |  SELECT doc_id, text, n FROM (
+         |    SELECT doc_id, text, n,
+         |      row_number() OVER (PARTITION BY md5(n) ORDER BY doc_id) AS rk
+         |    FROM validated)
+         |  WHERE rk = 1),
+         |scored AS (
+         |  SELECT text, n, ${qualitySql("n")} AS q FROM deduped)
+         |SELECT $langCaseSql AS detected_lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CAST(floor(q * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_quality_e4
+         |FROM scored WHERE q >= 0.5
+         |GROUP BY 1 ORDER BY detected_lang""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -24,7 +24,7 @@ object CleanOps {
 
   /** Rename every column via [[cleanName]]. Pure metadata op. */
   def cleanColumnNames(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(cleanName): _*)
+    df.toDF(df.columns.toIndexedSeq.map(cleanName): _*)
 
   /** Disambiguate duplicate column names with positional suffixes,
     * mirroring dataframe_tasks.py:60-62: later duplicates become
@@ -33,7 +33,7 @@ object CleanOps {
   def dedupeColumnNames(df: DataFrame): DataFrame = {
     val cols = df.columns
     val counts = cols.groupBy(identity).view.mapValues(_.length).toMap
-    val renamed = cols.zipWithIndex.map { case (c, i) =>
+    val renamed = cols.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       if (counts(c) > 1 && cols.indexOf(c) != i) s"${c}_$i" else c
     }
     df.toDF(renamed: _*)

@@ -31,10 +31,19 @@ object CleanOps {
     * `name_<position>`.
     */
   def dedupeColumnNames(df: DataFrame): DataFrame = {
-    val cols = df.columns
-    val counts = cols.groupBy(identity).view.mapValues(_.length).toMap
-    val renamed = cols.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      if (counts(c) > 1 && cols.indexOf(c) != i) s"${c}_$i" else c
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val renamed = df.columns.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      val name =
+        if (used.add(c)) c
+        else {
+          // positional suffix like the reference, but guaranteed
+          // collision-free even when "<c>_<i>" already exists as a
+          // real column
+          var candidate = s"${c}_$i"
+          while (!used.add(candidate)) candidate += "_"
+          candidate
+        }
+      name
     }
     df.toDF(renamed: _*)
   }

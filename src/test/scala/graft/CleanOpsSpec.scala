@@ -18,6 +18,13 @@ class CleanOpsSpec extends SparkSpec {
     assert(CleanOps.dedupeColumnNames(df).columns.toSeq == Seq("k", "name", "name_2"))
   }
 
+  test("dedupeColumnNames never collides with existing columns") {
+    val df = Seq((1, 2, 3)).toDF("a", "a", "a_1")
+    val out = CleanOps.dedupeColumnNames(df).columns.toSeq
+    assert(out.distinct == out, s"still duplicated: $out")
+    assert(out == Seq("a", "a_1", "a_1_2"))
+  }
+
   test("dropEmptyRows keeps rows with any non-null checked column") {
     val df = Seq(
       (Some(1), Some("x")), (None, Some("y")), (Option.empty[Int], Option.empty[String]))

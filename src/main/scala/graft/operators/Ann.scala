@@ -24,7 +24,12 @@ object Ann {
                      iters: Int = 10, sampleLimit: Int = 100000): Array[Array[Double]] = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val sample = embs.select(col(vecCol)).limit(sampleLimit)
+    // deterministic hash-ordered sample: a bare limit() takes a
+    // partition prefix, which biases centroids badly when the data
+    // is laid out by source/date (the normal layout)
+    val sample = embs.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)))
+      .limit(sampleLimit)
       .as[Array[Float]].collect()
       .map(v => normalize(v.map(_.toDouble)))
     require(sample.length >= nlist, s"need >= $nlist vectors to train")
@@ -109,6 +114,7 @@ object Ann {
       .select(col(idCol),
         round(expr(s"graft_cosine(`$vecCol`, q_vec)"), 6).as("cos"),
         col("list_id"))
+      .filter(!isnan(col("cos")))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -119,17 +125,18 @@ object Ann {
     * on planes/probe width, asserted against brute force in specs.
     */
   def knnJoin(embs: DataFrame, idCol: String, vecCol: String, k: Int,
-              planes: Int = 8, dims: Int = 64): DataFrame = {
+              planes: Int = 8): DataFrame = {
     GraftExtensions.ensureRegistered(embs.sparkSession)
     val bucketed = embs
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", V.srpBucket(col("vec"), planes, dims))
+      .withColumn("bucket", V.srpBucket(col("vec"), planes))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("v_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("v_b"))
     val scored = a.join(b, Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(expr("graft_cosine(v_a, v_b)"), 6).as("cos"))
+      .filter(!isnan(col("cos")))
       // a pair can collide in at most one bucket value (bucket is a
       // function of the vector), so no dedup needed
     val w = Window.partitionBy(col("id_a"))

@@ -37,6 +37,11 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
            rightPayload: Seq[String], rightTiebreak: String): DataFrame = {
+    require(right.schema(rightTiebreak).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"rightTiebreak '$rightTiebreak' must be numeric " +
+        s"(got ${right.schema(rightTiebreak).dataType.simpleString}); " +
+        "a silent cast would null it and make tie resolution nondeterministic")
     val leftCols = left.columns.toSeq
     val payloadType = StructType(rightPayload.map(c => right.schema(c)))
 
@@ -47,6 +52,10 @@ object AsOfJoin {
       .withColumn("__r", lit(null).cast(payloadType))
     val rAligned = leftCols.foldLeft(
       right
+        // equi-join semantics: a null key matches nothing, so null-
+        // key right rows can never contribute payload (left null-key
+        // rows still come through with a null payload)
+        .filter(col(key).isNotNull)
         .withColumn("__t", col(rightTime))
         .withColumn("__right", lit(1))
         .withColumn("__tb", col(rightTiebreak).cast("long"))

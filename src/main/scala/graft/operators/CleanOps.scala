@@ -31,19 +31,18 @@ object CleanOps {
     * `name_<position>`.
     */
   def dedupeColumnNames(df: DataFrame): DataFrame = {
-    val used = scala.collection.mutable.HashSet.empty[String]
+    // pre-seed with every original name: a duplicate's generated
+    // suffix must never steal the name of a later real column
+    // (a, a, a_1 must NOT rename the second a to a_1)
+    val used = scala.collection.mutable.HashSet.from(df.columns)
+    val seen = scala.collection.mutable.HashSet.empty[String]
     val renamed = df.columns.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      val name =
-        if (used.add(c)) c
-        else {
-          // positional suffix like the reference, but guaranteed
-          // collision-free even when "<c>_<i>" already exists as a
-          // real column
-          var candidate = s"${c}_$i"
-          while (!used.add(candidate)) candidate += "_"
-          candidate
-        }
-      name
+      if (seen.add(c)) c
+      else {
+        var candidate = s"${c}_$i"
+        while (!used.add(candidate)) candidate += "_"
+        candidate
+      }
     }
     df.toDF(renamed: _*)
   }
@@ -99,14 +98,16 @@ object CleanOps {
       length(col(textCol)) > 0 && length(col(textCol)) <= maxChars)
 
   /** The composed ingest pipeline: clean names -> dedupe names ->
-    * coerce types -> drop empty rows -> stamp metadata. Mirrors the
-    * reference's process_dataframe/process_excel_to_postgres flow
-    * end-to-end.
+    * drop empty rows -> coerce types -> stamp metadata. Mirrors the
+    * reference's flow order (enhanced_tasks.py drops empties at :99
+    * BEFORE perform_etl_transformations coerces at :157): dropping
+    * AFTER coercion would also delete rows whose checked columns held
+    * unparseable-but-present strings.
     */
   def ingestPipeline(df: DataFrame, sourceName: String, batchId: String,
                      emptyCheckCols: Seq[String] = Nil): DataFrame =
     addMetadata(
-      dropEmptyRows(coerceByName(dedupeColumnNames(cleanColumnNames(df))),
-        emptyCheckCols.map(cleanName)),
+      coerceByName(dropEmptyRows(dedupeColumnNames(cleanColumnNames(df)),
+        emptyCheckCols.map(cleanName))),
       sourceName, batchId)
 }

@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on normalized-content fingerprint: keep the lowest
-    * id per group, count the copies.
+    * id per group, count the copies. Null-text docs are excluded —
+    * grouping them would report distinct records as copies of each
+    * other (and a dedup-and-drop consumer would delete them).
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("doc_id_kept"), count(lit(1)).as("n_copies"))
 
@@ -37,15 +40,26 @@ object Dedup {
     */
   /** Spread compute-heavy per-row work across all cores: a small
     * input (one parquet file) otherwise yields one task and the
-    * shingle/hash pipeline runs single-threaded. The shuffled bytes
-    * are just the raw rows — negligible next to the per-row compute.
+    * shingle/hash pipeline runs single-threaded. Only widens — a
+    * large input that already has more partitions than cores is left
+    * alone (shrinking it would shuffle the whole corpus and lose
+    * parallelism).
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** LSH dedup only makes sense on non-empty text: empty/null docs
+    * all share one degenerate signature and would pair O(n²) (use
+    * [[exact]] / validation gates for those).
+    */
+  private def nonEmptyText(df: DataFrame, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
 
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         perms: Int, shingleSize: Int): DataFrame = {
-    val exploded = spread(docs).select(col(idCol).as("id"),
+    val exploded = spread(nonEmptyText(docs, textCol)).select(col(idCol).as("id"),
         explode(T.shingles(col(textCol), shingleSize)).as("sh"))
       // hash the shingle string ONCE; the k permutation hashes then
       // re-hash that fixed-width long (k string hashes -> 1; the
@@ -88,7 +102,7 @@ object Dedup {
     * +-1 sums in one hash-aggregate, pack the sign vector.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = spread(docs).select(col(idCol).as("id"),
+    val exploded = spread(nonEmptyText(docs, textCol)).select(col(idCol).as("id"),
         explode(T.words(col(textCol))).as("w"))
       .select(col("id"), xxhash64(col("w")).as("h"))
     val aggs = (0 until 64).map { j =>
@@ -134,7 +148,7 @@ object Dedup {
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
                     idCol: String, textCol: String,
                     shingleSize: Int = 3): DataFrame = {
-    val sets = spread(docs).select(col(idCol).as("id"),
+    val sets = spread(nonEmptyText(docs, textCol)).select(col(idCol).as("id"),
       T.shingles(col(textCol), shingleSize).as("sh"))
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

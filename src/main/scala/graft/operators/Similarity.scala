@@ -33,6 +33,9 @@ object Similarity {
     val joined = embs.crossJoin(broadcast(q))
     joined
       .select(col(idCol), round(cosineFast(joined, vecCol, "q_vec"), 6).as("cos"))
+      // zero-norm vectors give NaN, which Spark sorts ABOVE all
+      // reals descending — drop them or they'd squat in the top-k
+      .filter(!isnan(col("cos")))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -44,15 +47,16 @@ object Similarity {
     * `planes` to trade cost for recall.
     */
   def lshTopK(embs: DataFrame, query: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 12, dims: Int = 64,
+              vecCol: String, k: Int, planes: Int = 12,
               maxBitDiff: Int = 2): DataFrame = {
-    val bucketed = embs.withColumn("bucket", V.srpBucket(col(vecCol), planes, dims))
+    val bucketed = embs.withColumn("bucket", V.srpBucket(col(vecCol), planes))
     val q = query.select(col(vecCol).as("q_vec"),
-      V.srpBucket(col(vecCol), planes, dims).as("q_bucket"))
+      V.srpBucket(col(vecCol), planes).as("q_bucket"))
     val joined = bucketed.crossJoin(broadcast(q))
       .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= maxBitDiff)
     joined
       .select(col(idCol), round(cosineFast(joined, vecCol, "q_vec"), 6).as("cos"))
+      .filter(!isnan(col("cos")))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -76,7 +76,7 @@ object DedupQueries {
         |SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies
         |FROM (SELECT doc_id,
         |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-        |      FROM corpus)
+        |      FROM corpus WHERE text IS NOT NULL)
         |GROUP BY fp ORDER BY doc_id_kept""".stripMargin,
 
     "dedup_embedding" ->

@@ -18,11 +18,12 @@ class CleanOpsSpec extends SparkSpec {
     assert(CleanOps.dedupeColumnNames(df).columns.toSeq == Seq("k", "name", "name_2"))
   }
 
-  test("dedupeColumnNames never collides with existing columns") {
+  test("dedupeColumnNames never collides with or steals existing names") {
     val df = Seq((1, 2, 3)).toDF("a", "a", "a_1")
     val out = CleanOps.dedupeColumnNames(df).columns.toSeq
     assert(out.distinct == out, s"still duplicated: $out")
-    assert(out == Seq("a", "a_1", "a_1_2"))
+    // the real a_1 column keeps its name; the duplicate gets a fresh one
+    assert(out == Seq("a", "a_1_", "a_1"))
   }
 
   test("dropEmptyRows keeps rows with any non-null checked column") {

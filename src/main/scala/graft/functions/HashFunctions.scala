@@ -14,14 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** MinHash signature over a string-array column: for each of
-    * `perms` salted hash functions, the minimum hash over the set
-    * elements. Returns array<long> of length `perms`.
-    */
-  def minhashSignature(set: Column, perms: Int): Column =
-    transform(sequence(lit(0), lit(perms - 1)),
-      i => array_min(transform(set, x => xxhash64(i, x))))
-
   /** LSH band buckets for a MinHash signature: hash of each
     * contiguous `rowsPerBand`-slice. Returns array<struct<band:int,
     * bucket:bigint>> ready to explode + shuffle on.
@@ -39,20 +31,11 @@ object HashFunctions {
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
       .cast("double") / lit(perms.toDouble)
 
-  /** 64-bit SimHash over a token-array column: per bit j, sum +-1
-    * over token hashes' j-th bit, then pack the sign vector. Near-
-    * duplicate texts differ in few bits (small hamming distance).
-    */
-  def simhash64(tokens: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(63)), j => {
-        val bitSum = aggregate(tokens, lit(0),
-          (acc, w) => acc +
-            when(call_function("shiftright", xxhash64(w), j.cast("int")).bitwiseAND(lit(1L)) === 1L, 1)
-              .otherwise(-1))
-        when(bitSum > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  // NOTE: signature COMPUTATION lives in Dedup.minhashSignatures /
+  // simhashSignatures (explode + wide-aggregate shape). The nested-
+  // lambda column formulations that used to live here re-evaluated
+  // the token expression per permutation, fell out of whole-stage
+  // codegen, and were ~1000x slower — don't resurrect them.
 
   /** Hamming distance between two packed 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -68,10 +51,10 @@ object HashFunctions {
         b.cast("int").as("band"),
         call_function("shiftright", sig, b.cast("int") * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
 
-  /** Rolling polynomial fingerprint of a token array (base-31 mod
-    * 2^61-1), a cheap order-sensitive document fingerprint.
+  /** Rolling (order-sensitive) document fingerprint: left fold
+    * chaining xxhash64(acc, token). Overflow-free — a polynomial
+    * accumulator would trip ANSI-mode ARITHMETIC_OVERFLOW.
     */
   def rollingFingerprint(tokens: Column): Column =
-    aggregate(tokens, lit(0L),
-      (acc, w) => pmod(acc * lit(1000003L) + xxhash64(w), lit(2305843009213693951L)))
+    aggregate(tokens, lit(0L), (acc, w) => xxhash64(acc, w))
 }

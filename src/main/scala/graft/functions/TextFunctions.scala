@@ -20,9 +20,13 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  /** Whitespace token count. */
+  /** Whitespace token count; 0 for empty/whitespace-only text
+    * (split of an empty string yields [""], which would otherwise
+    * count as one phantom token).
+    */
   def tokenCount(c: Column): Column =
-    size(split(trim(c), "\\s+"))
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
 
   /** Cheap BPE-ish token estimate: chars/4, the standard rule of
     * thumb, as a bigint ceil.

@@ -23,10 +23,14 @@ object VectorFunctions {
     arraySum(transform(a, x => x.cast("double") * x.cast("double")))
 
   /** Cosine similarity, shaped as dot / sqrt(na * nb) to mirror
-    * DuckDB's list_cosine_similarity evaluation exactly.
+    * DuckDB's list_cosine_similarity evaluation exactly. Zero-norm
+    * inputs yield NaN (matching graft_cosine) — a bare division
+    * would abort the whole query under ANSI mode's DIVIDE_BY_ZERO.
     */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(norm2(a) * norm2(b))
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(norm2(a) * norm2(b))
+    when(denom === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / denom)
+  }
 
   /** Deterministic ±1 pseudo-random weight for (plane, dim), derived
     * from xxhash64 — the moral equivalent of a seeded RNG but

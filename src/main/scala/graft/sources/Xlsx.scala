@@ -31,14 +31,16 @@ object Xlsx {
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content")
     import spark.implicits._
+    // header: first row of the lexicographically first file; only
+    // that one row is parsed (maxRows short-circuits the StAX loop)
+    val header = files.orderBy("path")
+      .as[(String, Array[Byte])].take(1).toSeq
+      .flatMap { case (_, bytes) =>
+        parseSheetRows(new ByteArrayInputStream(bytes), maxRows = 1).toSeq
+      }.headOption.getOrElse(Seq.empty)
+    if (header.isEmpty) return spark.emptyDataFrame
     val rowsDs = files.as[(String, Array[Byte])].flatMap { case (_, bytes) =>
       parseSheetRows(new ByteArrayInputStream(bytes)).drop(1)
-    }
-    val header = {
-      val first = spark.read.format("binaryFile").load(path)
-        .select("path", "content").orderBy("path")
-        .as[(String, Array[Byte])].head()
-      parseSheetRows(new ByteArrayInputStream(first._2)).next()
     }
     val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
     val width = header.length
@@ -49,7 +51,8 @@ object Xlsx {
   }
 
   /** Iterate sheet1 rows as cell-string sequences (A1 gaps -> null). */
-  def parseSheetRows(in: InputStream): Iterator[Seq[String]] = {
+  def parseSheetRows(in: InputStream,
+                     maxRows: Int = Int.MaxValue): Iterator[Seq[String]] = {
     val zin = new ZipInputStream(in)
     var shared = Vector.empty[String]
     var sheetXml: Array[Byte] = null
@@ -66,7 +69,7 @@ object Xlsx {
     zin.close()
     if (sharedXml != null) shared = parseSharedStrings(sharedXml)
     if (sheetXml == null) Iterator.empty
-    else parseSheet(sheetXml, shared).iterator
+    else parseSheet(sheetXml, shared, maxRows).iterator
   }
 
   private def newReader(bytes: Array[Byte]) = {
@@ -105,14 +108,15 @@ object Xlsx {
     acc - 1
   }
 
-  private def parseSheet(bytes: Array[Byte], shared: Vector[String]): Seq[Seq[String]] = {
+  private def parseSheet(bytes: Array[Byte], shared: Vector[String],
+                         maxRows: Int = Int.MaxValue): Seq[Seq[String]] = {
     val r = newReader(bytes)
     val rows = ArrayBuffer.empty[Seq[String]]
     var row: ArrayBuffer[String] = null
     var cellType = ""
     var cellCol = 0
     var inIs = false
-    while (r.hasNext) {
+    while (r.hasNext && rows.length < maxRows) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
           case "row" => row = ArrayBuffer.empty[String]
@@ -127,7 +131,13 @@ object Xlsx {
               val text = r.getElementText
               val value = if (cellType == "s") shared(text.trim.toInt) else text
               while (row.length < cellCol) row += null
-              if (row.length == cellCol) row += value else row(cellCol) = value
+              if (row.length == cellCol) row += value
+              else {
+                // inline rich-text cells carry one <t> per run —
+                // concatenate runs instead of keeping only the last
+                val existing = row(cellCol)
+                row(cellCol) = if (existing == null) value else existing + value
+              }
             }
           case _ =>
         }

@@ -21,7 +21,7 @@ object Sessionize {
   case class Event(userId: Long, ts: Timestamp)
   case class SessionState(start: Long, lastMs: Long, n: Long)
   case class Session(userId: Long, sessionStart: Timestamp,
-                     sessionEnd: Timestamp, nEvents: Long, closed: Boolean)
+                     sessionEnd: Timestamp, nEvents: Long)
 
   def sessions(spark: SparkSession, events: Dataset[Event],
                gapSeconds: Long = 1800,
@@ -38,7 +38,7 @@ object Sessionize {
             val s = state.get
             state.remove()
             Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.lastMs), s.n, closed = true))
+              new Timestamp(s.lastMs), s.n))
           } else {
             val sorted = it.toSeq.sortBy(_.ts.getTime)
             var open = state.getOption
@@ -47,10 +47,13 @@ object Sessionize {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                  // min-guard the start too: a late-but-within-
+                  // watermark event may precede the open session
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    lastMs = math.max(s.lastMs, t), n = s.n + 1))
                 case Some(s) =>
                   closedSessions += Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.lastMs), s.n, closed = true)
+                    new Timestamp(s.lastMs), s.n)
                   open = Some(SessionState(t, t, 1))
                 case None =>
                   open = Some(SessionState(t, t, 1))

@@ -12,8 +12,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Mapping of watcher semantics onto the engine:
   *  - NEW-file detection / the processed-files set -> the file
-  *    source's checkpointed file tracking (exactly-once, survives
-  *    restarts; the reference loses its set on restart);
+  *    source's checkpointed file tracking (each file enters the
+  *    stream once, surviving restarts; the reference loses its set
+  *    on restart). End-to-end effective-once delivery additionally
+  *    needs an idempotent sink — see [[routedSink]];
   *  - POLL_INTERVAL -> trigger interval;
   *  - per-file Celery task -> micro-batch; foreachBatch routes rows
   *    to per-table sinks the way PATTERN_TABLE_MAPPING routes files;
@@ -59,6 +61,13 @@ object StreamIngest {
   /** Route each micro-batch to per-table parquet sinks using the
     * watcher's pattern mapping; one `partitionBy` write replaces the
     * reference's per-file table dispatch.
+    *
+    * foreachBatch is at-least-once: a failure between the write and
+    * the checkpoint commit re-runs the batch. Writing each batch to
+    * its own `batch=<id>` directory with overwrite makes the retry
+    * idempotent (the replay clobbers the partial write instead of
+    * appending duplicates); readers see `batch` as just another
+    * partition column under `outDir`.
     */
   def routedSink(stream: DataFrame, pathCol: String, outDir: String,
                  checkpoint: String,
@@ -67,11 +76,11 @@ object StreamIngest {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         PatternRouter.route(batch, pathCol, mapping)
-          .write.mode("append")
+          .write.mode("overwrite")
           .partitionBy("target_table")
-          .parquet(outDir)
+          .parquet(s"$outDir/batch=$batchId")
       }
 
   /** Convenience: start + await a bounded (AvailableNow) run. */

@@ -18,14 +18,22 @@ object EtlQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** orders with reference-style dirty column names + stringly typed
-    * date/price columns, with a deterministic subset corrupted.
+    * date/price columns, with deterministic corruption tiers chosen
+    * so every pipeline gate is observable in the oracle diff:
+    * %97==0 -> both columns NULL (exercises dropEmptyRows);
+    * %100==0 -> both unparseable strings (rows that coerce to
+    * all-null — they distinguish drop-before-coerce from
+    * drop-after-coerce); %100==50 -> unparseable price only.
     */
   private def dirtyOrders(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(
       col("o_orderkey").as("Order Key!"),
-      when(col("o_orderkey") % 100 === 0, lit("not-a-date"))
+      when(col("o_orderkey") % 97 === 0, lit(null).cast("string"))
+        .when(col("o_orderkey") % 100 === 0, lit("not-a-date"))
         .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("Order-Date"),
-      when(col("o_orderkey") % 100 === 50, lit("N/A"))
+      when(col("o_orderkey") % 97 === 0, lit(null).cast("string"))
+        .when(col("o_orderkey") % 100 === 0 || col("o_orderkey") % 100 === 50,
+          lit("N/A"))
         .otherwise(concat((col("o_orderkey") % 9000).cast("string"), lit("."),
           lpad((col("o_orderkey") % 100).cast("string"), 2, "0")))
         .as("Total Price ($)"),
@@ -89,15 +97,13 @@ object EtlQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Path-substring -> table routing over synthetic drop-zone paths.
+    // Path-substring -> table routing over synthetic drop-zone paths
+    // (first-match-wins precedence exercised via routeFixture).
     "etl_pattern_route" -> ((s, d) => {
-      val mapping = Seq(
-        "src1" -> "dim_customers", "src2" -> "fact_sales",
-        "src3" -> "dim_products", "src4" -> "staging_reports")
       val withPath = Tables.documents(s, d).select(col("doc_id"),
         concat(lit("Z:\\drop\\"), col("source"), lit("\\file_"),
           col("doc_id").cast("string"), lit(".csv")).as("path"))
-      PatternRouter.route(withPath, "path", mapping)
+      PatternRouter.route(withPath, "path", routeFixture)
         .groupBy(col("target_table"))
         .agg(count(lit(1)).as("n_files"), min(col("doc_id")).as("min_doc"))
         .orderBy(col("target_table"))
@@ -107,9 +113,10 @@ object EtlQueries {
     "etl_quality_report" -> ((s, d) =>
       Quality.nullReport(holeyEvents(s, d), Seq("event_id", "u", "v"))),
 
-    // Row-level validation gates (non-empty, bounded size).
+    // Row-level validation gates (non-empty, bounded size; the bound
+    // sits inside the corpus length range so it actually cuts rows).
     "etl_validate" -> ((s, d) => {
-      CleanOps.validateRows(Tables.documents(s, d), "text", maxChars = 900)
+      CleanOps.validateRows(Tables.documents(s, d), "text", maxChars = 500)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_valid"), sum(col("n_chars")).cast("long").as("chars"))
         .orderBy(col("source"))
@@ -142,13 +149,37 @@ object EtlQueries {
   /** Shared SQL fragment mirroring [[dirtyOrders]] + clean names. */
   private val dirtyCleanSql =
     """SELECT o_orderkey AS order_key,
-      |  CASE WHEN o_orderkey % 100 = 0 THEN 'not-a-date'
+      |  CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |       WHEN o_orderkey % 100 = 0 THEN 'not-a-date'
       |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS order_date,
-      |  CASE WHEN o_orderkey % 100 = 50 THEN 'N/A'
+      |  CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |       WHEN o_orderkey % 100 = 0 OR o_orderkey % 100 = 50 THEN 'N/A'
       |       ELSE CAST(o_orderkey % 9000 AS VARCHAR) || '.' ||
       |            lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') END AS total_price,
       |  o_orderstatus AS status
       |FROM orders""".stripMargin
+
+  /** Routing fixture shared with SourceQueries.sink_parquet: the
+    * anchored "/src1/" beats the bare "src1" for src1 itself, while
+    * src10-19 fall through to the bare pattern — so first-match-wins
+    * precedence is exercised by real rows, not just documented.
+    */
+  private[queries] val routeFixture: Seq[(String, String)] = Seq(
+    "/src1/" -> "dim_customers",
+    "src1"   -> "overflow_numbers",
+    "/src2/" -> "fact_sales",
+    "/src3/" -> "dim_products",
+    "/src4/" -> "staging_reports")
+
+  /** DuckDB CASE mirroring [[PatternRouter.routeExpr]] over a
+    * lowercase forward-slash path SQL expression.
+    */
+  private[queries] def routeCaseSql(pathExpr: String): String = {
+    val whens = routeFixture.map { case (p, t) =>
+      s"WHEN contains($pathExpr, '$p') THEN '$t'"
+    }.mkString(" ")
+    s"CASE $whens END"
+  }
 
   val oracles: Map[String, String] = Map(
     "etl_clean_names" ->
@@ -181,16 +212,12 @@ object EtlQueries {
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
 
     "etl_pattern_route" ->
-      """SELECT target_table, count(*) AS n_files, min(doc_id) AS min_doc
-        |FROM (SELECT doc_id,
-        |        CASE WHEN contains(lower('Z:/drop/' || source || '/file_' || doc_id || '.csv'), 'src1') THEN 'dim_customers'
-        |             WHEN contains(lower('Z:/drop/' || source || '/file_' || doc_id || '.csv'), 'src2') THEN 'fact_sales'
-        |             WHEN contains(lower('Z:/drop/' || source || '/file_' || doc_id || '.csv'), 'src3') THEN 'dim_products'
-        |             WHEN contains(lower('Z:/drop/' || source || '/file_' || doc_id || '.csv'), 'src4') THEN 'staging_reports'
-        |        END AS target_table
-        |      FROM documents)
-        |WHERE target_table IS NOT NULL
-        |GROUP BY target_table ORDER BY target_table""".stripMargin,
+      s"""SELECT target_table, count(*) AS n_files, min(doc_id) AS min_doc
+         |FROM (SELECT doc_id,
+         |        ${routeCaseSql("lower('Z:/drop/' || source || '/file_' || doc_id || '.csv')")} AS target_table
+         |      FROM documents)
+         |WHERE target_table IS NOT NULL
+         |GROUP BY target_table ORDER BY target_table""".stripMargin,
 
     "etl_quality_report" ->
       """SELECT count(*) AS n_rows,
@@ -203,7 +230,7 @@ object EtlQueries {
       """SELECT source, count(*) AS n_valid,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents
-        |WHERE text IS NOT NULL AND length(text) > 0 AND length(text) <= 900
+        |WHERE text IS NOT NULL AND length(text) > 0 AND length(text) <= 500
         |GROUP BY source ORDER BY source""".stripMargin,
 
     "etl_processing_stats" ->

@@ -19,8 +19,21 @@ import org.apache.spark.sql.types._
 object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Bounded scratch space: one fixed directory per round-trip query,
+    * wiped on entry — repeated Verify/Bench runs reuse it instead of
+    * leaking a fresh temp copy of the data every invocation.
+    */
+  private def tmp(prefix: String): String = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_roundtrip", prefix)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(root)
+    root.toString
+  }
 
   val queries: Map[String, Q] = Map(
     // parquet -> csv -> parquet round trip with explicit schema on
@@ -91,16 +104,14 @@ object SourceQueries {
     }),
 
     // Routed partitioned parquet sink: write docs partitioned by
-    // routed target table, read back, summarize.
+    // routed target table, read back, summarize (shared fixture with
+    // etl_pattern_route so the mappings can't drift apart).
     "sink_parquet" -> ((s, d) => {
       val dir = tmp("graft_sink")
-      val mapping = Seq(
-        "src1" -> "dim_customers", "src2" -> "fact_sales",
-        "src3" -> "dim_products", "src4" -> "staging_reports")
       val withPath = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
         concat(lit("/drop/"), col("source"), lit("/f_"),
           col("doc_id").cast("string"), lit(".csv")).as("path"))
-      Sinks.parquet(PatternRouter.route(withPath, "path", mapping)
+      Sinks.parquet(PatternRouter.route(withPath, "path", EtlQueries.routeFixture)
           .select(col("doc_id"), col("n_chars"), col("target_table")),
         dir, ifExists = "replace", partitionBy = Seq("target_table"))
       Sources.parquet(s, dir)
@@ -160,15 +171,11 @@ object SourceQueries {
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "sink_parquet" ->
-      """SELECT target_table, count(*) AS n,
-        |  CAST(sum(n_chars) AS BIGINT) AS chars
-        |FROM (SELECT doc_id, n_chars,
-        |        CASE WHEN contains(source, 'src1') THEN 'dim_customers'
-        |             WHEN contains(source, 'src2') THEN 'fact_sales'
-        |             WHEN contains(source, 'src3') THEN 'dim_products'
-        |             WHEN contains(source, 'src4') THEN 'staging_reports'
-        |        END AS target_table
-        |      FROM documents)
-        |WHERE target_table IS NOT NULL
-        |GROUP BY target_table ORDER BY target_table""".stripMargin)
+      s"""SELECT target_table, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM (SELECT doc_id, n_chars,
+         |        ${EtlQueries.routeCaseSql("lower('/drop/' || source || '/f_' || doc_id || '.csv')")} AS target_table
+         |      FROM documents)
+         |WHERE target_table IS NOT NULL
+         |GROUP BY target_table ORDER BY target_table""".stripMargin)
 }

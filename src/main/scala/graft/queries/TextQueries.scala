@@ -53,9 +53,16 @@ object TextQueries {
     // quality gate -> language id -> per-language corpus stats.
     // Row-local ops end-to-end until the two aggregations (dedup
     // groupBy on the fingerprint, final tiny groupBy on language).
+    // Thresholds are set where they CUT rows on this corpus (length
+    // p90 ~484, quality range 0.67-0.95) and duplicates are planted,
+    // so the oracle actually verifies every stage — a gate nothing
+    // ever fails is a gate the oracle can't see break.
     "pipeline_training_data" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val validated = graft.operators.CleanOps.validateRows(docs, "text", maxChars = 2000)
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = base.union(
+        Tables.documents(s, d).filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val validated = graft.operators.CleanOps.validateRows(docs, "text", maxChars = 500)
       val deduped = validated
         .withColumn("fp", fingerprint(col("text")))
         .withColumn("rk", row_number().over(
@@ -64,7 +71,7 @@ object TextQueries {
         .filter(col("rk") === 1)
       deduped
         .withColumn("quality", qualityScore(col("text")))
-        .filter(col("quality") >= 0.5)
+        .filter(col("quality") >= 0.75)
         .withColumn("detected_lang", langId(col("text")))
         .groupBy(col("detected_lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -87,6 +94,13 @@ object TextQueries {
 
   /** SQL mirror of TextFunctions.normalizeText. */
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** SQL mirror of TextFunctions.tokenCount incl. the empty-text
+    * guard (split of '' yields one phantom token in both engines).
+    */
+  private val tokSql =
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
 
   /** SQL mirror of langScore: word-anchored stopword membership
     * count over the normalized word list.
@@ -122,10 +136,15 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_training_data" ->
-      s"""WITH validated AS (
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+         |  WHERE doc_id < 50),
+         |validated AS (
          |  SELECT doc_id, text, $normSql AS n
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND length(text) > 0 AND length(text) <= 2000),
+         |  FROM corpus
+         |  WHERE text IS NOT NULL AND length(text) > 0 AND length(text) <= 500),
          |deduped AS (
          |  SELECT doc_id, text, n FROM (
          |    SELECT doc_id, text, n,
@@ -136,30 +155,21 @@ object TextQueries {
          |  SELECT text, n, ${qualitySql("n")} AS q FROM deduped)
          |SELECT $langCaseSql AS detected_lang,
          |  count(*) AS n_docs,
-         |  CAST(sum(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
+         |  CAST(sum($tokSql) AS BIGINT) AS total_tokens,
          |  CAST(sum(CAST(floor(q * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_quality_e4
-         |FROM scored WHERE q >= 0.5
+         |FROM scored WHERE q >= 0.75
          |GROUP BY 1 ORDER BY detected_lang""".stripMargin,
     "text_token_count" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe,
-        |  CAST(length(text) AS BIGINT) AS n_chars_actual
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  $tokSql AS n_tokens,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,
-         |  floor((
-         |    least(length(n) / 500.0, 1.0) * 0.3 +
-         |    (length(regexp_replace(n, '[^a-z]', '', 'g')) /
-         |       greatest(length(n), 1)) * 0.3 +
-         |    (1.0 - least(length(regexp_replace(n, '[^0-9]', '', 'g')) /
-         |       greatest(length(n), 1) * 4.0, 1.0)) * 0.2 +
-         |    (CASE WHEN length(n) / greatest(len(string_split(n, ' ')), 1)
-         |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
-         |    ) * 10000.0 + 0.5) / 10000.0
-         |    AS quality,
-         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
+         |  ${qualitySql("n")} AS quality,
+         |  $tokSql AS n_words
          |FROM (SELECT doc_id, text, $normSql AS n FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
@@ -179,7 +189,7 @@ object TextQueries {
          |      len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
          |                         for i in range(1, len(w) - 1)]))
          |    ELSE 1 END AS BIGINT) AS n_shingles,
-         |  CAST(len(w) AS BIGINT) AS n_words
-         |FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents)
+         |  $tokSql AS n_words
+         |FROM (SELECT doc_id, text, string_split($normSql, ' ') AS w FROM documents)
          |ORDER BY doc_id""".stripMargin)
 }

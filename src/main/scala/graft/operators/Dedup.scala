@@ -148,8 +148,15 @@ object Dedup {
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
                     idCol: String, textCol: String,
                     shingleSize: Int = 3): DataFrame = {
+    // cache the shingle sets: they are joined twice (id_a and id_b
+    // sides) and the shingle computation is the expensive part —
+    // without the cache both joins recompute the full text pass
+    // MEMORY_AND_DISK with LRU eviction: the sets frame is one array
+    // column per doc — bounded, and evicted under pressure. An eager
+    // unpersist here would fire at plan-BUILD time (the result is
+    // lazy) and defeat the cache.
     val sets = spread(nonEmptyText(docs, textCol)).select(col(idCol).as("id"),
-      T.shingles(col(textCol), shingleSize).as("sh"))
+      T.shingles(col(textCol), shingleSize).as("sh")).persist()
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

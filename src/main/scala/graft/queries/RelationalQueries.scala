@@ -171,6 +171,18 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Exact interpolated percentiles per group (Spark `percentile`
+    // == DuckDB quantile_cont).
+    "agg_percentile" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy(col("event_type"))
+    }),
+
     // HLL sketch vs exact — estimates are engine-specific, so this is
     // a rows-only operator (no SQL oracle).
     "agg_approx" -> ((s, d) => {
@@ -322,6 +334,13 @@ object RelationalQueries {
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_distinct" ->
       """SELECT l_returnflag,

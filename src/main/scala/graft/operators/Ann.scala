@@ -24,13 +24,20 @@ object Ann {
                      iters: Int = 10, sampleLimit: Int = 100000): Array[Array[Double]] = {
     val spark = embs.sparkSession
     import spark.implicits._
-    // deterministic hash-ordered sample: a bare limit() takes a
-    // partition prefix, which biases centroids badly when the data
-    // is laid out by source/date (the normal layout)
+    // Deterministic hash-mod sample: a bare limit() takes a partition
+    // prefix, which biases centroids badly when the data is laid out
+    // by source/date (the normal layout) — but the previous fix
+    // (orderBy(xxhash64).limit) was a GLOBAL SORT of the full corpus
+    // just to draw a sample. keep-if-hash%mod==0 selects the same rows
+    // regardless of partitioning at pure scan cost, no shuffle. The
+    // count() is metadata-only on parquet. Collected rows are sorted
+    // locally (100k items) so downstream init is layout-independent.
+    val total = embs.count()
+    val mod = math.max(1L, total / sampleLimit)
     val sample = embs.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol)))
-      .limit(sampleLimit)
+      .filter(pmod(xxhash64(col(vecCol)), lit(mod)) === 0)
       .as[Array[Float]].collect()
+      .sortBy(v => (java.util.Arrays.hashCode(v), v.mkString(",")))
       .map(v => normalize(v.map(_.toDouble)))
     require(sample.length >= nlist, s"need >= $nlist vectors to train")
     // deterministic init: evenly spaced sample points

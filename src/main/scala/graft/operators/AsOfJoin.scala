@@ -48,7 +48,7 @@ object AsOfJoin {
     val lAligned = left
       .withColumn("__t", col(leftTime))
       .withColumn("__right", lit(0))
-      .withColumn("__tb", lit(null).cast("long"))
+      .withColumn("__tb", lit(null).cast("double"))
       .withColumn("__r", lit(null).cast(payloadType))
     val rAligned = leftCols.foldLeft(
       right
@@ -58,7 +58,10 @@ object AsOfJoin {
         .filter(col(key).isNotNull)
         .withColumn("__t", col(rightTime))
         .withColumn("__right", lit(1))
-        .withColumn("__tb", col(rightTiebreak).cast("long"))
+        // double, not long: a long cast would truncate fractional
+        // tiebreak values (1.7 and 1.3 both -> 1) and reintroduce the
+        // nondeterminism the require() above guards against
+        .withColumn("__tb", col(rightTiebreak).cast("double"))
         .withColumn("__r", struct(rightPayload.map(col): _*))
         .select((Seq("__t", "__right", "__tb", "__r", key)).map(col): _*)) {
       (df, c) =>

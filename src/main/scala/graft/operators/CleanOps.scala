@@ -27,17 +27,19 @@ object CleanOps {
     df.toDF(df.columns.toIndexedSeq.map(cleanName): _*)
 
   /** Disambiguate duplicate column names with positional suffixes,
-    * mirroring dataframe_tasks.py:60-62: later duplicates become
-    * `name_<position>`.
+    * mirroring dataframe_tasks.py:60-62 exactly: EVERY occurrence of a
+    * duplicated name at position > 0 becomes `name_<position>` — so
+    * [x, a, a] -> [x, a_1, a_2] (the reference's list comprehension
+    * renames by global index, keeping a name unchanged only at index 0
+    * or when it is unique). One deliberate divergence: if a generated
+    * suffix collides with a real column (a, a, a_1), we append '_'
+    * until free — the reference would silently produce a new duplicate.
     */
   def dedupeColumnNames(df: DataFrame): DataFrame = {
-    // pre-seed with every original name: a duplicate's generated
-    // suffix must never steal the name of a later real column
-    // (a, a, a_1 must NOT rename the second a to a_1)
+    val counts = df.columns.groupBy(identity).view.mapValues(_.length).toMap
     val used = scala.collection.mutable.HashSet.from(df.columns)
-    val seen = scala.collection.mutable.HashSet.empty[String]
     val renamed = df.columns.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      if (seen.add(c)) c
+      if (i == 0 || counts(c) == 1) c
       else {
         var candidate = s"${c}_$i"
         while (!used.add(candidate)) candidate += "_"

@@ -46,8 +46,15 @@ object Dedup {
     * parallelism).
     */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // plan-time stats instead of df.rdd.getNumPartitions — touching
+    // .rdd materializes the RDD lineage per call. An input bigger than
+    // target * maxPartitionBytes already yields >= target scan
+    // partitions, so only small inputs get the widening shuffle.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perPartition = spark.sessionState.conf.filesMaxPartitionBytes
+    if (bytes > BigInt(perPartition) * target) df else df.repartition(target)
   }
 
   /** LSH dedup only makes sense on non-empty text: empty/null docs

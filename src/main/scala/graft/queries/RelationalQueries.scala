@@ -89,10 +89,15 @@ object RelationalQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
-    // Customers with no orders at all: left-anti join.
+    // Customers with no URGENT orders: left-anti join. The filter on
+    // the right side is what makes this verifiable — every customer in
+    // the testdata has SOME order, so anti-joining the full orders
+    // table yields 0 rows at every SF and the oracle would "pass" on
+    // an empty frame without observing the anti semantics at all.
     "join_anti" -> ((s, d) => {
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_nationkey"))
@@ -290,7 +295,8 @@ object RelationalQueries {
     "join_anti" ->
       """SELECT c_nationkey, count(*) AS n_customers
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "join_outer" ->

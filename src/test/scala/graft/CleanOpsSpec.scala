@@ -14,8 +14,10 @@ class CleanOpsSpec extends SparkSpec {
   }
 
   test("dedupeColumnNames suffixes later duplicates positionally") {
+    // reference (dataframe_tasks.py:60-62) renames EVERY occurrence of a
+    // duplicated name at global index > 0, not just the later copies
     val df = Seq((1, "a", 2)).toDF("k", "name", "name")
-    assert(CleanOps.dedupeColumnNames(df).columns.toSeq == Seq("k", "name", "name_2"))
+    assert(CleanOps.dedupeColumnNames(df).columns.toSeq == Seq("k", "name_1", "name_2"))
   }
 
   test("dedupeColumnNames never collides with or steals existing names") {

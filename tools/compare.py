@@ -35,7 +35,20 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # every query Verify attempted must have produced an output dir —
+    # a query that throws in Verify writes nothing, and iterating only
+    # over existing dirs would silently drop it from the gate
+    roster_path = os.path.join(out_dir, "queries.json")
+    expected = set(json.load(open(roster_path))) if os.path.exists(roster_path) \
+        else set(oracles)
+    present = {n for n in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, n))}
     n_pass = n_fail = n_rows_only = 0
+    for name in sorted(expected - present):
+        if only and name not in only:
+            continue
+        print(f"FAIL {name}: no spark output (query crashed in Verify?)")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):

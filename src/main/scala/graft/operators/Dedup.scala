@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.plans.GraftExtensions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -187,6 +188,61 @@ object Dedup {
     * prune with srpBucket LSH candidates first (same shape as
     * minhashPairs) instead of all pairs.
     */
+  /** Scale-safe embedding near-dup pairs: banded SRP-LSH candidates +
+    * exact cosine verify — the 100 TB shape ([[minhashPairs]] →
+    * [[jaccardVerify]] for vectors). No driver collect anywhere:
+    * bucket ids are computed row-local by the codegen'd
+    * [[graft.plans.SrpBuckets]] expression, candidates come from ONE
+    * shuffle on (table, bucket), and the verify joins vectors back by
+    * id (candidate side is small after LSH).
+    *
+    * Recall tuning: a pair at cosine c collides in one table with
+    * probability p^planes, p = 1 - acos(c)/π; `tables` is derived so a
+    * pair AT the threshold is caught with >= targetRecall (capped at
+    * 64 — a threshold too low for that cap fails fast rather than
+    * silently under-recalling). Higher-cosine pairs — the ones a
+    * dedup actually drops — are caught with higher probability.
+    * `planes` is the selectivity knob: at larger corpus sizes raise it
+    * (buckets per table ~ 2^planes) and let the table count follow.
+    * Output is a subset of [[embeddingPairs]] (verify is exact), so
+    * precision is 1.0 by construction.
+    */
+  def embeddingPairsLsh(embs: DataFrame, idCol: String, vecCol: String,
+                        minCosine: Double, targetRecall: Double = 0.98,
+                        planes: Int = 8): DataFrame = {
+    require(minCosine > -1.0 && minCosine < 1.0, "minCosine must be in (-1, 1)")
+    val spark = embs.sparkSession
+    GraftExtensions.ensureRegistered(spark)
+    val p = 1.0 - math.acos(minCosine) / math.Pi
+    val pBand = math.pow(p, planes)
+    val tables = math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt
+    require(tables >= 1 && tables <= 64,
+      s"recall $targetRecall at cosine $minCosine needs $tables tables " +
+        s"with $planes planes; lower `planes` or the recall target")
+    val base = spread(embs.filter(col(vecCol).isNotNull))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      // joined three times (bucketing + both verify sides); same
+      // persist rationale as jaccardVerify's shingle sets
+      .persist()
+    val bucketed = base.select(col("id"),
+      posexplode(expr(s"graft_srp_buckets(vec, $planes, $tables)"))
+        .as(Seq("t", "bucket")))
+    val a = bucketed.select(col("t"), col("bucket"), col("id").as("id_a"))
+    val b = bucketed.select(col("t"), col("bucket"), col("id").as("id_b"))
+    val cands = a.join(b, Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      // dedup pairs BEFORE fetching vectors: the distinct shuffles two
+      // longs per row, not two embeddings
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("vec").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("graft_cosine(v_a, v_b)"), 6).as("cos"))
+      .filter(!isnan(col("cos")) && col("cos") >= minCosine)
+  }
+
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double): DataFrame = {
     val spark = embs.sparkSession

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session extension registering graft's native expressions so they
   * are callable from SQL / `expr(...)`:
@@ -22,10 +23,20 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
   val functions: Seq[FunctionDescription] = Seq(
     (new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (new FunctionIdentifier("graft_srp_buckets"),
+      new ExpressionInfo(classOf[SrpBuckets].getName, "graft_srp_buckets"),
+      (children: Seq[Expression]) => SrpBuckets(children(0),
+        intLit(children(1), "planes"), intLit(children(2), "tables"))))
 
   /** Register into an existing session (no-op if already present). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -60,10 +60,23 @@ object DedupQueries {
     }),
 
     // Embedding-cosine near-dup pairs (exact; threshold on rounded
-    // cosine; see Dedup.embeddingPairs for the 100 TB shape).
+    // cosine). Oracle-checkable correctness baseline — the driver
+    // collect makes it single-node-bounded; dedup_embedding_lsh below
+    // is the shipped 100 TB shape.
     "dedup_embedding" -> ((s, d) => {
       Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           minCosine = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Scale path: banded SRP-LSH candidates + exact cosine verify —
+    // no driver collect, one shuffle on (table, bucket). Approximate
+    // (recall target 0.98; measured 0.983 on sf0.01 in DedupSpec), so
+    // rows-only like the other LSH families; precision is 1.0 by
+    // construction (output ⊆ dedup_embedding).
+    "dedup_embedding_lsh" -> ((s, d) => {
+      Dedup.embeddingPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+          minCosine = 0.4, targetRecall = 0.98, planes = 4)
         .orderBy(col("id_a"), col("id_b"))
     }))
 

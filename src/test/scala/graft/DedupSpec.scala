@@ -1,5 +1,6 @@
 package graft
 
+import graft.Tables
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 
@@ -60,6 +61,20 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 4L)) == 1.0)
     assert(out((1L, 2L)) > 0.7 && out((1L, 2L)) < 1.0)
     assert(out((1L, 3L)) < 0.1)
+  }
+
+  test("embeddingPairsLsh: recall >= 0.95 vs exact pairs on sf0.01, precision 1.0") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingPairs(embs, "vec_id", "embedding", minCosine = 0.4))
+    val lsh = pairs(Dedup.embeddingPairsLsh(embs, "vec_id", "embedding",
+      minCosine = 0.4, targetRecall = 0.98, planes = 4))
+    assert(exact.nonEmpty, "exact baseline must be non-empty for recall to mean anything")
+    assert((lsh -- exact).isEmpty, s"verify is exact, so no false positives: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    info(s"recall $recall (${lsh.size}/${exact.size})")
+    assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size}, missed ${exact -- lsh})")
   }
 
   test("embedding pairs pass threshold on rounded cosine") {

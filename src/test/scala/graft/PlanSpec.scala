@@ -74,6 +74,22 @@ class PlanSpec extends SparkSpec {
       s"band join degenerated to a product:\n$plan")
   }
 
+  test("embeddingPairsLsh plan is distributed: no cartesian, no driver-side data") {
+    val df = graft.operators.Dedup.embeddingPairsLsh(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding",
+      minCosine = 0.4, targetRecall = 0.98, planes = 4)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH pair join degenerated to a product:\n$plan")
+    // the exact embeddingPairs collects to the driver and re-emits via
+    // LocalTableScan; the LSH path must read straight from the files
+    assert(!plan.contains("LocalTableScan"),
+      s"driver-side data re-emission in plan:\n$plan")
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+      s"expected a file scan feeding the LSH path:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // codegen'd operators render with the "*(n)" stage prefix
     val df = Tables.documents(spark, sf0001)

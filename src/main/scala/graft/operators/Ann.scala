@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.{VectorFunctions => V}
 import graft.plans.GraftExtensions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -129,26 +128,73 @@ object Ann {
   /** k-NN self-join via SRP-LSH buckets: candidates share a bucket
     * (single shuffle on the bucket id), exact cosine ranks within the
     * candidate set, top-k per probe row. Approximate: recall depends
-    * on planes/probe width, asserted against brute force in specs.
+    * on plane count, asserted against brute force in specs.
+    *
+    * Two bucket-blowup guards make this survive scale and skew:
+    *  - `planes` defaults to log2(n / targetBucket): the expected
+    *    bucket size stays ~targetBucket as the corpus grows, instead
+    *    of a fixed plane count letting n/2^planes-sized buckets
+    *    explode quadratically at 100x the data;
+    *  - buckets that still exceed `bucketCap` (identical or tightly
+    *    clustered vectors hash together no matter how many planes)
+    *    are salt-split: the probe side keeps a deterministic salt in
+    *    [0, nsplit), the build side replicates across all salts, so
+    *    every pair still meets exactly once but a hot bucket's O(b²)
+    *    work spreads over nsplit reducers instead of one straggler
+    *    task. Only over-cap buckets pay the replication (nsplit = 1
+    *    elsewhere), and the hot-bucket list is tiny by construction
+    *    (at most n/bucketCap entries), so it broadcasts.
     */
   def knnJoin(embs: DataFrame, idCol: String, vecCol: String, k: Int,
-              planes: Int = 8): DataFrame = {
-    GraftExtensions.ensureRegistered(embs.sparkSession)
-    val bucketed = embs
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", V.srpBucket(col("vec"), planes))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("v_b"))
-    val scored = a.join(b, Seq("bucket"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(expr("graft_cosine(v_a, v_b)"), 6).as("cos"))
-      .filter(!isnan(col("cos")))
-      // a pair can collide in at most one bucket value (bucket is a
-      // function of the vector), so no dedup needed
+              planes: Int = 0, targetBucket: Int = 1024,
+              bucketCap: Int = 8192): DataFrame = {
+    val scored = knnCandidates(embs, idCol, vecCol, planes, targetBucket, bucketCap)
+      .select(col("id_a"), col("id_b"), col("cos"))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+  }
+
+  /** Scored candidate pairs with their (bucket, salt) reducer key
+    * kept visible — package-private so PlansAndSkewSpec can assert the
+    * hot-bucket split actually spreads the pair generation.
+    */
+  private[graft] def knnCandidates(embs: DataFrame, idCol: String, vecCol: String,
+                                   planes: Int, targetBucket: Int,
+                                   bucketCap: Int): DataFrame = {
+    GraftExtensions.ensureRegistered(embs.sparkSession)
+    val n = embs.count()
+    val p =
+      if (planes > 0) planes
+      else math.min(24, math.max(4,
+        math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+          math.log(2.0)).toInt))
+    val bucketed = embs
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", expr(s"graft_srp_buckets(vec, $p, 1)")(0))
+    // occupancy pass: one lightweight shuffle of bare bucket ids to
+    // find the few buckets that need splitting
+    val hot = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > bucketCap)
+      .select(col("bucket"),
+        ceil(col("bn").cast("double") / bucketCap).cast("int").as("nsplit"))
+    val annotated = bucketed.join(broadcast(hot), Seq("bucket"), "left")
+      .withColumn("nsplit", coalesce(col("nsplit"), lit(1)))
+    val a = annotated.select(col("bucket"),
+      pmod(xxhash64(col("id")), col("nsplit")).cast("int").as("salt"),
+      col("id").as("id_a"), col("vec").as("v_a"))
+    val b = annotated.select(col("bucket"),
+      explode(sequence(lit(0), col("nsplit") - 1)).as("salt"),
+      col("id").as("id_b"), col("vec").as("v_b"))
+    a.join(b, Seq("bucket", "salt"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("bucket"), col("salt"), col("id_a"), col("id_b"),
+        round(expr("graft_cosine(v_a, v_b)"), 6).as("cos"))
+      .filter(!isnan(col("cos")))
+      // a pair meets in exactly one (bucket, salt): the bucket is a
+      // function of the vector and the probe row's salt is a
+      // deterministic function of its id, so no dedup needed
   }
 }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.{VectorFunctions => V}
 import graft.plans.GraftExtensions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -49,9 +48,12 @@ object Similarity {
   def lshTopK(embs: DataFrame, query: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 12,
               maxBitDiff: Int = 2): DataFrame = {
-    val bucketed = embs.withColumn("bucket", V.srpBucket(col(vecCol), planes))
-    val q = query.select(col(vecCol).as("q_vec"),
-      V.srpBucket(col(vecCol), planes).as("q_bucket"))
+    GraftExtensions.ensureRegistered(embs.sparkSession)
+    // native one-pass signature (codegen'd, cached plane matrix) —
+    // the HOF srpBucket re-hashed every (plane, dim) pair per row
+    val sig = expr(s"graft_srp_buckets(`$vecCol`, $planes, 1)")(0)
+    val bucketed = embs.withColumn("bucket", sig)
+    val q = query.select(col(vecCol).as("q_vec"), sig.as("q_bucket"))
     val joined = bucketed.crossJoin(broadcast(q))
       .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= maxBitDiff)
     joined

@@ -42,10 +42,13 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cos"))
     }),
 
-    // Approximate k-NN self-join over LSH buckets, summarized.
+    // Approximate k-NN self-join over LSH buckets, summarized. Plane
+    // count is auto-derived from the corpus size (bounded expected
+    // bucket), and over-full buckets salt-split — the same call scales
+    // from sf0.001 to a full corpus without retuning.
     "knn_join" -> ((s, d) => {
       graft.operators.Ann.knnJoin(
-          Tables.embeddings(s, d), "vec_id", "embedding", k = 3, planes = 6)
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
         .groupBy(col("id_a"))
         .agg(count(lit(1)).as("n_neighbors"),
           max(col("cos")).as("best_cos"))

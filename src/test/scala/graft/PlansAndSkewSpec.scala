@@ -44,6 +44,33 @@ class PlansAndSkewSpec extends SparkSpec {
       li.join(ord, Seq("l_orderkey")).count())
   }
 
+  test("knn join salt-splits a degenerate hot bucket without losing or duplicating pairs") {
+    import graft.operators.Ann
+    // 300 identical vectors: every row lands in ONE bucket no matter
+    // how many planes — the worst-case reducer hotspot
+    val n = 300
+    val embs = (0 until n).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val cands = Ann.knnCandidates(embs, "vec_id", "embedding",
+      planes = 4, targetBucket = 1024, bucketCap = 100)
+    // correctness: each ordered pair meets exactly once across salts
+    val total = cands.count()
+    assert(total == n.toLong * (n - 1), s"expected ${n * (n - 1)} pairs, got $total")
+    assert(cands.select("id_a", "id_b").distinct().count() == total,
+      "salt replication must not duplicate pairs")
+    // skew: the pair generation is spread over ceil(300/100) = 3
+    // reducer keys, and no single (bucket, salt) key does all the work
+    val perKey = cands.groupBy("bucket", "salt").count()
+      .collect().map(_.getLong(2))
+    assert(perKey.length == 3, s"expected 3 salt splits, got ${perKey.length}")
+    assert(perKey.max < total, "one reducer key still generates every pair")
+    // end to end: top-k output is well-formed on the degenerate input
+    val knn = Ann.knnJoin(embs, "vec_id", "embedding", k = 3,
+      planes = 4, bucketCap = 100)
+    val byA = knn.collect().groupBy(_.getLong(0))
+    assert(byA.size == n && byA.values.forall(_.length == 3))
+  }
+
   test("salted join returns the same rows as the plain join") {
     val large = (1 to 1000).map(i => (if (i % 3 == 0) 1L else i.toLong, i))
       .toDF("k", "v") // key 1 is hot

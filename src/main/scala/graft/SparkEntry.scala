@@ -17,15 +17,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.queries("q5_multijoin")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every
+    * query runs with graft's native expressions registered (the
+    * library surface assumes them — e.g. TextFunctions.shingles).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++
+    (RelationalQueries.queries ++
       TemporalQueries.queries ++
       EtlQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++
-      SourceQueries.queries
+      SourceQueries.queries)
+      .map { case (name, fn) =>
+        name -> { (s: SparkSession, d: String) =>
+          graft.plans.GraftExtensions.ensureRegistered(s)
+          fn(s, d)
+        }
+      }
 
   /** DuckDB-runnable oracle per SQL-expressible query (same column
     * names/aliases as the Spark side; rows-only ops are omitted).

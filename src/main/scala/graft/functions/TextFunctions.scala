@@ -104,14 +104,12 @@ object TextFunctions {
   def words(c: Column): Column = split(normalizeText(c), " ")
 
   /** Distinct word n-gram shingles (as strings joined by spaces).
-    * Pure array ops — row-local, codegen'd.
+    * Row-local, via the native [[graft.plans.WordShingles]] expression
+    * (requires GraftExtensions registration on the session). The
+    * earlier pure-HOF form re-evaluated the full split per shingle —
+    * the lambda body embeds the `slice(split(...))` subtree — making
+    * shingling O(words²) per doc; the native kernel is one pass.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val w = words(c)
-    val idx = sequence(lit(0), size(w) - n)
-    array_distinct(
-      when(size(w) >= n,
-        transform(idx, i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", w))))
-  }
+  def shingles(c: Column, n: Int): Column =
+    call_function("graft_word_shingles", words(c), lit(n))
 }

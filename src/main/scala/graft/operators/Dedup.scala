@@ -67,19 +67,19 @@ object Dedup {
 
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         perms: Int, shingleSize: Int): DataFrame = {
-    val exploded = spread(nonEmptyText(docs, textCol)).select(col(idCol).as("id"),
-        explode(T.shingles(col(textCol), shingleSize)).as("sh"))
-      // hash the shingle string ONCE; the k permutation hashes then
-      // re-hash that fixed-width long (k string hashes -> 1; the
-      // string hashing dominated the signature cost, and wrapping
-      // linear transforms would trip ANSI overflow checks)
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    val aggs = (0 until perms).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"h_$i")
-    }
-    exploded.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until perms).map(i => col(s"h_$i")): _*).as("sig"))
+    GraftExtensions.ensureRegistered(docs.sparkSession)
+    // Row-local one-pass signature via the native graft_minhash
+    // expression: no explode fan-out, no 64-wide hash-aggregate, no
+    // shuffle to regroup by id. Hash math is bit-identical to the
+    // previous min(xxhash64(xxhash64(sh), i)) aggregation, so every
+    // downstream band/bucket/estimate is unchanged. No isNotNull
+    // filter on sig: nonEmptyText guarantees >= 1 word, so the
+    // shingle array is never empty (a filter on the alias would also
+    // make the optimizer evaluate the whole chain twice).
+    spread(nonEmptyText(docs, textCol))
+      .select(col(idCol).as("id"),
+        call_function("graft_minhash",
+          T.shingles(col(textCol), shingleSize), lit(perms)).as("sig"))
   }
 
   /** Candidate near-dup pairs via MinHash LSH banding, annotated with

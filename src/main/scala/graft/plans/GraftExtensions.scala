@@ -36,7 +36,15 @@ object GraftExtensions {
     (new FunctionIdentifier("graft_srp_buckets"),
       new ExpressionInfo(classOf[SrpBuckets].getName, "graft_srp_buckets"),
       (children: Seq[Expression]) => SrpBuckets(children(0),
-        intLit(children(1), "planes"), intLit(children(2), "tables"))))
+        intLit(children(1), "planes"), intLit(children(2), "tables"))),
+    (new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSignature(children(0),
+        intLit(children(1), "perms"))),
+    (new FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
+      (children: Seq[Expression]) => WordShingles(children(0),
+        intLit(children(1), "n"))))
 
   /** Register into an existing session (no-op if already present). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -14,10 +15,10 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
-  /** CSV with header handling and charset control. The reference
-    * tries utf-8 -> utf-8-sig -> latin1 -> cp1252; Spark's reader
-    * handles BOM and non-UTF8 via the charset option, so the fallback
-    * chain collapses to a charset argument.
+  /** CSV with header handling and charset control, for a drop zone
+    * with one KNOWN encoding. For mixed/unknown per-file encodings
+    * (the reference's fallback-chain scenario) use
+    * [[csvAutoCharset]], which detects each file's charset.
     */
   def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
           charset: String = "UTF-8", delimiter: String = ","): DataFrame = {
@@ -27,6 +28,134 @@ object Sources {
       .option("sep", delimiter)
       .option("mode", "PERMISSIVE")
     withSchema(base, schema).csv(path)
+  }
+
+  /** CSV ingestion for a drop zone with MIXED (unknown, per-file)
+    * encodings — the exact scenario the reference's fallback chain
+    * codes for (pattern_based_cleaner_watcher.py:170-178: utf-8 →
+    * utf-8-sig → latin1 → cp1252). A single spark.read can decode
+    * with only one charset, so mis-encoded files would corrupt
+    * silently; instead each file's charset is detected from a prefix
+    * (BOM, then strict UTF-8 validation), files are grouped by
+    * detected charset, and one read per group unions back together.
+    *
+    * Scale: detection reads <= 64 KB per file on the driver — the
+    * same order of work as the file listing Spark already does, and
+    * it runs through the Hadoop FileSystem API so object stores work.
+    * One deliberate divergence from the reference: its chain tries
+    * latin1 BEFORE cp1252, but latin1 accepts every byte sequence, so
+    * cp1252 was unreachable dead code there. Non-UTF-8 files decode
+    * as windows-1252 here (identical to latin1 for all printable
+    * Western-European bytes, and correct for the 0x80-0x9F range —
+    * €, curly quotes, dashes — where latin1 yields control chars).
+    */
+  def csvAutoCharset(spark: SparkSession, path: String,
+                     schema: Option[StructType] = None,
+                     delimiter: String = ","): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[Path] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(_.isFile).map(_.getPath).toSeq
+      else Seq(root)
+    require(files.nonEmpty, s"no files under $path")
+    val groups = files.groupBy(f => detectCharset(fs, f))
+    groups.map { case (charset, ps) =>
+      // Spark 4 whitelists CSV charsets (no windows-1252), so the
+      // cp1252 group is decoded as latin1 — byte-identical except
+      // 0x80-0x9F — and those 27 codepoints are fixed up post-read
+      val readCharset = if (charset == "windows-1252") "ISO-8859-1" else charset
+      val df = withSchema(spark.read
+          .option("header", "true")
+          .option("charset", readCharset)
+          .option("sep", delimiter)
+          .option("mode", "PERMISSIVE"), schema)
+        .csv(ps.map(_.toString): _*)
+      val decoded = if (charset == "windows-1252") transcodeCp1252(df) else df
+      stripBomHeader(decoded)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** BOM sniff + strict UTF-8 validation over a bounded prefix.
+    * Returns the charset Spark should decode the file with.
+    */
+  private[sources] def detectCharset(fs: FileSystem, file: Path): String = {
+    val in = fs.open(file)
+    val buf = new Array[Byte](65536)
+    val n =
+      try {
+        var total = 0
+        var read = 0
+        while (total < buf.length && read >= 0) {
+          read = in.read(buf, total, buf.length - total)
+          if (read > 0) total += read
+        }
+        total
+      } finally in.close()
+    if (n >= 3 && (buf(0) & 0xff) == 0xef && (buf(1) & 0xff) == 0xbb &&
+        (buf(2) & 0xff) == 0xbf) "UTF-8" // BOM; stripBomHeader cleans up
+    else if (isValidUtf8(buf, n)) "UTF-8"
+    else "windows-1252"
+  }
+
+  /** Strict UTF-8 scan that tolerates ONE truncated trailing sequence
+    * (the prefix may cut a multi-byte char at the buffer boundary).
+    */
+  private def isValidUtf8(buf: Array[Byte], n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      val b = buf(i) & 0xff
+      val len =
+        if (b < 0x80) 1
+        else if ((b & 0xe0) == 0xc0 && b >= 0xc2) 2
+        else if ((b & 0xf0) == 0xe0) 3
+        else if ((b & 0xf8) == 0xf0 && b <= 0xf4) 4
+        else return false
+      if (i + len > n) return true // truncated at buffer end: accept
+      var j = 1
+      while (j < len) {
+        if ((buf(i + j) & 0xc0) != 0x80) return false
+        j += 1
+      }
+      i += len
+    }
+    true
+  }
+
+  /** cp1252 and latin1 agree on every byte except 0x80-0x9F, where
+    * latin1 yields C1 control chars and cp1252 has €, curly quotes,
+    * dashes, etc. After a latin1 decode of a cp1252 file those bytes
+    * surface as U+0080-U+009F verbatim — a 1:1 `translate` on every
+    * string column restores the cp1252 characters. (The five bytes
+    * cp1252 leaves undefined stay as-is.)
+    */
+  private val cp1252Map: Seq[(Int, Int)] = Seq(
+    0x80 -> 0x20ac, 0x82 -> 0x201a, 0x83 -> 0x0192, 0x84 -> 0x201e,
+    0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02c6,
+    0x89 -> 0x2030, 0x8a -> 0x0160, 0x8b -> 0x2039, 0x8c -> 0x0152,
+    0x8e -> 0x017d, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201c,
+    0x94 -> 0x201d, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+    0x98 -> 0x02dc, 0x99 -> 0x2122, 0x9a -> 0x0161, 0x9b -> 0x203a,
+    0x9c -> 0x0153, 0x9e -> 0x017e, 0x9f -> 0x0178)
+  private val c1Latin1 = cp1252Map.map(_._1.toChar).mkString
+  private val c1Cp1252 = cp1252Map.map(_._2.toChar).mkString
+
+  private def transcodeCp1252(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, translate}
+    import org.apache.spark.sql.types.StringType
+    df.schema.fields.filter(_.dataType == StringType).foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, translate(col(f.name), c1Latin1, c1Cp1252))
+    }
+  }
+
+  /** Spark's CSV reader keeps a UTF-8 BOM glued to the first header
+    * name; strip it so BOM'd and BOM-less files union cleanly.
+    */
+  private def stripBomHeader(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    if (cols.nonEmpty && cols.head.startsWith("﻿"))
+      df.withColumnRenamed(cols.head, cols.head.substring(1))
+    else df
   }
 
   /** JSON-lines. */

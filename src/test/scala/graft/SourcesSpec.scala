@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Path}
+import graft.sources.Sources
+
+/** Mixed-encoding CSV ingestion (reference
+  * pattern_based_cleaner_watcher.py:170-178: per-file fallback chain).
+  * Each fixture is written in a legacy encoding alongside a UTF-8
+  * twin with identical logical content; the auto-charset reader must
+  * produce exactly the twin's rows.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private val header = "id,name,price"
+  private val rowsByFile = Map(
+    "a.csv" -> Seq("1,café crème,3.50", "2,naïve déjà-vu,8.00"),
+    "b.csv" -> Seq("3,smörgåsbord,12.25", "4,jalapeño,2.10"),
+    // 0x80 (€) and 0x93/0x94 (curly quotes) exist in cp1252 but are
+    // control chars in latin1 — decoding these as latin1 would corrupt
+    "c.csv" -> Seq("5,€100 “deal”,99.99", "6,Zürich—Genève,45.00"),
+    "d.csv" -> Seq("7,plain ascii,1.00"))
+
+  private def writeFixtures(): (Path, Path) = {
+    val mixed = Files.createTempDirectory("graft_csv_mixed")
+    val utf8 = Files.createTempDirectory("graft_csv_utf8")
+    def write(dir: Path, name: String, charset: Charset, bom: Boolean): Unit = {
+      val text = (header +: rowsByFile(name)).mkString("\n")
+      val bytes = text.getBytes(charset)
+      val out = if (bom) Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ bytes
+                else bytes
+      Files.write(dir.resolve(name), out)
+    }
+    write(mixed, "a.csv", Charset.forName("ISO-8859-1"), bom = false)
+    write(mixed, "b.csv", Charset.forName("UTF-8"), bom = true) // utf-8-sig
+    write(mixed, "c.csv", Charset.forName("windows-1252"), bom = false)
+    write(mixed, "d.csv", Charset.forName("UTF-8"), bom = false)
+    rowsByFile.keys.foreach(n => write(utf8, n, Charset.forName("UTF-8"), bom = false))
+    (mixed, utf8)
+  }
+
+  test("csvAutoCharset decodes a mixed latin1/cp1252/utf-8-sig/utf-8 drop zone") {
+    val (mixed, utf8) = writeFixtures()
+    val got = Sources.csvAutoCharset(spark, mixed.toString)
+    val want = Sources.csv(spark, utf8.toString)
+    assert(got.columns.toSeq == Seq("id", "name", "price"),
+      s"BOM or mis-decode corrupted the header: ${got.columns.toSeq}")
+    val g = got.collect().map(_.toSeq).toSet
+    val w = want.collect().map(_.toSeq).toSet
+    assert(g == w, s"mixed-encoding read diverged from the UTF-8 twins:\n" +
+      s"only in mixed: ${g -- w}\nonly in utf8: ${w -- g}")
+    assert(g.size == rowsByFile.values.map(_.size).sum)
+  }
+
+  test("csvAutoCharset with an explicit schema skips inference and still unions") {
+    val (mixed, _) = writeFixtures()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id INT, name STRING, price DOUBLE")
+    val got = Sources.csvAutoCharset(spark, mixed.toString, Some(schema))
+    assert(got.schema == schema)
+    assert(got.count() == rowsByFile.values.map(_.size).sum)
+    val names = got.collect().map(_.getString(1)).toSet
+    assert(names.contains("€100 “deal”"), s"cp1252 high bytes corrupted: $names")
+    assert(names.contains("café crème"), s"latin1 bytes corrupted: $names")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, InputStream}
+import java.io.ByteArrayInputStream
 import java.nio.file.{Files, Paths}
 import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
@@ -9,25 +9,35 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-/** Minimal pure-JVM XLSX support — the reference's primary input
+/** Minimal pure-JVM XLSX/XLSM support — the reference's primary input
   * format (pattern_based_cleaner_watcher.py:180-182 reads
-  * `.xlsx/.xls/.xlsm` sheet 0 via pandas). No external deps: OOXML is
-  * a zip of XML parts, parsed here with JDK StAX.
+  * `.xlsx/.xls/.xlsm` with a `sheet_name` param via pandas;
+  * enhanced_tasks.py:52). No external deps: OOXML is a zip of XML
+  * parts, parsed here with JDK StAX. XLSM is the same container with
+  * a macro part we ignore, so it reads transparently. Legacy `.xls`
+  * (OLE2/BIFF binary) is NOT OOXML — it is detected by magic number
+  * and rejected with an actionable error instead of silently reading
+  * nothing.
   *
-  * Reader supports shared strings, inline strings, and numeric cells
-  * of sheet1, with A1-reference gap handling. Distribution model:
-  * one workbook per task via Spark's binaryFile source — xlsx is not
-  * splittable, so parallelism comes from many files (exactly the
-  * reference's drop-zone layout). Writer is a driver-side fixture/
-  * small-dim utility; large outputs belong in parquet.
+  * Reader supports shared strings, inline strings, and numeric cells,
+  * with A1-reference gap handling and sheet selection by name (the
+  * workbook's sheet list + relationships resolve the part name; the
+  * default is the first sheet in workbook order, like pandas
+  * sheet_name=0). Distribution model: one workbook per task via
+  * Spark's binaryFile source — xlsx is not splittable, so parallelism
+  * comes from many files (exactly the reference's drop-zone layout).
+  * Writer is a driver-side fixture/small-dim utility; large outputs
+  * belong in parquet.
   */
 object Xlsx {
 
-  /** Read all xlsx files matching `path` (glob ok) into a DataFrame
-    * of strings; first row of each sheet is the header; schema is
-    * taken from the lexicographically first file.
+  /** Read all workbook files matching `path` (glob ok) into a
+    * DataFrame of strings; first row of the selected sheet is the
+    * header; schema is taken from the lexicographically first file.
+    * `sheetName=None` reads each workbook's first sheet.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+           sheetName: Option[String] = None): DataFrame = {
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content")
     import spark.implicits._
@@ -35,12 +45,12 @@ object Xlsx {
     // that one row is parsed (maxRows short-circuits the StAX loop)
     val header = files.orderBy("path")
       .as[(String, Array[Byte])].take(1).toSeq
-      .flatMap { case (_, bytes) =>
-        parseSheetRows(new ByteArrayInputStream(bytes), maxRows = 1).toSeq
+      .flatMap { case (p, bytes) =>
+        parseSheetRows(bytes, sheetName, maxRows = 1, source = p).toSeq
       }.headOption.getOrElse(Seq.empty)
     if (header.isEmpty) return spark.emptyDataFrame
-    val rowsDs = files.as[(String, Array[Byte])].flatMap { case (_, bytes) =>
-      parseSheetRows(new ByteArrayInputStream(bytes)).drop(1)
+    val rowsDs = files.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
+      parseSheetRows(bytes, sheetName, source = p).drop(1)
     }
     val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
     val width = header.length
@@ -50,26 +60,99 @@ object Xlsx {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Iterate sheet1 rows as cell-string sequences (A1 gaps -> null). */
-  def parseSheetRows(in: InputStream,
-                     maxRows: Int = Int.MaxValue): Iterator[Seq[String]] = {
-    val zin = new ZipInputStream(in)
-    var shared = Vector.empty[String]
-    var sheetXml: Array[Byte] = null
+  /** Iterate rows of one sheet as cell-string sequences (A1 gaps ->
+    * null). Rejects OLE2 (.xls) and non-zip payloads loudly.
+    */
+  def parseSheetRows(bytes: Array[Byte], sheetName: Option[String] = None,
+                     maxRows: Int = Int.MaxValue,
+                     source: String = "<bytes>"): Iterator[Seq[String]] = {
+    require(bytes.length >= 4, s"$source: truncated workbook (${bytes.length} bytes)")
+    if ((bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
+        (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0)
+      throw new UnsupportedOperationException(
+        s"$source is a legacy OLE2/BIFF .xls workbook; this reader handles " +
+          "OOXML (.xlsx/.xlsm) only — re-save it as .xlsx (or export CSV)")
+    require(bytes(0) == 'P' && bytes(1) == 'K',
+      s"$source is not an OOXML workbook (missing zip magic)")
+    // Load the XML parts we may need in one sequential pass (zip
+    // entries arrive in archive order). Worksheet parts are kept
+    // per-name; workbooks are small by nature — the big-data path is
+    // CSV/parquet, this is the drop-zone compatibility reader.
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var sharedXml: Array[Byte] = null
+    var workbookXml: Array[Byte] = null
+    var relsXml: Array[Byte] = null
+    val sheets = scala.collection.mutable.HashMap.empty[String, Array[Byte]]
     var entry = zin.getNextEntry
     while (entry != null) {
       entry.getName match {
         case "xl/sharedStrings.xml" => sharedXml = zin.readAllBytes()
-        case "xl/worksheets/sheet1.xml" => sheetXml = zin.readAllBytes()
+        case "xl/workbook.xml" => workbookXml = zin.readAllBytes()
+        case "xl/_rels/workbook.xml.rels" => relsXml = zin.readAllBytes()
+        case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
+          sheets(n) = zin.readAllBytes()
         case _ =>
       }
       entry = zin.getNextEntry
     }
     zin.close()
-    if (sharedXml != null) shared = parseSharedStrings(sharedXml)
-    if (sheetXml == null) Iterator.empty
-    else parseSheet(sheetXml, shared, maxRows).iterator
+    val part = resolveSheetPart(workbookXml, relsXml, sheetName, source)
+    val sheetXml = sheets.getOrElse(part,
+      if (sheetName.isEmpty && sheets.contains("xl/worksheets/sheet1.xml"))
+        sheets("xl/worksheets/sheet1.xml")
+      else throw new IllegalArgumentException(
+        s"$source: worksheet part $part not found (have: ${sheets.keys.toSeq.sorted.mkString(", ")})"))
+    val shared = if (sharedXml != null) parseSharedStrings(sharedXml) else Vector.empty
+    parseSheet(sheetXml, shared, maxRows).iterator
+  }
+
+  /** Resolve a sheet name to its zip part via the workbook's sheet
+    * list (ordered) and the workbook relationships. None -> first
+    * sheet in workbook order (pandas sheet_name=0 semantics).
+    */
+  private def resolveSheetPart(workbookXml: Array[Byte], relsXml: Array[Byte],
+                               sheetName: Option[String], source: String): String = {
+    if (workbookXml == null || relsXml == null) {
+      require(sheetName.isEmpty,
+        s"$source: workbook metadata missing; cannot resolve sheet ${sheetName.get}")
+      return "xl/worksheets/sheet1.xml"
+    }
+    // workbook.xml: ordered <sheet name=".." r:id="rIdN"/>
+    val order = ArrayBuffer.empty[(String, String)] // (name, rId)
+    val wr = newReader(workbookXml)
+    while (wr.hasNext) {
+      if (wr.next() == XMLStreamConstants.START_ELEMENT && wr.getLocalName == "sheet") {
+        val name = wr.getAttributeValue(null, "name")
+        val rid = (0 until wr.getAttributeCount)
+          .find(i => wr.getAttributeLocalName(i) == "id")
+          .map(wr.getAttributeValue).orNull
+        if (name != null && rid != null) order += ((name, rid))
+      }
+    }
+    wr.close()
+    // rels: rId -> Target (relative to xl/, or absolute /xl/...)
+    val targets = scala.collection.mutable.HashMap.empty[String, String]
+    val rr = newReader(relsXml)
+    while (rr.hasNext) {
+      if (rr.next() == XMLStreamConstants.START_ELEMENT &&
+          rr.getLocalName == "Relationship") {
+        val id = rr.getAttributeValue(null, "Id")
+        val target = rr.getAttributeValue(null, "Target")
+        if (id != null && target != null) targets(id) = target
+      }
+    }
+    rr.close()
+    val chosen = sheetName match {
+      case None =>
+        order.headOption.getOrElse(throw new IllegalArgumentException(
+          s"$source: workbook declares no sheets"))
+      case Some(n) =>
+        order.find(_._1 == n).getOrElse(throw new IllegalArgumentException(
+          s"$source: no sheet named '$n' (sheets: ${order.map(_._1).mkString(", ")})"))
+    }
+    val target = targets.getOrElse(chosen._2, throw new IllegalArgumentException(
+      s"$source: no relationship for sheet '${chosen._1}' (${chosen._2})"))
+    if (target.startsWith("/")) target.stripPrefix("/") else s"xl/$target"
   }
 
   private def newReader(bytes: Array[Byte]) = {
@@ -157,55 +240,73 @@ object Xlsx {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
-  /** Write one xlsx (sheet1, inline strings) — driver-side fixture/
-    * small-output utility.
+  /** Write one xlsx (single sheet, inline strings) — driver-side
+    * fixture/small-output utility.
     */
-  def write(path: String, header: Seq[String], rows: Seq[Seq[Any]]): Unit = {
+  def write(path: String, header: Seq[String], rows: Seq[Seq[Any]]): Unit =
+    writeSheets(path, Seq(("Sheet1", header, rows)))
+
+  /** Multi-sheet variant: each entry is (sheetName, header, rows). */
+  def writeSheets(path: String,
+                  sheetsToWrite: Seq[(String, Seq[String], Seq[Seq[Any]])]): Unit = {
+    require(sheetsToWrite.nonEmpty, "need at least one sheet")
     val out = new ZipOutputStream(Files.newOutputStream(Paths.get(path)))
     def put(name: String, content: String): Unit = {
       out.putNextEntry(new ZipEntry(name))
       out.write(content.getBytes("UTF-8"))
       out.closeEntry()
     }
+    val n = sheetsToWrite.length
+    val overrides = (1 to n).map(i =>
+      s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+      .mkString("\n")
     put("[Content_Types].xml",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
-        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
-        |<Default Extension="xml" ContentType="application/xml"/>
-        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-        |</Types>""".stripMargin)
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+         |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+         |<Default Extension="xml" ContentType="application/xml"/>
+         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+         |$overrides
+         |</Types>""".stripMargin)
     put("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
         |</Relationships>""".stripMargin)
+    val sheetDecls = sheetsToWrite.zipWithIndex.map { case ((name, _, _), i) =>
+      s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
     put("xl/workbook.xml",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-        |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
-        |</workbook>""".stripMargin)
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<sheets>$sheetDecls</sheets>
+         |</workbook>""".stripMargin)
+    val relDecls = (1 to n).map(i =>
+      s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+      .mkString
     put("xl/_rels/workbook.xml.rels",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |</Relationships>""".stripMargin)
-    val sb = new StringBuilder
-    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+         |$relDecls
+         |</Relationships>""".stripMargin)
     def cell(v: Any): String = v match {
       case null => ""
-      case n: Int => s"<c><v>$n</v></c>"
-      case n: Long => s"<c><v>$n</v></c>"
-      case n: Double => s"<c><v>$n</v></c>"
+      case num: Int => s"<c><v>$num</v></c>"
+      case num: Long => s"<c><v>$num</v></c>"
+      case num: Double => s"<c><v>$num</v></c>"
       case s0 => s"<c t=\"inlineStr\"><is><t>${xmlEscape(s0.toString)}</t></is></c>"
     }
-    sb.append("<row>").append(header.map(cell).mkString).append("</row>")
-    rows.foreach { r =>
-      sb.append("<row>").append(r.map(cell).mkString).append("</row>")
+    sheetsToWrite.zipWithIndex.foreach { case ((_, header, rows), i) =>
+      val sb = new StringBuilder
+      sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      sb.append("<row>").append(header.map(cell).mkString).append("</row>")
+      rows.foreach { r =>
+        sb.append("<row>").append(r.map(cell).mkString).append("</row>")
+      }
+      sb.append("</sheetData></worksheet>")
+      put(s"xl/worksheets/sheet${i + 1}.xml", sb.toString)
     }
-    sb.append("</sheetData></worksheet>")
-    put("xl/worksheets/sheet1.xml", sb.toString)
     out.close()
   }
 }

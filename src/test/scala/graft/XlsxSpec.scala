@@ -31,4 +31,48 @@ class XlsxSpec extends SparkSpec {
     Xlsx.write(s"$dir/b.xlsx", Seq("k"), Seq(Seq(3)))
     assert(Xlsx.read(spark, s"$dir/*.xlsx").count() == 3)
   }
+
+  test("second sheet round-trips by name; default stays the first sheet") {
+    val dir = Files.createTempDirectory("xlsx_sheets").toString
+    Xlsx.writeSheets(s"$dir/multi.xlsx", Seq(
+      ("Summary", Seq("metric", "value"), Seq(Seq("rows", 2))),
+      ("Detail", Seq("id", "note"), Seq(Seq(1, "first"), Seq(2, "second")))))
+    val first = Xlsx.read(spark, s"$dir/multi.xlsx")
+    assert(first.columns.toSeq == Seq("metric", "value"))
+    assert(first.count() == 1)
+    val second = Xlsx.read(spark, s"$dir/multi.xlsx", sheetName = Some("Detail"))
+    assert(second.columns.toSeq == Seq("id", "note"))
+    assert(second.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("first", "second"))
+    val err = intercept[Exception] {
+      Xlsx.read(spark, s"$dir/multi.xlsx", sheetName = Some("Nope")).collect()
+    }
+    assert(err.getMessage.contains("no sheet named 'Nope'") ||
+      Option(err.getCause).exists(_.getMessage.contains("no sheet named 'Nope'")),
+      s"unhelpful error: ${err.getMessage}")
+  }
+
+  test("xlsm (same OOXML container) reads transparently") {
+    val dir = Files.createTempDirectory("xlsm_spec").toString
+    Xlsx.write(s"$dir/macro.xlsm", Seq("k", "v"), Seq(Seq(1, "x")))
+    val df = Xlsx.read(spark, s"$dir/macro.xlsm")
+    assert(df.columns.toSeq == Seq("k", "v") && df.count() == 1)
+  }
+
+  test("legacy OLE2 .xls fails loudly with an actionable message") {
+    // OLE2 compound-file magic: D0 CF 11 E0 A1 B1 1A E1
+    val bytes = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+      .map(_.toByte) ++ new Array[Byte](64)
+    val err = intercept[UnsupportedOperationException] {
+      Xlsx.parseSheetRows(bytes, source = "legacy.xls").toSeq
+    }
+    assert(err.getMessage.contains("OLE2") &&
+      err.getMessage.contains("re-save it as .xlsx"), err.getMessage)
+    // and garbage that is neither OLE2 nor zip also fails loudly
+    val garbage = "definitely,not,a,workbook\n1,2,3,4\n".getBytes("UTF-8")
+    val err2 = intercept[IllegalArgumentException] {
+      Xlsx.parseSheetRows(garbage, source = "notes.txt").toSeq
+    }
+    assert(err2.getMessage.contains("not an OOXML workbook"), err2.getMessage)
+  }
 }

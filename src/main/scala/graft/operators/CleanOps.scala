@@ -59,6 +59,21 @@ object CleanOps {
     df.filter(anyNotNull)
   }
 
+  /** Name-matched coercion rules: (column, kind, coerced expression).
+    * Shared by [[coerceByName]] (applies them) and [[failureLog]]
+    * (audits where they fail) so the two can never drift apart.
+    */
+  private def coercions(df: DataFrame): Seq[(String, String, Column)] =
+    df.schema.fields.toSeq.flatMap { f =>
+      val n = f.name.toLowerCase
+      if (f.dataType.typeName != "string") None
+      else if (n.contains("date"))
+        Some((f.name, "date", expr(s"try_to_timestamp(`${f.name}`)")))
+      else if (n.contains("amount") || n.contains("price"))
+        Some((f.name, "number", expr(s"try_cast(`${f.name}` AS DOUBLE)")))
+      else None
+    }
+
   /** Name-heuristic type coercion (enhanced_tasks.py:156-167):
     * string columns whose name contains "date" are parsed to
     * timestamp, "amount"/"price" to double; unparseable values
@@ -66,16 +81,47 @@ object CleanOps {
     * which also keeps us safe under ANSI mode).
     */
   def coerceByName(df: DataFrame): DataFrame = {
+    val rules = coercions(df).map { case (name, _, e) => name -> e }.toMap
     val projected: Seq[Column] = df.schema.fields.toSeq.map { f =>
-      val n = f.name.toLowerCase
-      if (f.dataType.typeName == "string" && n.contains("date"))
-        expr(s"try_to_timestamp(`${f.name}`)").as(f.name)
-      else if (f.dataType.typeName == "string" &&
-               (n.contains("amount") || n.contains("price")))
-        expr(s"try_cast(`${f.name}` AS DOUBLE)").as(f.name)
-      else col(f.name)
+      rules.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
     }
     df.select(projected: _*)
+  }
+
+  /** Row-level failure audit for the ingest pipeline. The reference
+    * records failed work with error messages into etl_processing_log
+    * (dataframe_tasks.py:130-140) and its stats count them;
+    * [[ingestPipeline]] silently drops empty rows and nulls out
+    * unparseable values, losing that audit trail. This emits the
+    * missing side: one log row per input row a gate rejected or
+    * degraded — `empty_row` for dropEmptyRows victims,
+    * `unparseable_<kind>:<col>` per coercion failure (non-null input,
+    * null coerced output) — with status='error', so the frame plugs
+    * straight into [[Quality.processingStats]]'s failed counts.
+    * Row-local projection + filter: no shuffle, safe at any scale.
+    */
+  def failureLog(df: DataFrame, idCol: String, sourceName: String,
+                 batchId: String, emptyCheckCols: Seq[String] = Nil): DataFrame = {
+    val cleaned = dedupeColumnNames(cleanColumnNames(df))
+    val checkCols =
+      if (emptyCheckCols.nonEmpty) emptyCheckCols.map(cleanName)
+      else cleaned.columns.toSeq
+    val allEmpty = checkCols.map(c => col(c).isNull).reduce(_ && _)
+    val coercionErrors = coercions(cleaned).map { case (name, kind, coerced) =>
+      when(col(name).isNotNull && coerced.isNull, lit(s"unparseable_$kind:$name"))
+    }
+    // concat_ws drops the null (non-firing) branches; empty-row wins
+    // the first slot so a fully-empty row reads as exactly that rather
+    // than as a pile of per-column errors on null input
+    val message = concat_ws("; ", when(allEmpty, lit("empty_row")) +: coercionErrors: _*)
+    cleaned
+      .withColumn("error_message", message)
+      .filter(length(col("error_message")) > 0)
+      .select(col(idCol),
+        lit("error").as("status"),
+        col("error_message"),
+        lit(sourceName).as("source_name"),
+        lit(batchId).as("processing_batch"))
   }
 
   /** Metadata enrichment (dataframe_tasks.py:65-67). The reference

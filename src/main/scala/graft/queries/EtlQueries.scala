@@ -133,6 +133,21 @@ object EtlQueries {
       Quality.processingStats(log)
     }),
 
+    // Row-level failure audit (dataframe_tasks.py:130-140): the rows
+    // the pipeline gates drop or degrade, with status='error' and
+    // machine-checkable reasons, summarized per distinct message.
+    "etl_failure_log" -> ((s, d) => {
+      CleanOps.failureLog(dirtyOrders(s, d), "order_key",
+          sourceName = "orders_drop.csv", batchId = "batch_0001",
+          emptyCheckCols = Seq("Order-Date", "Total Price ($)"))
+        .groupBy(col("status"), col("error_message"),
+          col("source_name"), col("processing_batch"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("order_key")).as("min_key"),
+          max(col("order_key")).as("max_key"))
+        .orderBy(col("error_message"))
+    }),
+
     // Full pipeline composition: clean -> coerce -> drop-empty ->
     // metadata, summarized per status.
     "etl_ingest_pipeline" -> ((s, d) => {
@@ -240,6 +255,24 @@ object EtlQueries {
         |  CAST(sum(user_id) AS BIGINT) AS total_rows_processed,
         |  round(avg(round(value, 4)), 4) AS avg_processing_time_seconds
         |FROM events""".stripMargin,
+
+    "etl_failure_log" ->
+      s"""SELECT 'error' AS status, error_message,
+         |  'orders_drop.csv' AS source_name, 'batch_0001' AS processing_batch,
+         |  count(*) AS n_rows, min(order_key) AS min_key, max(order_key) AS max_key
+         |FROM (
+         |  SELECT order_key, concat_ws('; ',
+         |    CASE WHEN order_date IS NULL AND total_price IS NULL
+         |         THEN 'empty_row' END,
+         |    CASE WHEN order_date IS NOT NULL
+         |          AND TRY_CAST(order_date AS TIMESTAMP) IS NULL
+         |         THEN 'unparseable_date:order_date' END,
+         |    CASE WHEN total_price IS NOT NULL
+         |          AND TRY_CAST(total_price AS DOUBLE) IS NULL
+         |         THEN 'unparseable_number:total_price' END) AS error_message
+         |  FROM ($dirtyCleanSql))
+         |WHERE length(error_message) > 0
+         |GROUP BY error_message ORDER BY error_message""".stripMargin,
 
     "etl_ingest_pipeline" ->
       s"""SELECT status, 'orders_drop.csv' AS source_name,

@@ -46,6 +46,30 @@ class CleanOpsSpec extends SparkSpec {
     assert(out.filter(col("unit_price").isNotNull).count() == 1)
   }
 
+  test("failureLog audits dropped and degraded rows, and feeds processingStats") {
+    val df = Seq(
+      ("1", "2020-01-02", "12.5"),   // clean: no log row
+      ("2", null, null),             // empty on both checked cols
+      ("3", "garbage", "9.99"),      // bad date only
+      ("4", "2020-02-03", "nope"))   // bad price only
+      .toDF("ID!", "Order Date", "Price ($)")
+    val log = CleanOps.failureLog(df, "id", "s.csv", "b1",
+      emptyCheckCols = Seq("Order Date", "Price ($)"))
+    val byId = log.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId.keySet == Set("2", "3", "4"), s"wrong rows logged: $byId")
+    assert(byId("2") == ("error", "empty_row"))
+    assert(byId("3") == ("error", "unparseable_date:order_date"))
+    assert(byId("4") == ("error", "unparseable_number:price"))
+    // the log is processingStats-shaped: failed counts surface there
+    val stats = graft.operators.Quality.processingStats(
+      log.withColumn("rows_processed", lit(1L))
+        .withColumn("processing_time_seconds", lit(0.0)))
+      .collect().head
+    assert(stats.getAs[Long]("failed_jobs") == 3L)
+    assert(stats.getAs[Long]("successful_jobs") == 0L)
+  }
+
   test("ingestPipeline composes and stamps metadata") {
     val df = Seq(("1", "2020-01-01", "9.99")).toDF("ID!", "Order Date", "Price ($)")
     val out = CleanOps.ingestPipeline(df, "s.csv", "b1")

@@ -29,9 +29,9 @@ object Sinks {
   }
 
   /** JDBC append with executor-side batching — the direct analogue of
-    * the reference's chunked to_sql. Plumbing only in this container
-    * (no live database): options are assembled exactly as a cluster
-    * deployment would use them.
+    * the reference's chunked to_sql. Exercised live in JdbcSinkSpec
+    * against embedded Derby (write + read-back + append-again); the
+    * same options drive any warehouse target on a cluster.
     */
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  user: String, password: String,

@@ -31,13 +31,25 @@ object StreamIngest {
 
   /** CSV drop-zone stream -> cleaned frame. Schema is mandatory for
     * streams (no inference pass).
+    *
+    * `archiveDir` wires the reference's archive-processed-files step
+    * (enhanced_tasks.py:207 moves ingested files out of the drop
+    * zone): with it set, the source moves each file under
+    * `archiveDir/<original path>` after its batch commits — same
+    * filesystem rename, performed by the source's cleaner thread, so
+    * a crashed batch is NOT archived and replays. The archive dir
+    * must live outside the source glob (Spark enforces this).
     */
   def fileStream(spark: SparkSession, path: String, schema: StructType,
-                 maxFilesPerTrigger: Int = 100): DataFrame = {
-    val raw = spark.readStream
+                 maxFilesPerTrigger: Int = 100,
+                 archiveDir: Option[String] = None): DataFrame = {
+    val reader = spark.readStream
       .schema(schema)
       .option("header", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val raw = archiveDir.fold(reader)(dir =>
+        reader.option("cleanSource", "archive")
+          .option("sourceArchiveDir", dir))
       .csv(path)
     // source-file column is added AFTER name cleaning so the dunder
     // prefix survives (cleanColumnNames strips leading underscores)

@@ -53,6 +53,52 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L)))
   }
 
+  test("archive option moves ingested files out of the drop zone after commit") {
+    val drop = Files.createTempDirectory("drop_arch").toString
+    val archive = Files.createTempDirectory("archive_arch").toString
+    val cp = Files.createTempDirectory("cp_arch").toString
+    val out = Files.createTempDirectory("out_arch").toString
+    val f1 = java.nio.file.Paths.get(s"$drop/first.csv")
+    Files.writeString(f1, "amount\n1\n2\n")
+    val schema = StructType(Seq(StructField("amount", StringType)))
+    // parquet sink: supports checkpoint recovery across runs (the
+    // memory sink does not), so the second AvailableNow run resumes
+    // the same source state
+    def runBatch(): Unit = {
+      val stream = StreamIngest.fileStream(spark, drop, schema,
+        archiveDir = Some(archive))
+      val q = stream.select(col("amount")).writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runBatch()
+    // archiving runs on the source's cleaner thread after the batch
+    // commits; a second micro-batch run gives it a chance to fire and
+    // proves the moved file is not re-ingested
+    Files.writeString(java.nio.file.Paths.get(s"$drop/second.csv"), "amount\n3\n")
+    runBatch()
+    import scala.jdk.CollectionConverters._
+    def archivedFiles(): List[String] = {
+      val s = Files.walk(java.nio.file.Paths.get(archive))
+      try s.filter(Files.isRegularFile(_)).iterator().asScala.map(_.toString).toList
+      finally s.close()
+    }
+    val deadline = System.currentTimeMillis() + 30000
+    while ((Files.exists(f1) || archivedFiles().isEmpty) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(!Files.exists(f1), "first.csv should have moved out of the drop zone")
+    assert(archivedFiles().exists(_.endsWith("first.csv")),
+      s"expected first.csv under $archive, found: ${archivedFiles()}")
+    // both files ingested exactly once across the two runs (checkpoint
+    // + archive together give effective-once ingestion)
+    val got = spark.read.parquet(out).collect().map(_.getString(0)).toSeq.sorted
+    assert(got == Seq("1", "2", "3"), s"expected each row exactly once: $got")
+  }
+
   test("routed sink fans a mixed drop into per-table partitions") {
     val drop = Files.createTempDirectory("drop2").toString
     val sink = Files.createTempDirectory("sink2").toString

@@ -243,41 +243,54 @@ object Dedup {
       .filter(!isnan(col("cos")) && col("cos") >= minCosine)
   }
 
+  /** Exact embedding-cosine near-dup pairs (threshold on the ROUNDED
+    * similarity so engine FP noise can't flip membership), as a
+    * block-partitioned pair join — fully distributed, no driver
+    * collect (an earlier kernel broadcast every embedding from the
+    * driver: correct, but single-node-bounded).
+    *
+    * Shape: ids hash into `blocks` buckets; the B(B+1)/2 ordered
+    * block combos become join keys, so the inherent O(n²) pair work
+    * spreads over combos with ~(n/B)² cosines each while the shuffle
+    * ships each row ~(B+1)/2 times — B trades replication volume
+    * against per-task work, auto-sized from parallelism and corpus
+    * size. The cosine is the codegen'd
+    * [[graft.plans.CosineSimilarity]] primitive loop. For web-scale
+    * dedup prefer [[embeddingPairsLsh]], which prunes candidates
+    * before paying any pairing cost at all.
+    */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
-                     minCosine: Double): DataFrame = {
+                     minCosine: Double, blocks: Int = 0): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val rows: Array[(Long, Array[Float])] = embs
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .collect()
-      .sortBy(_._1)
-    val vecs: Array[Array[Double]] = rows.map(_._2.map(_.toDouble))
-    val ids: Array[Long] = rows.map(_._1)
-    val norms: Array[Double] = vecs.map { v =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      s
-    }
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    spark.createDataset(ids.indices.toSeq)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .flatMap { ai =>
-        val (id, v, n) = bc.value
-        val va = v(ai); val na = n(ai)
-        (ai + 1 until id.length).iterator.flatMap { bi =>
-          val vb = v(bi)
-          var dot = 0.0; var i = 0
-          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-          val raw = dot / math.sqrt(na * n(bi))
-          if (raw.isNaN) None
-          else {
-            val c = BigDecimal(raw)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (c >= minCosine) Some((id(ai), id(bi), c)) else None
-          }
-        }
+    GraftExtensions.ensureRegistered(spark)
+    val base = embs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val b =
+      if (blocks > 0) blocks
+      else {
+        // enough combos to feed every core, and blocks small enough
+        // that one combo's pair loop stays a reasonable task
+        val n = base.count()
+        val byCores = math.ceil(math.sqrt(2.0 * spark.sparkContext.defaultParallelism))
+        math.max(byCores, math.ceil(n / 65536.0)).toInt
       }
-      .toDF("id_a", "id_b", "cos")
+    val combos = (for { i <- 0 until b; j <- i until b } yield (i, j))
+      .toDF("block_a", "block_b")
+    val a = base.select(col("id").as("id_a"), col("vec").as("v_a"),
+      pmod(xxhash64(col("id")), lit(b)).cast("int").as("block_a"))
+    val bb = base.select(col("id").as("id_b"), col("vec").as("v_b"),
+      pmod(xxhash64(col("id")), lit(b)).cast("int").as("block_b"))
+    a.join(broadcast(combos), Seq("block_a"))
+      .join(bb, Seq("block_b"))
+      // each cross-block pair meets exactly once (its lower block on
+      // the a side — combos are ordered i <= j), REGARDLESS of id
+      // order, so only diagonal combos need the id tiebreak; the
+      // output orientation is then normalized with least/greatest
+      .filter(col("block_a") =!= col("block_b") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(expr("graft_cosine(v_a, v_b)"), 6).as("cos"))
+      .filter(!isnan(col("cos")) && col("cos") >= minCosine)
   }
 }

@@ -77,6 +77,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size}, missed ${exact -- lsh})")
   }
 
+  test("embeddingPairs block partitioning is invariant to the block count") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(blocks: Int) =
+      Dedup.embeddingPairs(embs, "vec_id", "embedding", minCosine = 0.3,
+          blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = pairs(1)
+    val multi = pairs(5)
+    assert(single.nonEmpty, "need non-empty pairs for the check to bite")
+    // cross-block pairs where the lower id hashes into the HIGHER
+    // block only survive if orientation is canonicalized on blocks,
+    // not ids — a regression here loses pairs silently
+    assert(multi == single,
+      s"only single: ${single -- multi}\nonly multi: ${multi -- single}")
+  }
+
   test("embedding pairs pass threshold on rounded cosine") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

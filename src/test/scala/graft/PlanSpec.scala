@@ -90,6 +90,19 @@ class PlanSpec extends SparkSpec {
       s"expected a file scan feeding the LSH path:\n$plan")
   }
 
+  test("exact embeddingPairs is distributed: no cartesian, data from the file scan") {
+    val df = graft.operators.Dedup.embeddingPairs(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding", minCosine = 0.4)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"block-pair join degenerated to a product:\n$plan")
+    // the embeddings themselves must flow from the files; the only
+    // driver-side relation allowed is the tiny block-combo table
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+      s"expected a file scan feeding the pair join:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // codegen'd operators render with the "*(n)" stage prefix
     val df = Tables.documents(spark, sf0001)

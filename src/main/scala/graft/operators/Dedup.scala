@@ -105,24 +105,19 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash signatures, same explode + wide-aggregate shape
-    * as [[minhashSignatures]]: hash each token once, 64 per-bit
-    * +-1 sums in one hash-aggregate, pack the sign vector.
+  /** 64-bit SimHash signatures via the native one-pass
+    * [[graft.plans.SimHashSignature]] expression — row-local, no
+    * explode fan-out, no 64-wide hash-aggregate, no shuffle. Hash
+    * math is bit-identical to the previous
+    * sum(±1 per (word-hash >> j) & 1) aggregation, so bands/buckets
+    * downstream are unchanged. nonEmptyText guarantees >= 1 word, so
+    * the signature is never null.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = spread(nonEmptyText(docs, textCol)).select(col(idCol).as("id"),
-        explode(T.words(col(textCol))).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
-    val aggs = (0 until 64).map { j =>
-      sum(when(call_function("shiftright", col("h"), lit(j))
-        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$j")
-    }
-    val packed = (0 until 64).map { j =>
-      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    exploded.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), packed.as("sig"))
+    GraftExtensions.ensureRegistered(docs.sparkSession)
+    spread(nonEmptyText(docs, textCol))
+      .select(col(idCol).as("id"),
+        call_function("graft_simhash", T.words(col(textCol))).as("sig"))
   }
 
   /** Near-dup pairs via 64-bit SimHash: bucket on 16-bit bands

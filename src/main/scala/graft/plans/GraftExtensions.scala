@@ -44,7 +44,10 @@ object GraftExtensions {
     (new FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       (children: Seq[Expression]) => WordShingles(children(0),
-        intLit(children(1), "n"))))
+        intLit(children(1), "n"))),
+    (new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashSignature(children(0))))
 
   /** Register into an existing session (no-op if already present). */
   def ensureRegistered(spark: SparkSession): Unit = {

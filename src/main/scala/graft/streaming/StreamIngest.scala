@@ -102,6 +102,34 @@ object StreamIngest {
     q
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * (small) static dimension with an explicit broadcast — the
+    * streaming analogue of the star-join dims, and the way the
+    * watcher's per-file lookups (pattern → table metadata) become
+    * row-level enrichment. Stateless: nothing outlives a batch.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
+  /** Watermarked stream-stream inner join: right-side events within
+    * `[leftTs, leftTs + maxDelay]` of a matching left event.
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time band, so each side's buffered state is bounded by
+    * watermark + band — the requirement for an unbounded run.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       watermark: String = "30 minutes",
+                       maxDelay: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** Exactly-once-per-key semantics within the watermark horizon:
     * late duplicates of an id (retries, at-least-once upstreams) are
     * dropped with bounded state — the streaming analogue of

@@ -53,6 +53,44 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L)))
   }
 
+  test("stream-static enrichment joins each micro-batch to a broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "click"), (2L, "view"), (3L, "click"))
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "user_name")
+    val enriched = StreamIngest.enrichWithDim(
+      mem.toDF().toDF("user_id", "event_type"), dim, Seq("user_id"))
+    val q = enriched.writeStream.format("memory").queryName("enriched").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT user_id, event_type, user_name FROM enriched ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // inner join: user 3 has no dim row and drops out
+    assert(got == Seq((1L, "click", "alice"), (2L, "view", "bob")))
+  }
+
+  test("stream-stream join matches within the event-time band only") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    imps.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (3L, Timestamp.valueOf("2024-01-01 10:00:00")))
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00")),  // in band
+      (2L, Timestamp.valueOf("2024-01-01 11:30:00")),  // past maxDelay
+      (4L, Timestamp.valueOf("2024-01-01 10:02:00")))  // no impression
+    val joined = StreamIngest.streamStreamJoin(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("click_ad", "click_ts"),
+      "ad_id", "click_ad", "imp_ts", "click_ts",
+      watermark = "1 hour", maxDelay = "15 minutes")
+    val q = joined.writeStream.format("memory").queryName("attributed").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT ad_id FROM attributed").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), s"only the in-band click should attribute: $got")
+  }
+
   test("archive option moves ingested files out of the drop zone after commit") {
     val drop = Files.createTempDirectory("drop_arch").toString
     val archive = Files.createTempDirectory("archive_arch").toString

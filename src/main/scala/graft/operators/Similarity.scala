@@ -39,6 +39,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build a bucket-partitioned ANN index: embeddings written to
+    * parquet PARTITIONED BY their SRP bucket, so the bucket is a
+    * storage-layout column rather than something recomputed per
+    * query. This is the 100 TB form of [[lshTopK]] — a probe against
+    * the index scans only the probed buckets' directories (partition
+    * pruning at the file listing, verified in PlanSpec), instead of
+    * streaming the whole corpus through a bucket filter.
+    */
+  def buildLshIndex(embs: DataFrame, idCol: String, vecCol: String,
+                    path: String, planes: Int = 8): Unit = {
+    GraftExtensions.ensureRegistered(embs.sparkSession)
+    embs.select(col(idCol), col(vecCol))
+      .withColumn("bucket", expr(s"graft_srp_buckets(`$vecCol`, $planes, 1)")(0))
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+  }
+
+  /** Probe a [[buildLshIndex]] index: multi-probe bucket set (all
+    * buckets within `maxBitDiff` of the query's) is computed on the
+    * driver from the query vector alone, then pushed as a partition
+    * filter — the scan lists only those directories. Exact cosine
+    * ranks the survivors.
+    */
+  def lshIndexTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                   query: DataFrame, idCol: String, vecCol: String, k: Int,
+                   planes: Int = 8, maxBitDiff: Int = 2): DataFrame = {
+    GraftExtensions.ensureRegistered(spark)
+    val qRow = query.select(col(vecCol).as("q_vec"),
+      expr(s"graft_srp_buckets(q_vec, $planes, 1)")(0).as("q_bucket"))
+    val qBucket = qRow.select(col("q_bucket")).head().getLong(0)
+    // enumerate the multi-probe set: all bucket ids within hamming
+    // maxBitDiff of the query's (small: sum of C(planes, d))
+    def probes(base: Long, fromBit: Int, budget: Int): Seq[Long] =
+      if (budget == 0) Seq(base)
+      else Seq(base) ++ (fromBit until planes).flatMap(b =>
+        probes(base ^ (1L << b), b + 1, budget - 1))
+    val bucketSet = probes(qBucket, 0, maxBitDiff).distinct
+    val indexed = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(bucketSet: _*))
+      .crossJoin(broadcast(qRow.select(col("q_vec"))))
+    indexed
+      .select(col(idCol), round(cosineFast(indexed, vecCol, "q_vec"), 6).as("cos"))
+      .filter(!isnan(col("cos")))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** SRP-LSH bucketed ANN: candidates = rows whose `planes`-bit
     * hyperplane signature is within `maxBitDiff` bits of the query's
     * (multi-probe by hamming distance), then exact cosine on the

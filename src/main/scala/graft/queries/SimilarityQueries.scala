@@ -29,6 +29,18 @@ object SimilarityQueries {
           queryVec(s, d), "vec_id", "embedding", k = 10)
     }),
 
+    // Stored-bucket ANN: build a bucket-PARTITIONED parquet index,
+    // probe it with multi-probe partition pruning (the scan lists
+    // only the probed buckets' directories — the 100 TB ANN shape).
+    "ann_lsh_indexed" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+      graft.operators.Similarity.buildLshIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", dir, planes = 6)
+      graft.operators.Similarity.lshIndexTopK(s, dir, queryVec(s, d),
+        "vec_id", "embedding", k = 10, planes = 6, maxBitDiff = 2)
+    }),
+
     // IVF: train coarse quantizer, assign lists, probe half the lists.
     "ann_ivf" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)

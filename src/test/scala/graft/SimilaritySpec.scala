@@ -30,6 +30,26 @@ class SimilaritySpec extends SparkSpec {
       s"LSH recall zero: truth=$truth approx=$approx")
   }
 
+  test("bucket-partitioned index: probe prunes partitions and finds the self-match") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_index").toString
+    Similarity.buildLshIndex(embs, "vec_id", "embedding", dir, planes = 6)
+    val q = embs.filter(col("vec_id") === 0)
+    val out = Similarity.lshIndexTopK(spark, dir, q, "vec_id", "embedding",
+      k = 5, planes = 6, maxBitDiff = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // the probe must prune at the partition (directory) level — the
+    // bucket predicate belongs in PartitionFilters, not a post-scan
+    // Filter over the full corpus
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"bucket probe not pushed to partition pruning:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(0) == 0L && rows.head.getDouble(1) == 1.0,
+      s"query's own bucket must be probed: ${rows.toSeq}")
+    val sims = rows.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
   test("LSH prunes the candidate set vs brute force") {
     val q = embs.filter(col("vec_id") === 0)
     val others = embs.filter(col("vec_id") =!= 0)

@@ -89,8 +89,14 @@ object Dedup {
                    perms: Int = 64, bands: Int = 16,
                    shingleSize: Int = 3): DataFrame = {
     val rows = perms / bands
+    // persist: the a/b sides of the bucket self-join are otherwise two
+    // full scan→shingle→signature pipelines (no exchange sits between
+    // the row-local signature computation and the join, so Spark has
+    // nothing to reuse). Small frame: one sig array + band structs per
+    // doc; MEMORY_AND_DISK evicts under pressure.
     val sigs = minhashSignatures(docs, idCol, textCol, perms, shingleSize)
       .withColumn("banded", H.minhashBands(col("sig"), bands, rows))
+      .persist()
     val exploded = sigs.select(col("id"), col("sig"),
         explode(col("banded")).as("b"))
       .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
@@ -126,8 +132,10 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // persist for the same two-sided-self-join reason as minhashPairs
     val sigs = simhashSignatures(docs, idCol, textCol)
       .withColumn("banded", H.simhashBands(col("sig")))
+      .persist()
     val exploded = sigs.select(col("id"), col("sig"), explode(col("banded")).as("b"))
       .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
     val a = exploded.select(col("band"), col("bucket"),

@@ -100,6 +100,18 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
 
+  /** PII redaction for training corpora: emails then phone-like
+    * +international numbers are replaced with stable tokens. Patterns
+    * are deliberately RE2-compatible (no lookarounds/backrefs) so the
+    * DuckDB oracle applies the identical regexes; email first, so the
+    * phone pattern can't eat an address's digits.
+    */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    regexp_replace(email, "\\+\\d[\\d ]{4,}\\d", "[PHONE]")
+  }
+
   /** Word array of the normalized text. */
   def words(c: Column): Column = split(normalizeText(c), " ")
 

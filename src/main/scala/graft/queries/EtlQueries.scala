@@ -202,6 +202,12 @@ object EtlQueries {
         |  max(o_orderkey) AS max_key
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
+    // [k, name, name] -> [k, name_1, name_2] (rename-all-duplicates
+    // past index 0), so the output schema is fully deterministic
+    "etl_dedupe_names" ->
+      """SELECT n_nationkey AS k, n_name AS name_1, n_regionkey AS name_2
+        |FROM nation ORDER BY k""".stripMargin,
+
     "etl_drop_empty" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(u) AS BIGINT) AS sum_u,

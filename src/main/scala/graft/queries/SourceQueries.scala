@@ -177,5 +177,12 @@ object SourceQueries {
          |        ${EtlQueries.routeCaseSql("lower('/drop/' || source || '/f_' || doc_id || '.csv')")} AS target_table
          |      FROM documents)
          |WHERE target_table IS NOT NULL
-         |GROUP BY target_table ORDER BY target_table""".stripMargin)
+         |GROUP BY target_table ORDER BY target_table""".stripMargin,
+
+    // n_bytes is the UTF-8 byte length of the payload (Spark casts
+    // the text to binary; DuckDB's encode() is the same conversion)
+    "mm_ingest" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin)
 }

@@ -13,6 +13,26 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // PII redaction over text with deterministically planted
+    // emails/phones (the corpus itself is synthetic and PII-free, so
+    // planting makes every redaction branch observable in the oracle).
+    "text_redact" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat(coalesce(col("text"), lit("")),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 555 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" now")).as("raw"))
+      planted.select(col("doc_id"), col("source"),
+          redactPii(col("raw")).as("clean"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(countOccurrences(col("clean"), "[EMAIL]")).cast("long").as("emails_redacted"),
+          sum(countOccurrences(col("clean"), "[PHONE]")).cast("long").as("phones_redacted"),
+          sum(length(col("clean"))).cast("long").as("chars_after"))
+        .orderBy(col("source"))
+    }),
+
     // Whitespace token counts + chars/4 BPE-ish estimate.
     "text_token_count" -> ((s, d) => {
       Tables.documents(s, d)
@@ -135,6 +155,28 @@ object TextQueries {
        |    ) * 10000.0 + 0.5) / 10000.0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |    coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or +1 555 ' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS raw
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(
+        |      regexp_replace(raw,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\+\d[\d ]{4,}\d', '[PHONE]', 'g') AS clean
+        |  FROM planted)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum((length(clean) - length(replace(clean, '[EMAIL]', ''))) / 7)
+        |    AS BIGINT) AS emails_redacted,
+        |  CAST(sum((length(clean) - length(replace(clean, '[PHONE]', ''))) / 7)
+        |    AS BIGINT) AS phones_redacted,
+        |  CAST(sum(length(clean)) AS BIGINT) AS chars_after
+        |FROM cleaned GROUP BY source ORDER BY source""".stripMargin,
+
     "pipeline_training_data" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

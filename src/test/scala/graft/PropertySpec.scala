@@ -12,6 +12,22 @@ import scala.util.Random
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("redactPii strips emails and international numbers, leaves clean text alone") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.redactPii
+    val rows = Seq(
+      "reach me at jane.doe+spam@sub.example.co.uk today",
+      "call +44 20 7946 0958 or +1 555 0100 now",
+      "mixed: bob@x.io and +33 1 2345 6789",
+      "no pii here, just 12345 and an @ sign alone").toDF("t")
+    val out = rows.select(redactPii(org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out(0) == "reach me at [EMAIL] today")
+    assert(out(1) == "call [PHONE] or [PHONE] now")
+    assert(out(2) == "mixed: [EMAIL] and [PHONE]")
+    assert(out(3) == "no pii here, just 12345 and an @ sign alone")
+  }
+
   test("cleanName is idempotent and produces postgres-safe names") {
     val rnd = new Random(42)
     (1 to 200).foreach { _ =>

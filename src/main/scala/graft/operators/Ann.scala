@@ -32,7 +32,9 @@ object Ann {
     // count() is metadata-only on parquet. Collected rows are sorted
     // locally (100k items) so downstream init is layout-independent.
     val total = embs.count()
-    val mod = math.max(1L, total / sampleLimit)
+    // ceil, not floor: total just under 2*sampleLimit would give
+    // mod=1 and collect ~2x the intended driver-side bound
+    val mod = math.max(1L, (total + sampleLimit - 1) / sampleLimit)
     val sample = embs.select(col(vecCol))
       .filter(pmod(xxhash64(col(vecCol)), lit(mod)) === 0)
       .as[Array[Float]].collect()
@@ -173,6 +175,10 @@ object Ann {
     val bucketed = embs
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", expr(s"graft_srp_buckets(vec, $p, 1)")(0))
+      // persist: consumed three times (occupancy pass + both join
+      // sides) — without it each consumer re-runs the scan and the
+      // SRP signature computation
+      .persist()
     // occupancy pass: one lightweight shuffle of bare bucket ids to
     // find the few buckets that need splitting
     val hot = bucketed.groupBy(col("bucket"))

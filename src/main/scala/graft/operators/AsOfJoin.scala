@@ -44,11 +44,20 @@ object AsOfJoin {
         "a silent cast would null it and make tie resolution nondeterministic")
     val leftCols = left.columns.toSeq
     val payloadType = StructType(rightPayload.map(c => right.schema(c)))
+    // type-dependent tiebreak cast: integral types keep long (a double
+    // would collapse distinct 64-bit ids above 2^53), fractional types
+    // keep double (a long would truncate 1.7 and 1.3 both to 1) —
+    // either collapse makes equal-time resolution nondeterministic
+    val tbType = right.schema(rightTiebreak).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => "long"
+      case _ => "double"
+    }
 
     val lAligned = left
       .withColumn("__t", col(leftTime))
       .withColumn("__right", lit(0))
-      .withColumn("__tb", lit(null).cast("double"))
+      .withColumn("__tb", lit(null).cast(tbType))
       .withColumn("__r", lit(null).cast(payloadType))
     val rAligned = leftCols.foldLeft(
       right
@@ -58,10 +67,7 @@ object AsOfJoin {
         .filter(col(key).isNotNull)
         .withColumn("__t", col(rightTime))
         .withColumn("__right", lit(1))
-        // double, not long: a long cast would truncate fractional
-        // tiebreak values (1.7 and 1.3 both -> 1) and reintroduce the
-        // nondeterminism the require() above guards against
-        .withColumn("__tb", col(rightTiebreak).cast("double"))
+        .withColumn("__tb", col(rightTiebreak).cast(tbType))
         .withColumn("__r", struct(rightPayload.map(col): _*))
         .select((Seq("__t", "__right", "__tb", "__r", key)).map(col): _*)) {
       (df, c) =>

@@ -14,9 +14,16 @@ import org.apache.spark.sql.functions._
   *  - minhash/simhash: signatures row-local, then ONE shuffle on
   *    (band, bucket); pairs are generated per-bucket, never O(n²);
   *  - jaccard verify runs only on LSH candidates;
-  *  - embedding: exact all-pairs version for oracle-checkable
-  *    correctness — at 100 TB use srpBucket candidates + verify
-  *    (same shape as minhash) instead.
+  *  - embedding: block-partitioned exact all-pairs for
+  *    oracle-checkable correctness; [[Dedup.embeddingPairsLsh]] for
+  *    the candidate-pruned scale path.
+  *
+  * Cache lifecycle: the pair generators persist their signature
+  * frames (consumed by both self-join sides) at MEMORY_AND_DISK and
+  * rely on LRU eviction rather than explicit unpersist — the results
+  * are lazy, so an eager unpersist would fire at plan-build time.
+  * Sessions that loop over many distinct corpora should
+  * `spark.catalog.clearCache()` between batches.
   */
 object Dedup {
 
@@ -55,7 +62,16 @@ object Dedup {
     // partitions, so only small inputs get the widening shuffle.
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val perPartition = spark.sessionState.conf.filesMaxPartitionBytes
-    if (bytes > BigInt(perPartition) * target) df else df.repartition(target)
+    // sources with no size statistics (JDBC, some views) report the
+    // defaultSizeInBytes sentinel — treating that huge value as "big
+    // enough, skip widening" would leave e.g. a 1-partition JDBC read
+    // running the whole pipeline on one core; fall back to the actual
+    // partition count for those
+    val unknown = bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    if (unknown) {
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    } else if (bytes > BigInt(perPartition) * target) df
+    else df.repartition(target)
   }
 
   /** LSH dedup only makes sense on non-empty text: empty/null docs
@@ -159,6 +175,7 @@ object Dedup {
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
                     idCol: String, textCol: String,
                     shingleSize: Int = 3): DataFrame = {
+    GraftExtensions.ensureRegistered(docs.sparkSession)
     // cache the shingle sets: they are joined twice (id_a and id_b
     // sides) and the shingle computation is the expensive part —
     // without the cache both joins recompute the full text pass

@@ -55,6 +55,30 @@ object Similarity {
       .write.mode("overwrite")
       .partitionBy("bucket")
       .parquet(path)
+    // the plane count is part of the index layout: persist it next to
+    // the data so probes can't silently use a mismatched count (which
+    // would probe buckets that don't exist and return wrong neighbors)
+    val spark = embs.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_lsh_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"planes":$planes}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read the plane count a [[buildLshIndex]] index was built with. */
+  private def indexPlanes(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): Int = {
+    val metaPath = new org.apache.hadoop.fs.Path(indexPath, "_graft_lsh_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"$indexPath has no _graft_lsh_meta.json — not a buildLshIndex index")
+    val in = fs.open(metaPath)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    """"planes"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed LSH index metadata: $json"))
   }
 
   /** Probe a [[buildLshIndex]] index: multi-probe bucket set (all
@@ -65,8 +89,12 @@ object Similarity {
     */
   def lshIndexTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                    query: DataFrame, idCol: String, vecCol: String, k: Int,
-                   planes: Int = 8, maxBitDiff: Int = 2): DataFrame = {
+                   maxBitDiff: Int = 2): DataFrame = {
     GraftExtensions.ensureRegistered(spark)
+    // the plane count comes from the index's own metadata — taking it
+    // as a parameter invited silent mismatches with buildLshIndex
+    // (wrong-bucket probes returning wrong neighbors with no error)
+    val planes = indexPlanes(spark, indexPath)
     val qRow = query.select(col(vecCol).as("q_vec"),
       expr(s"graft_srp_buckets(q_vec, $planes, 1)")(0).as("q_bucket"))
     val qBucket = qRow.select(col("q_bucket")).head().getLong(0)

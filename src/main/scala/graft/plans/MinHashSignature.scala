@@ -27,9 +27,13 @@ object MinHashKernel {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var j = 0
     while (j < n) {
-      val s = shingles.getUTF8String(j)
+      // isNullAt, not a null check on getUTF8String: UnsafeArrayData
+      // returns "" (not null) for a null slot, which would hash
+      // differently from the interpreted path for the same input
       // xxhash64(null) leaves the running hash at its seed
-      val h = if (s == null) 42L else XXH64.hashUTF8String(s, 42L)
+      val h =
+        if (shingles.isNullAt(j)) 42L
+        else XXH64.hashUTF8String(shingles.getUTF8String(j), 42L)
       val base = XXH64.hashLong(h, 42L)
       var i = 0
       while (i < perms) {

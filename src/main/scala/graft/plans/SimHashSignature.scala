@@ -20,9 +20,12 @@ object SimHashKernel {
     val ones = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val w = words.getUTF8String(i)
-      // xxhash64(null) leaves the running hash at its seed
-      val h = if (w == null) 42L else XXH64.hashUTF8String(w, 42L)
+      // isNullAt, not a null check on getUTF8String: UnsafeArrayData
+      // returns "" for a null slot. xxhash64(null) leaves the running
+      // hash at its seed
+      val h =
+        if (words.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(words.getUTF8String(i), 42L)
       var j = 0
       while (j < 64) {
         ones(j) += ((h >>> j) & 1L).toInt

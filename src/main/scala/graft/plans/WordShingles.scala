@@ -23,20 +23,23 @@ object ShingleKernel {
   def shingles(words: ArrayData, n: Int): ArrayData = {
     val w = words.numElements()
     val seen = new java.util.LinkedHashSet[UTF8String]()
+    // isNullAt guards: UnsafeArrayData.getUTF8String returns "" (not
+    // null) for a null slot; concat_ws semantics skip null elements
+    def wordAt(i: Int): UTF8String =
+      if (words.isNullAt(i)) null else words.getUTF8String(i)
     if (w >= n) {
       var i = 0
       while (i <= w - n) {
         val parts = new Array[UTF8String](n)
         var j = 0
-        while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
-        // concat_ws semantics: null elements are skipped
+        while (j < n) { parts(j) = wordAt(i + j); j += 1 }
         seen.add(UTF8String.concatWs(SPACE, parts: _*))
         i += 1
       }
     } else {
       val parts = new Array[UTF8String](w)
       var j = 0
-      while (j < w) { parts(j) = words.getUTF8String(j); j += 1 }
+      while (j < w) { parts(j) = wordAt(j); j += 1 }
       seen.add(UTF8String.concatWs(SPACE, parts: _*))
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])

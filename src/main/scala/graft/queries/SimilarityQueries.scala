@@ -38,7 +38,7 @@ object SimilarityQueries {
         Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
         "vec_id", "embedding", dir, planes = 6)
       graft.operators.Similarity.lshIndexTopK(s, dir, queryVec(s, d),
-        "vec_id", "embedding", k = 10, planes = 6, maxBitDiff = 2)
+        "vec_id", "embedding", k = 10, maxBitDiff = 2)
     }),
 
     // IVF: train coarse quantizer, assign lists, probe half the lists.

@@ -54,11 +54,16 @@ object Sources {
                      delimiter: String = ","): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files: Seq[Path] =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).filter(_.isFile).map(_.getPath).toSeq
-      else Seq(root)
-    require(files.nonEmpty, s"no files under $path")
+    // globStatus handles literal paths, directories and glob patterns
+    // uniformly (a literal glob like /drop/*.csv would make
+    // getFileStatus throw). Directory listing is non-recursive — the
+    // same contract as Spark's own csv(dir) reader.
+    val matched = Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
+    val files: Seq[Path] = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
+      else Seq(st.getPath)
+    }
+    require(files.nonEmpty, s"no files match $path")
     val groups = files.groupBy(f => detectCharset(fs, f))
     groups.map { case (charset, ps) =>
       // Spark 4 whitelists CSV charsets (no windows-1252), so the
@@ -76,26 +81,44 @@ object Sources {
     }.reduce(_.unionByName(_))
   }
 
-  /** BOM sniff + strict UTF-8 validation over a bounded prefix.
-    * Returns the charset Spark should decode the file with.
+  /** BOM sniff + strict UTF-8 validation over bounded head AND tail
+    * windows. Sampling both ends (rather than the head alone) closes
+    * the common miss of a file whose first 64 KB happens to be pure
+    * ASCII while legacy-encoded bytes appear later; a file whose ONLY
+    * high bytes sit in the unsampled middle can still slip through —
+    * the price of not scanning every byte of every file at listing
+    * time. Returns the charset Spark should decode the file with.
     */
   private[sources] def detectCharset(fs: FileSystem, file: Path): String = {
-    val in = fs.open(file)
-    val buf = new Array[Byte](65536)
-    val n =
+    val window = 65536
+    val len = fs.getFileStatus(file).getLen
+    def readAt(pos: Long, want: Int): (Array[Byte], Int) = {
+      val buf = new Array[Byte](want)
+      val in = fs.open(file)
       try {
+        if (pos > 0) in.seek(pos)
         var total = 0
         var read = 0
-        while (total < buf.length && read >= 0) {
-          read = in.read(buf, total, buf.length - total)
+        while (total < want && read >= 0) {
+          read = in.read(buf, total, want - total)
           if (read > 0) total += read
         }
-        total
+        (buf, total)
       } finally in.close()
-    if (n >= 3 && (buf(0) & 0xff) == 0xef && (buf(1) & 0xff) == 0xbb &&
-        (buf(2) & 0xff) == 0xbf) "UTF-8" // BOM; stripBomHeader cleans up
-    else if (isValidUtf8(buf, n)) "UTF-8"
-    else "windows-1252"
+    }
+    val (head, nHead) = readAt(0, window)
+    if (nHead >= 3 && (head(0) & 0xff) == 0xef && (head(1) & 0xff) == 0xbb &&
+        (head(2) & 0xff) == 0xbf) "UTF-8" // BOM; stripBomHeader cleans up
+    else if (!isValidUtf8(head, nHead)) "windows-1252"
+    else if (len > window) {
+      // tail window; skip the first byte — the seek may have landed
+      // mid-sequence of a valid multi-byte char
+      val (tail, nTail) = readAt(len - window, window)
+      var start = 0
+      while (start < nTail && (tail(start) & 0xc0) == 0x80) start += 1
+      if (isValidUtf8(tail.slice(start, nTail), nTail - start)) "UTF-8"
+      else "windows-1252"
+    } else "UTF-8"
   }
 
   /** Strict UTF-8 scan that tolerates ONE truncated trailing sequence

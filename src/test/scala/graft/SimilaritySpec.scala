@@ -35,7 +35,7 @@ class SimilaritySpec extends SparkSpec {
     Similarity.buildLshIndex(embs, "vec_id", "embedding", dir, planes = 6)
     val q = embs.filter(col("vec_id") === 0)
     val out = Similarity.lshIndexTopK(spark, dir, q, "vec_id", "embedding",
-      k = 5, planes = 6, maxBitDiff = 2)
+      k = 5, maxBitDiff = 2)
     val plan = out.queryExecution.executedPlan.toString
     // the probe must prune at the partition (directory) level — the
     // bucket predicate belongs in PartitionFilters, not a post-scan

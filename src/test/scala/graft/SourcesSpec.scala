@@ -50,6 +50,10 @@ class SourcesSpec extends SparkSpec {
     assert(g == w, s"mixed-encoding read diverged from the UTF-8 twins:\n" +
       s"only in mixed: ${g -- w}\nonly in utf8: ${w -- g}")
     assert(g.size == rowsByFile.values.map(_.size).sum)
+    // glob patterns resolve the same file set
+    val viaGlob = Sources.csvAutoCharset(spark, s"$mixed/*.csv")
+      .collect().map(_.toSeq).toSet
+    assert(viaGlob == w, "glob path should read the same rows")
   }
 
   test("csvAutoCharset with an explicit schema skips inference and still unions") {

@@ -301,8 +301,14 @@ object Dedup {
       pmod(xxhash64(col("id")), lit(b)).cast("int").as("block_a"))
     val bb = base.select(col("id").as("id_b"), col("vec").as("v_b"),
       pmod(xxhash64(col("id")), lit(b)).cast("int").as("block_b"))
+    // BOTH sides replicate through the combo table so the pair join
+    // keys on the composite (block_a, block_b): B(B+1)/2 distinct
+    // reducer keys instead of the B keys a single-column join would
+    // give — joining b on block_b alone serialized all pair
+    // generation into B tasks
     a.join(broadcast(combos), Seq("block_a"))
-      .join(bb, Seq("block_b"))
+      .join(bb.join(broadcast(combos), Seq("block_b")),
+        Seq("block_a", "block_b"))
       // each cross-block pair meets exactly once (its lower block on
       // the a side — combos are ordered i <= j), REGARDLESS of id
       // order, so only diagonal combos need the id tiebreak; the

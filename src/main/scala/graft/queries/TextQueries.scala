@@ -13,6 +13,21 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Deterministic stratified sampling — the data-mixing primitive:
+    // per-source keep rates, decisions a pure function of the doc id,
+    // so the oracle verifies the EXACT kept set.
+    "sample_stratified" -> ((s, d) => {
+      graft.operators.Sampling.stratified(
+          Tables.documents(s, d), strataCol = "source", keyCol = "doc_id",
+          rates = Map("src0" -> 0.25, "src1" -> 1.0, "src2" -> 0.5),
+          defaultRate = 0.75)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("source"))
+    }),
+
     // PII redaction over text with deterministically planted
     // emails/phones (the corpus itself is synthetic and PII-free, so
     // planting makes every redaction branch observable in the oracle).
@@ -155,6 +170,19 @@ object TextQueries {
        |    ) * 10000.0 + 0.5) / 10000.0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // thresholds: rate * 2^32 as 8-digit lowercase hex; 'g' > every
+    // hex digit, so rate 1.0 keeps all rows
+    "sample_stratified" ->
+      """SELECT source, count(*) AS n_kept, min(doc_id) AS min_id,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN '40000000'
+        |              WHEN 'src1' THEN 'g'
+        |              WHEN 'src2' THEN '80000000'
+        |              ELSE 'c0000000' END
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "text_redact" ->
       """WITH planted AS (
         |  SELECT doc_id, source,

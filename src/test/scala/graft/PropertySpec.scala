@@ -12,6 +12,27 @@ import scala.util.Random
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("deterministic sampling: reproducible, partition-invariant, rate-accurate") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 4000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val kept1 = Sampling.deterministic(df, "id", 0.5).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val kept2 = Sampling.deterministic(df.repartition(13), "id", 0.5).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept2, "keep decisions must not depend on layout")
+    assert(math.abs(kept1.size - 2000) < 150, s"rate off: ${kept1.size}/4000")
+    // stratified: rates apply per stratum; a row's decision at equal
+    // rate matches the uniform sample (same hash, same threshold)
+    val strat = Sampling.stratified(df, "src", "id",
+      Map("s0" -> 0.0, "s1" -> 1.0), defaultRate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(!strat.exists(_._2 == "s0"), "rate 0 stratum must be empty")
+    assert(strat.count(_._2 == "s1") == df.filter($"src" === "s1").count())
+    val s2kept = strat.filter(_._2 == "s2").map(_._1).toSet
+    assert(s2kept == kept1.filter(i => i % 3 == 2), "equal-rate decisions must agree")
+  }
+
   test("redactPii strips emails and international numbers, leaves clean text alone") {
     import spark.implicits._
     import graft.functions.TextFunctions.redactPii

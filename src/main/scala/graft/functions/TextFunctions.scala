@@ -112,6 +112,24 @@ object TextFunctions {
     regexp_replace(email, "\\+\\d[\\d ]{4,}\\d", "[PHONE]")
   }
 
+  /** Context-window chunking: split text into `chunkChars`-sized
+    * windows overlapping by `overlap` chars (stride = size − overlap);
+    * the last window may be shorter. Row-local array expression — the
+    * explode happens at the caller, so chunk fan-out parallelizes
+    * with the data. Chunk k starts at k·stride+1 (1-based), matching
+    * SQL substring semantics exactly for the oracle.
+    */
+  def chunkText(c: Column, chunkChars: Int, overlap: Int): Column = {
+    require(chunkChars > 0 && overlap >= 0 && overlap < chunkChars,
+      s"need 0 <= overlap < chunkChars, got chunkChars=$chunkChars overlap=$overlap")
+    val stride = chunkChars - overlap
+    val n = greatest(lit(1),
+      ceil((length(c) - lit(overlap)).cast("double") / lit(stride.toDouble))
+        .cast("int"))
+    transform(sequence(lit(0), n - 1), i =>
+      call_function("substring", c, (i * stride + 1).cast("int"), lit(chunkChars)))
+  }
+
   /** Word array of the normalized text. */
   def words(c: Column): Column = split(normalizeText(c), " ")
 

@@ -13,6 +13,23 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Context-window chunking: overlapping 200-char windows with
+    // 20-char overlap, summarized per source so every window boundary
+    // is observable in the totals.
+    "text_chunk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          explode(chunkText(col("text"), chunkChars = 200, overlap = 20))
+            .as("chunk"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(length(col("chunk"))).cast("long").as("chunk_chars"),
+          max(length(col("chunk"))).as("max_chunk"))
+        .orderBy(col("source"))
+    }),
+
     // Deterministic stratified sampling — the data-mixing primitive:
     // per-source keep rates, decisions a pure function of the doc id,
     // so the oracle verifies the EXACT kept set.
@@ -170,6 +187,22 @@ object TextQueries {
        |    ) * 10000.0 + 0.5) / 10000.0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // stride 180 = 200 - 20; chunk k starts at k*180 + 1 (1-based)
+    "text_chunk" ->
+      """SELECT source, count(*) AS n_chunks,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(length(chunk)) AS BIGINT) AS chunk_chars,
+        |  max(length(chunk)) AS max_chunk
+        |FROM (
+        |  SELECT doc_id, source,
+        |    substr(text, i * 180 + 1, 200) AS chunk
+        |  FROM documents,
+        |    LATERAL unnest(generate_series(0,
+        |      CAST(greatest(1, ceil((length(text) - 20) / 180.0)) AS BIGINT) - 1))
+        |      AS t(i)
+        |  WHERE text IS NOT NULL)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     // thresholds: rate * 2^32 as 8-digit lowercase hex; 'g' > every
     // hex digit, so rate 1.0 keeps all rows
     "sample_stratified" ->

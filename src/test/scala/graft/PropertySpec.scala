@@ -12,6 +12,31 @@ import scala.util.Random
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkText windows cover the text exactly with the declared overlap") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.chunkText
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("", "short", "a" * 200, ("abcdefghij" * 60).take(575))
+    val out = texts.toDF("t")
+      .select(col("t"), chunkText(col("t"), 200, 20).as("chunks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+    out.foreach { case (t, chunks) =>
+      assert(chunks.nonEmpty)
+      assert(chunks.forall(_.length <= 200))
+      // stride coverage: chunk k starts at k*180; stitching the first
+      // 180 chars of every chunk plus the last chunk's tail rebuilds t
+      val rebuilt = chunks.init.map(_.take(180)).mkString + chunks.last
+      assert(rebuilt == t, s"coverage broken for len ${t.length}: got ${rebuilt.length}")
+      // every boundary overlaps by 20 chars
+      chunks.sliding(2).foreach {
+        case Seq(a, b) if a.length == 200 =>
+          assert(a.takeRight(20) == b.take(20), "overlap mismatch")
+        case _ =>
+      }
+    }
+  }
+
   test("deterministic sampling: reproducible, partition-invariant, rate-accurate") {
     import spark.implicits._
     import graft.operators.Sampling

@@ -38,14 +38,6 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("doc_id_kept"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures via the scale-friendly explode shape: one
-    * pass computes shingles, explode yields (id, shingle) rows, and a
-    * single hash-aggregate on id takes 64 `min(xxhash64(i, shingle))`
-    * aggregates. Everything stays in whole-stage codegen — the naive
-    * nested-lambda formulation (64 transforms re-evaluating the
-    * shingle expression per permutation) falls out of codegen and is
-    * ~1000x slower.
-    */
   /** Spread compute-heavy per-row work across all cores: a small
     * input (one parquet file) otherwise yields one task and the
     * shingle/hash pipeline runs single-threaded. Only widens — a
@@ -229,23 +221,47 @@ object Dedup {
     */
   def embeddingPairsLsh(embs: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double, targetRecall: Double = 0.98,
-                        planes: Int = 8): DataFrame = {
+                        planes: Int = 0): DataFrame = {
     require(minCosine > -1.0 && minCosine < 1.0, "minCosine must be in (-1, 1)")
     val spark = embs.sparkSession
     GraftExtensions.ensureRegistered(spark)
     val p = 1.0 - math.acos(minCosine) / math.Pi
-    val pBand = math.pow(p, planes)
-    val tables = math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt
-    require(tables >= 1 && tables <= 64,
+    val maxTables = 64
+    def tablesFor(b: Int): Int =
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-math.pow(p, b))).toInt
+    val nPlanes =
+      if (planes > 0) planes
+      else {
+        // Pick the plane count minimizing estimated work over the
+        // feasible range. Feasibility: more AND-bits need more
+        // OR-tables for the recall target; tables <= maxTables ⟺
+        // p^planes >= 1 - (1-R)^(1/maxTables). Cost model per table:
+        // expected candidate pairs (n²/2^planes uniform buckets) plus
+        // ~8 row-ops of explode/shuffle/distinct overhead per row —
+        // more planes prune candidates but multiply the table count
+        // as ~(1/p)^planes, so neither extreme wins universally. At
+        // low thresholds (the ρ → 1 regime) every choice approaches
+        // all-pairs — inherent to LSH, not to this tuning; real dedup
+        // thresholds (0.9+) land on 10-16 selective planes.
+        val n = embs.count().toDouble
+        val byFeasibility = math.max(4, math.floor(
+          math.log(1.0 - math.pow(1.0 - targetRecall, 1.0 / maxTables)) /
+            math.log(p)).toInt)
+        def cost(b: Int): Double =
+          tablesFor(b) * (n * n / math.pow(2.0, math.min(b, 40)) / 2.0 + 8.0 * n)
+        (4 to byFeasibility).minBy(cost)
+      }
+    val tables = tablesFor(nPlanes)
+    require(tables >= 1 && tables <= maxTables,
       s"recall $targetRecall at cosine $minCosine needs $tables tables " +
-        s"with $planes planes; lower `planes` or the recall target")
+        s"with $nPlanes planes; lower `planes` or the recall target")
     val base = spread(embs.filter(col(vecCol).isNotNull))
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       // joined three times (bucketing + both verify sides); same
       // persist rationale as jaccardVerify's shingle sets
       .persist()
     val bucketed = base.select(col("id"),
-      posexplode(expr(s"graft_srp_buckets(vec, $planes, $tables)"))
+      posexplode(expr(s"graft_srp_buckets(vec, $nPlanes, $tables)"))
         .as(Seq("t", "bucket")))
     val a = bucketed.select(col("t"), col("bucket"), col("id").as("id_a"))
     val b = bucketed.select(col("t"), col("bucket"), col("id").as("id_b"))

@@ -60,9 +60,9 @@ object DedupQueries {
     }),
 
     // Embedding-cosine near-dup pairs (exact; threshold on rounded
-    // cosine). Oracle-checkable correctness baseline — the driver
-    // collect makes it single-node-bounded; dedup_embedding_lsh below
-    // is the shipped 100 TB shape.
+    // cosine). Oracle-checkable baseline via the distributed
+    // block-pair join; dedup_embedding_lsh below prunes candidates
+    // first and is the cheaper shape when the corpus is huge.
     "dedup_embedding" -> ((s, d) => {
       Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           minCosine = 0.4)
@@ -76,7 +76,7 @@ object DedupQueries {
     // construction (output ⊆ dedup_embedding).
     "dedup_embedding_lsh" -> ((s, d) => {
       Dedup.embeddingPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-          minCosine = 0.4, targetRecall = 0.98, planes = 4)
+          minCosine = 0.4, targetRecall = 0.98)
         .orderBy(col("id_a"), col("id_b"))
     }))
 

@@ -69,7 +69,7 @@ class DedupSpec extends SparkSpec {
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Dedup.embeddingPairs(embs, "vec_id", "embedding", minCosine = 0.4))
     val lsh = pairs(Dedup.embeddingPairsLsh(embs, "vec_id", "embedding",
-      minCosine = 0.4, targetRecall = 0.98, planes = 4))
+      minCosine = 0.4, targetRecall = 0.98))
     assert(exact.nonEmpty, "exact baseline must be non-empty for recall to mean anything")
     assert((lsh -- exact).isEmpty, s"verify is exact, so no false positives: ${lsh -- exact}")
     val recall = lsh.size.toDouble / exact.size

@@ -77,7 +77,7 @@ class PlanSpec extends SparkSpec {
   test("embeddingPairsLsh plan is distributed: no cartesian, no driver-side data") {
     val df = graft.operators.Dedup.embeddingPairsLsh(
       Tables.embeddings(spark, sf0001), "vec_id", "embedding",
-      minCosine = 0.4, targetRecall = 0.98, planes = 4)
+      minCosine = 0.4, targetRecall = 0.98)
     val plan = planString(df)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),

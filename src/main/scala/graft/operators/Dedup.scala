@@ -186,20 +186,54 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** Exact embedding-cosine near-dup pairs (threshold on the ROUNDED
-    * similarity so engine FP noise can't flip membership).
+  /** Resolve pairwise near-dup output into duplicate GROUPS:
+    * connected components over the pair graph by iterative min-label
+    * propagation (each node takes the smallest id reachable so far;
+    * fixpoint after diameter iterations — near-dup clusters are
+    * shallow, so the default cap is generous). Returns (id, label)
+    * for every node that appears in a pair; the label is the
+    * component's minimum id, i.e. the canonical survivor a
+    * keep-lowest-id dedup would retain.
     *
-    * Kernel: one side is broadcast as primitive double arrays and the
-    * pair loop runs in flatMap — the join+zip_with expression version
-    * of the same all-pairs computation spent ~100x the time in boxed
-    * array traversal (102 s vs ~1 s at sf0.1). This is the
-    * "mapPartitions as a last resort" case: Catalyst has no primitive
-    * mat-mul. The broadcast side must fit in memory (embeddings are
-    * small relative to their documents); beyond that, block the ids
-    * and run this kernel per block pair — and for true 100 TB dedup
-    * prune with srpBucket LSH candidates first (same shape as
-    * minhashPairs) instead of all pairs.
+    * Scale: each iteration is one join + one min-aggregate, shuffling
+    * on node ids. Label frames persist per iteration to break lineage
+    * growth. For graphs with genuinely deep chains (rare for dedup —
+    * near-dup similarity is near-transitive) switch to the
+    * large-star/small-star alternation, which converges in O(log n)
+    * rounds.
     */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Scale-safe embedding near-dup pairs: banded SRP-LSH candidates +
     * exact cosine verify — the 100 TB shape ([[minhashPairs]] →
     * [[jaccardVerify]] for vectors). No driver collect anywhere:

@@ -93,6 +93,21 @@ class DedupSpec extends SparkSpec {
       s"only single: ${single -- multi}\nonly multi: ${multi -- single}")
   }
 
+  test("components resolves chains, triangles and isolated pairs to min-id groups") {
+    // chain of diameter 5 (propagation must iterate, not just look at
+    // direct neighbors), a triangle, and an isolated pair
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L), s"wrong labels: $got")
+  }
+
   test("embedding pairs pass threshold on rounded cosine") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -208,6 +208,21 @@ object RelationalQueries {
         .orderBy(col("day"))
     }),
 
+    // Wide -> long reshaping (pandas melt): numeric part attributes
+    // unpivoted to (key, metric, value) rows, summarized per metric.
+    "unpivot_long" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total"),
+          round(avg(col("value")), 4).as("mean"))
+        .orderBy(col("metric"))
+    }),
+
     // Union + distinct across two inputs.
     "union_dedup" -> ((s, d) => {
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -354,6 +369,16 @@ object RelationalQueries {
         |  count(DISTINCT l_suppkey) AS distinct_supps,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "unpivot_long" ->
+      """SELECT metric, count(*) AS n, round(sum(value), 2) AS total,
+        |  round(avg(value), 4) AS mean
+        |FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice', p_retailprice FROM part)
+        |GROUP BY metric ORDER BY metric""".stripMargin,
 
     "pivot_wide" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -95,6 +95,34 @@ object StreamIngest {
           .parquet(s"$outDir/batch=$batchId")
       }
 
+  /** The reference's full topology as one stream: drop zone →
+    * transform → chunked append into a SQL warehouse
+    * (dataframe_tasks.py:78-85 via Celery; here a foreachBatch over
+    * [[graft.sources.Sinks.jdbcAppend]]).
+    *
+    * Delivery is at-least-once into JDBC: a failure between the
+    * append and the checkpoint commit replays the batch, and a plain
+    * INSERT cannot be made idempotent from the engine side alone.
+    * Mitigations, in preference order: route to the parquet sink
+    * ([[routedSink]], idempotent by construction) and bulk-load from
+    * there; give the warehouse table a unique key so replayed rows
+    * reject; or stamp `batchId` into a column (passed to `transform`)
+    * so replays are identifiable for cleanup — the reference's Celery
+    * retry has exactly the same semantics.
+    */
+  def jdbcSink(stream: DataFrame, url: String, table: String,
+               user: String, password: String, checkpoint: String,
+               batchSize: Int = 1000,
+               transform: (DataFrame, Long) => DataFrame = (df, _) => df,
+               trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.jdbcAppend(transform(batch, batchId), url, table,
+          user, password, batchSize)
+      }
+
   /** Convenience: start + await a bounded (AvailableNow) run. */
   def runOnce(w: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery = {
     val q = w.start()

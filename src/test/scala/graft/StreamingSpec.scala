@@ -53,6 +53,37 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L)))
   }
 
+  test("end-to-end reference topology: drop zone -> clean -> JDBC warehouse") {
+    val drop = Files.createTempDirectory("drop_jdbc").toString
+    val cp = Files.createTempDirectory("cp_jdbc").toString
+    Files.writeString(java.nio.file.Paths.get(s"$drop/batch1.csv"),
+      "Order Key!,Total Price ($)\n1,9.99\n2,5.00\n3,12.50\n")
+    val schema = StructType(Seq(
+      StructField("Order Key!", StringType), StructField("Total Price ($)", StringType)))
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val stream = StreamIngest.fileStream(spark, drop, schema)
+      .select(col("order_key"), col("total_price"))
+    StreamIngest.runOnce(StreamIngest.jdbcSink(
+      stream, url, "warehouse_orders", "app", "app", cp,
+      transform = (df, batchId) => df.withColumn("batch_id", lit(batchId))))
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "warehouse_orders").load()
+    assert(back.count() == 3)
+    assert(back.columns.toSeq.map(_.toLowerCase).sorted ==
+      Seq("batch_id", "order_key", "total_price"))
+    // a second file appends (new batch id), nothing replays
+    Files.writeString(java.nio.file.Paths.get(s"$drop/batch2.csv"),
+      "Order Key!,Total Price ($)\n4,1.00\n")
+    StreamIngest.runOnce(StreamIngest.jdbcSink(
+      StreamIngest.fileStream(spark, drop, schema)
+        .select(col("order_key"), col("total_price")),
+      url, "warehouse_orders", "app", "app", cp,
+      transform = (df, batchId) => df.withColumn("batch_id", lit(batchId))))
+    val all = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "warehouse_orders").load()
+    assert(all.count() == 4, "second run must append only the new file's rows")
+  }
+
   test("stream-static enrichment joins each micro-batch to a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]

@@ -196,11 +196,15 @@ object Dedup {
     * keep-lowest-id dedup would retain.
     *
     * Scale: each iteration is one join + one min-aggregate, shuffling
-    * on node ids. Label frames persist per iteration to break lineage
-    * growth. For graphs with genuinely deep chains (rare for dedup —
-    * near-dup similarity is near-transitive) switch to the
-    * large-star/small-star alternation, which converges in O(log n)
-    * rounds.
+    * on node ids. Each round's labels are eagerly localCheckpoint'ed:
+    * a persist alone keeps the full logical lineage, and the
+    * round-over-round plan nesting blows the driver heap after ~10
+    * iterations (measured) — checkpointing truncates the plan to the
+    * materialized result. On a cluster prefer a reliable
+    * `checkpoint()` dir for fault tolerance. For graphs with
+    * genuinely deep chains (rare for dedup — near-dup similarity is
+    * near-transitive) switch to the large-star/small-star
+    * alternation, which converges in O(log n) rounds.
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -209,7 +213,7 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -217,16 +221,23 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      // carry the previous label through the update so convergence is
+      // a filter on the checkpointed result, not another join per round
+      val prop = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = updated
+      // pointer jumping: also adopt the label OF my label (it names a
+      // node in my component, so its label is a valid — and often
+      // smaller — bound). Plain neighbor propagation needs diameter
+      // rounds; the extra hop doubles the reach per round, so deep
+      // chains converge in O(log diameter) rounds instead.
+      val hop = prop.select(col("id").as("label"), col("label").as("hop_label"))
+      val updated = prop.join(hop, Seq("label"), "left")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("hop_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.filter(col("label") =!= col("old")).count()
+      labels = updated.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }

@@ -127,7 +127,7 @@ object TextFunctions {
       ceil((length(c) - lit(overlap)).cast("double") / lit(stride.toDouble))
         .cast("int"))
     transform(sequence(lit(0), n - 1), i =>
-      call_function("substring", c, (i * stride + 1).cast("int"), lit(chunkChars)))
+      substr(c, (i * stride + 1).cast("int"), lit(chunkChars)))
   }
 
   /** Word array of the normalized text. */

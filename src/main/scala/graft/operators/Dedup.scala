@@ -211,9 +211,10 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var checkpointed = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var labels = checkpointed
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -230,18 +231,30 @@ object Dedup {
       // node in my component, so its label is a valid — and often
       // smaller — bound). Plain neighbor propagation needs diameter
       // rounds; the extra hop doubles the reach per round, so deep
-      // chains converge in O(log diameter) rounds instead.
+      // chains converge in O(log diameter) rounds instead. Late in the
+      // run this join's key distribution concentrates on the component
+      // minima — AQE's skew-join split handles the hot partitions; the
+      // structural alternative for dominant giant components is the
+      // large-star/small-star alternation.
       val hop = prop.select(col("id").as("label"), col("label").as("hop_label"))
       val updated = prop.join(hop, Seq("label"), "left")
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("hop_label"), col("label"))).as("label"))
         .localCheckpoint(true)
       val changed = updated.filter(col("label") =!= col("old")).count()
+      // free the superseded snapshot — relying on driver GC +
+      // ContextCleaner can pin maxIter label copies on the executors
+      checkpointed.unpersist()
+      checkpointed = updated
       labels = updated.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"components did not converge within $maxIter rounds — with pointer " +
+        "jumping that means a component of diameter > 2^maxIter or a cycle " +
+        "in the label order (impossible for min-propagation); raise maxIter")
     labels
   }
 
@@ -272,6 +285,11 @@ object Dedup {
     GraftExtensions.ensureRegistered(spark)
     val p = 1.0 - math.acos(minCosine) / math.Pi
     val maxTables = 64
+    val base = spread(embs.filter(col(vecCol).isNotNull))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      // consumed by the sizing count, the bucketing, and both verify
+      // sides; same persist rationale as jaccardVerify's shingle sets
+      .persist()
     def tablesFor(b: Int): Int =
       math.ceil(math.log1p(-targetRecall) / math.log1p(-math.pow(p, b))).toInt
     val nPlanes =
@@ -287,8 +305,10 @@ object Dedup {
         // as ~(1/p)^planes, so neither extreme wins universally. At
         // low thresholds (the ρ → 1 regime) every choice approaches
         // all-pairs — inherent to LSH, not to this tuning; real dedup
-        // thresholds (0.9+) land on 10-16 selective planes.
-        val n = embs.count().toDouble
+        // thresholds (0.9+) land on 10-16 selective planes. The count
+        // runs on the persisted base, so the pass is reused by the
+        // bucketing/verify consumers rather than re-scanning upstream.
+        val n = base.count().toDouble
         val byFeasibility = math.max(4, math.floor(
           math.log(1.0 - math.pow(1.0 - targetRecall, 1.0 / maxTables)) /
             math.log(p)).toInt)
@@ -300,11 +320,6 @@ object Dedup {
     require(tables >= 1 && tables <= maxTables,
       s"recall $targetRecall at cosine $minCosine needs $tables tables " +
         s"with $nPlanes planes; lower `planes` or the recall target")
-    val base = spread(embs.filter(col(vecCol).isNotNull))
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      // joined three times (bucketing + both verify sides); same
-      // persist rationale as jaccardVerify's shingle sets
-      .persist()
     val bucketed = base.select(col("id"),
       posexplode(expr(s"graft_srp_buckets(vec, $nPlanes, $tables)"))
         .as(Seq("t", "bucket")))

@@ -113,6 +113,9 @@ object StreamIngest {
   def jdbcSink(stream: DataFrame, url: String, table: String,
                user: String, password: String, checkpoint: String,
                batchSize: Int = 1000,
+               // micro-batches are small; 32 writers per batch would
+               // mean 32 warehouse connections for trivial inserts
+               numPartitions: Int = 4,
                transform: (DataFrame, Long) => DataFrame = (df, _) => df,
                trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
@@ -120,7 +123,7 @@ object StreamIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.jdbcAppend(transform(batch, batchId), url, table,
-          user, password, batchSize)
+          user, password, batchSize, numPartitions)
       }
 
   /** Convenience: start + await a bounded (AvailableNow) run. */

@@ -17,10 +17,12 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"query $name runs at sf0.001") {
+    test(s"query $name runs at sf0.001 and is non-empty") {
       val df = fn(spark, sf0001)
       assert(df.columns.nonEmpty)
-      assert(df.count() >= 0)
+      // > 0, not >= 0: an empty result "passes" any oracle without
+      // observing the operator's semantics at all
+      assert(df.count() > 0, s"$name returned an empty frame at sf0.001")
     }
   }
 }

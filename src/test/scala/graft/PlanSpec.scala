@@ -103,6 +103,16 @@ class PlanSpec extends SparkSpec {
       s"expected a file scan feeding the pair join:\n$plan")
   }
 
+  test("stratified sampling prunes the scan to key and stratum columns") {
+    val df = graft.queries.TextQueries.queries("sample_stratified")(spark, sf0001)
+    val plan = planString(df)
+    // the keep-decision is md5(doc_id) vs a per-source threshold —
+    // reading the documents' text payload for it would drag the whole
+    // corpus through the scan at 100 TB
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"sampling scan reads more than (doc_id, source):\n$plan")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // codegen'd operators render with the "*(n)" stage prefix
     val df = Tables.documents(spark, sf0001)

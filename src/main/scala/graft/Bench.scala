@@ -14,15 +14,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // steady-state timing: one untimed pass per query absorbs
-    // codegen/JIT compilation, then the timed pass measures execution.
-    // A query that throws is reported as -1 and kept OUT of the total
-    // (its time-to-crash is not an execution time).
+    // codegen/JIT compilation, then the MEDIAN of three timed passes
+    // is reported — single-run totals swing ±20% (JIT/GC in one JVM)
+    // and were polluting round-over-round comparison. A query that
+    // throws is reported as -1 and kept OUT of the total (its
+    // time-to-crash is not an execution time).
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val median =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(times.length / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

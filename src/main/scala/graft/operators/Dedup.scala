@@ -187,75 +187,104 @@ object Dedup {
   }
 
   /** Resolve pairwise near-dup output into duplicate GROUPS:
-    * connected components over the pair graph by iterative min-label
-    * propagation (each node takes the smallest id reachable so far;
-    * fixpoint after diameter iterations — near-dup clusters are
-    * shallow, so the default cap is generous). Returns (id, label)
-    * for every node that appears in a pair; the label is the
-    * component's minimum id, i.e. the canonical survivor a
-    * keep-lowest-id dedup would retain.
+    * connected components over the pair graph via the
+    * large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"). Returns (id, label) for
+    * every node that appears in a pair; the label is the component's
+    * minimum id, i.e. the canonical survivor a keep-lowest-id dedup
+    * would retain.
     *
-    * Scale: each iteration is one join + one min-aggregate, shuffling
-    * on node ids. Each round's labels are eagerly localCheckpoint'ed:
-    * a persist alone keeps the full logical lineage, and the
-    * round-over-round plan nesting blows the driver heap after ~10
-    * iterations (measured) — checkpointing truncates the plan to the
-    * materialized result. On a cluster prefer a reliable
-    * `checkpoint()` dir for fault tolerance. For graphs with
-    * genuinely deep chains (rare for dedup — near-dup similarity is
-    * near-transitive) switch to the large-star/small-star
-    * alternation, which converges in O(log n) rounds.
+    * The edge set is kept oriented large→small. Per round:
+    *  - large-star: every node u computes m = min(N(u) ∪ {u}) (one
+    *    partial-aggregating groupBy — skew-safe even for a star
+    *    center) and re-points its strictly-larger neighbors at m;
+    *  - small-star: every node re-points its smaller neighbors (and
+    *    itself) at the minimum of its smaller neighborhood.
+    * Both preserve connectivity; the fixpoint is a star forest whose
+    * centers are the component minima, reached in O(log²) rounds even
+    * for deep chains and giant components — no per-node label chase,
+    * so no late-round reducer hotspot on the component minima beyond
+    * the star joins themselves (hot u keys there are split by AQE's
+    * skew-join handling).
+    *
+    * One Spark job per round: each round's edge set carries a `chg`
+    * flag (true iff the emitting transform actually moved the edge),
+    * is lazily `localCheckpoint`ed, and the single
+    * `filter(chg).count()` action both materializes the checkpoint
+    * (truncating the plan — round-over-round lineage nesting
+    * otherwise blows the driver heap, measured in round 1) and
+    * returns the convergence signal. Zero chg rows ⟺ neither star
+    * changed an edge ⟺ star-forest fixpoint. Superseded round
+    * checkpoints are freed by the ContextCleaner once the driver
+    * drops the reference; each is O(|E|) ids. On a cluster with
+    * dynamic allocation prefer a reliable `checkpoint()` dir —
+    * localCheckpoint blocks die with their executor.
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    componentsWithRounds(pairs, maxIter)._1
+
+  /** [[components]] plus the number of rounds it took — exposed for
+    * specs asserting the O(log) convergence behavior.
+    */
+  private[graft] def componentsWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+    var edges = pairs.filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
       .distinct()
-      .persist()
-    var checkpointed = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var labels = checkpointed
+      .withColumn("chg", lit(true))
+      .localCheckpoint(false)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nmin"))
-      // carry the previous label through the update so convergence is
-      // a filter on the checkpointed result, not another join per round
-      val prop = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // pointer jumping: also adopt the label OF my label (it names a
-      // node in my component, so its label is a valid — and often
-      // smaller — bound). Plain neighbor propagation needs diameter
-      // rounds; the extra hop doubles the reach per round, so deep
-      // chains converge in O(log diameter) rounds instead. Late in the
-      // run this join's key distribution concentrates on the component
-      // minima — AQE's skew-join split handles the hot partitions; the
-      // structural alternative for dominant giant components is the
-      // large-star/small-star alternation.
-      val hop = prop.select(col("id").as("label"), col("label").as("hop_label"))
-      val updated = prop.join(hop, Seq("label"), "left")
-        .select(col("id"), col("old"),
-          least(col("label"), coalesce(col("hop_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = updated.filter(col("label") =!= col("old")).count()
-      // free the superseded snapshot — relying on driver GC +
-      // ContextCleaner can pin maxIter label copies on the executors
-      checkpointed.unpersist()
-      checkpointed = updated
-      labels = updated.select(col("id"), col("label"))
+      // large-star: m(u) = min over the full neighborhood; neighbors
+      // v > u re-point to m. Edge (u,v) is emitted exactly once (from
+      // its smaller endpoint's perspective), so the edge count never
+      // grows. chg records whether the edge actually moved (m != u).
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lMin = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // NOT deduped here: two different u can emit the same (v, m),
+      // but duplicates are harmless to the min/max aggregates below
+      // and the round-final groupBy collapses them — skipping the
+      // dedup saves a whole shuffle per round
+      val large = sym.filter(col("v") > col("u"))
+        .join(lMin, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"),
+          (col("m") =!= col("u")).as("chg"))
+      // small-star: m = min of u's smaller neighborhood; non-min
+      // smaller neighbors re-point to m (each such emission IS a
+      // change), u itself keeps (u, m). max(chg) on the self row
+      // carries the large-star phase's flags through to the count.
+      val sMin = large.groupBy(col("u"))
+        .agg(min(col("v")).as("m"), max(col("chg")).as("chg_l"))
+      val rewrites = large.join(sMin.select(col("u"), col("m")), Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u2"), col("m").as("v2"), lit(true).as("chg"))
+      val self = sMin.select(col("u").as("u2"), col("m").as("v2"),
+        col("chg_l").as("chg"))
+      val next = rewrites.union(self)
+        .groupBy(col("u2"), col("v2")).agg(max(col("chg")).as("chg"))
+        .select(col("u2").as("u"), col("v2").as("v"), col("chg"))
+        .localCheckpoint(false)
+      // the ONE action per round: materializes the checkpoint and
+      // reads the convergence signal off the same job
+      val changed = next.filter(col("chg")).count()
+      edges = next
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
     if (!converged) throw new IllegalStateException(
-      s"components did not converge within $maxIter rounds — with pointer " +
-        "jumping that means a component of diameter > 2^maxIter or a cycle " +
-        "in the label order (impossible for min-propagation); raise maxIter")
-    labels
+      s"components did not converge within $maxIter rounds — the " +
+        "large-star/small-star alternation converges in O(log²) rounds, " +
+        "so this graph is astronomically deep or maxIter is tiny; raise it")
+    // fixpoint is a star forest oriented member→minimum: members are
+    // the u side, each component minimum appears only as v
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("v").as("label")))
+      .distinct()
+    (labels, i)
   }
 
   /** Scale-safe embedding near-dup pairs: banded SRP-LSH candidates +
@@ -381,9 +410,19 @@ object Dedup {
     // keys on the composite (block_a, block_b): B(B+1)/2 distinct
     // reducer keys instead of the B keys a single-column join would
     // give — joining b on block_b alone serialized all pair
-    // generation into B tasks
+    // generation into B tasks.
+    // The explicit repartition pins one partition per combo: the join
+    // INPUT is tiny (ids + one vector per row) so AQE's size-based
+    // coalescing would fuse the combos into one or two tasks — but the
+    // join OUTPUT is (n/B)² pairs per combo, and that amplification is
+    // invisible to AQE's shuffle-byte stats. A user-specified
+    // partition count is exempt from coalescing, and since both sides
+    // share the partitioning the join itself adds no extra exchange.
+    val comboCount = b * (b + 1) / 2
     a.join(broadcast(combos), Seq("block_a"))
-      .join(bb.join(broadcast(combos), Seq("block_b")),
+      .repartition(comboCount, col("block_a"), col("block_b"))
+      .join(bb.join(broadcast(combos), Seq("block_b"))
+          .repartition(comboCount, col("block_a"), col("block_b")),
         Seq("block_a", "block_b"))
       // each cross-block pair meets exactly once (its lower block on
       // the a side — combos are ordered i <= j), REGARDLESS of id

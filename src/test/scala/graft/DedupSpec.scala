@@ -108,6 +108,24 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L), s"wrong labels: $got")
   }
 
+  test("components: deep chain and giant component converge in O(log) rounds") {
+    // a 128-node path (diameter 127) — min-label propagation would
+    // need ~127 rounds (or ~7 with pointer jumping but with the label
+    // hotspot); large-star/small-star must land well under 10 — and a
+    // 500-leaf star into the same frame (giant component, the case
+    // that concentrated r2's hop join on the component minimum)
+    val chain = (1L until 128L).map(i => (i, i + 1))
+    val star = (1002L to 1501L).map(i => (1001L, i))
+    val (got, rounds) = Dedup.componentsWithRounds(
+      (chain ++ star).toDF("id_a", "id_b"))
+    val labels = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 128 + 501)
+    assert((1L to 128L).forall(labels(_) == 1L), "chain must collapse to 1")
+    assert((1001L to 1501L).forall(labels(_) == 1001L), "star must collapse to 1001")
+    info(s"converged in $rounds rounds")
+    assert(rounds <= 10, s"expected O(log) convergence, got $rounds rounds")
+  }
+
   test("embedding pairs pass threshold on rounded cosine") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for benchmark data beyond the driver-provided
+  * scale factors: `runMain graft.ScaleUp <inDir> <outDir> <copies>`.
+  *
+  * Each copy k shifts every key domain by k * 100M so the union is a
+  * k-times larger dataset with the same join fan-outs and the same
+  * duplicate RATE (each copy is an independent shard):
+  *  - document text gets a copy-specific suffix on every word, so
+  *    cross-copy shingle similarity is exactly zero — without it every
+  *    doc would have `copies` near-identical twins and LSH pair counts
+  *    would grow quadratically in `copies`, which is not how a bigger
+  *    corpus behaves;
+  *  - embeddings keep their vectors verbatim (ids shifted): the
+  *    driver's own scale ladder grows pair counts quadratically
+  *    (sf0.01 -> sf0.1 is 4x vectors, 15.6x pairs at cosine 0.4 — a
+  *    denser sample of one fixed cluster distribution), and identity
+  *    copies reproduce exactly that quadratic threshold-pair growth.
+  *    A per-copy orthogonal sign-flip was tried and rejected: the
+  *    vectors are low-intrinsic-dimension clusters, so flipped
+  *    centroids re-align with other clusters at random and the
+  *    cross-copy pair count became an arbitrary skewed constant
+  *    instead of a model of anything;
+  *  - nation/region (bounded dimensions) keep one copy, and their
+  *    foreign keys are left unshifted everywhere.
+  *
+  * Dev tool for scaling experiments — not part of the library surface.
+  */
+object ScaleUp {
+  private val Offset = 100_000_000L
+
+  def main(args: Array[String]): Unit = {
+    val inDir = args(0)
+    val outDir = args(1)
+    val copies = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def scaled(name: String, keyCols: Seq[String],
+               transform: (DataFrame, Int) => DataFrame = (df, _) => df,
+               outParts: Int = 4): Unit = {
+      val base = Tables.load(spark, inDir, name)
+      val union = (0 until copies).map { k =>
+        val shifted = keyCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(k * Offset)))
+        transform(shifted, k)
+      }.reduce(_ unionAll _)
+      union.repartition(outParts)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+      println(s"[scaleup] $name x$copies written")
+    }
+
+    // bounded dimensions: single copy, unshifted keys
+    Seq("region", "nation").foreach { name =>
+      Tables.load(spark, inDir, name).write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/$name.parquet")
+      println(s"[scaleup] $name copied")
+    }
+
+    scaled("customer", Seq("c_custkey"))
+    scaled("supplier", Seq("s_suppkey"))
+    scaled("part", Seq("p_partkey"))
+    scaled("orders", Seq("o_orderkey", "o_custkey"))
+    scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), outParts = 16)
+    // events: keep timestamps (session/window distributions), shift ids.
+    // Written back as int64 nanoseconds so Tables.events' nanos->micros
+    // path reads the scaled copy the same way it reads the original.
+    scaled("events", Seq("event_id", "user_id"),
+      (df, _) => df.withColumn("ts", unix_micros(col("ts")) * lit(1000L)),
+      outParts = 8)
+    scaled("documents", Seq("doc_id"), (df, k) =>
+      if (k == 0) df
+      else df
+        .withColumn("text",
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1x" + k))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    scaled("embeddings", Seq("vec_id"))
+
+    spark.stop()
+  }
+}

@@ -105,19 +105,19 @@ object Ann {
                 k: Int, nprobe: Int): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    val qv = query.select(col(vecCol)).as[Array[Float]].head()
-    val qn = normalize(qv.map(_.toDouble))
-    val lists = centroids.indices
-      .map(c => c -> {
-        var dot = 0.0; var i = 0
-        while (i < qn.length) { dot += qn(i) * centroids(c)(i); i += 1 }
-        dot
-      })
-      .sortBy(-_._2).take(nprobe).map(_._1)
+    // collect ONCE and reuse the same vector for list selection and
+    // the broadcast side (head()+crossJoin evaluated the query frame
+    // twice — a non-deterministic source could pick one vector's lists
+    // and score another; a multi-row query silently used the first)
+    val qvs = query.select(col(vecCol)).as[Array[Float]].take(2)
+    require(qvs.length == 1,
+      s"ivfSearch expects exactly one query row, got ${qvs.length}" +
+        " (use ivfSearchEach for a batch of queries)")
+    val qv = qvs.head
+    val lists = nearestLists(qv, centroids, nprobe)
     GraftExtensions.ensureRegistered(spark)
-    val qDf = query.select(col(vecCol).as("q_vec"))
     val pruned = assigned.filter(col("list_id").isin(lists: _*))
-      .crossJoin(broadcast(qDf))
+      .crossJoin(broadcast(Seq(qv).toDF("q_vec")))
     pruned
       .select(col(idCol),
         round(expr(s"graft_cosine(`$vecCol`, q_vec)"), 6).as("cos"),
@@ -125,6 +125,60 @@ object Ann {
       .filter(!isnan(col("cos")))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batch IVF probe: one collect reads the query batch (driver-sized
+    * by contract — it is a probe list, not a corpus), each query
+    * fans out to its `nprobe` nearest lists, and an equi-join on
+    * list_id routes each assigned row only to the queries probing its
+    * list. Rank-limited window per query id (map-side group limit, so
+    * the shuffle carries at most k rows per query per map partition).
+    * Output: (q_id, idCol, cos).
+    */
+  def ivfSearchEach(assigned: DataFrame, query: DataFrame, qIdCol: String,
+                    idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]],
+                    k: Int, nprobe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    GraftExtensions.ensureRegistered(spark)
+    val qSel = query.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+    val qRows = qSel.collect()
+    require(qRows.nonEmpty, "empty query batch")
+    val probeRows = qRows.flatMap { r =>
+      val qv = r.getAs[scala.collection.Seq[Float]]("q_vec").toArray
+      nearestLists(qv, centroids, nprobe)
+        .map(l => org.apache.spark.sql.Row(r.get(0), r.get(1), l))
+    }
+    val probeSchema = org.apache.spark.sql.types.StructType(
+      qSel.schema.fields :+
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toSeq, 1), probeSchema)
+    val allLists = probeRows.map(_.getInt(2)).distinct.toSeq
+    val joined = assigned.filter(col("list_id").isin(allLists: _*))
+      .join(broadcast(probeDf), Seq("list_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    joined
+      .select(col("q_id"), col(idCol),
+        round(expr(s"graft_cosine(`$vecCol`, q_vec)"), 6).as("cos"))
+      .filter(!isnan(col("cos")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** The `nprobe` list ids whose centroids are nearest to `qv`. */
+  private def nearestLists(qv: Array[Float], centroids: Array[Array[Double]],
+                           nprobe: Int): Seq[Int] = {
+    val qn = normalize(qv.map(_.toDouble))
+    centroids.indices
+      .map(c => c -> {
+        var dot = 0.0; var i = 0
+        while (i < qn.length) { dot += qn(i) * centroids(c)(i); i += 1 }
+        dot
+      })
+      .sortBy(-_._2).take(nprobe).map(_._1)
   }
 
   /** k-NN self-join via SRP-LSH buckets: candidates share a bucket

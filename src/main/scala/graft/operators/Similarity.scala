@@ -24,10 +24,15 @@ object Similarity {
 
   /** Exact top-k by cosine to one query vector. The query side is a
     * 1-row broadcast; ordering ties resolve by id so results are
-    * deterministic.
+    * deterministic. Loudly rejects a multi-row query frame (a silent
+    * global top-k over mixed queries is a wrong answer, not a looser
+    * one) — for a batch of queries use [[bruteForceTopKEach]].
     */
   def bruteForceTopK(embs: DataFrame, query: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    require(query.limit(2).count() == 1,
+      "bruteForceTopK expects exactly one query row; use bruteForceTopKEach " +
+        "for a batch of queries")
     val q = query.select(col(vecCol).as("q_vec"))
     val joined = embs.crossJoin(broadcast(q))
     joined
@@ -37,6 +42,28 @@ object Similarity {
       .filter(!isnan(col("cos")))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Exact per-query top-k for a BATCH of query rows: the query frame
+    * broadcasts, every (query, corpus) cosine is scored in one
+    * shuffle-free pass over the corpus, and a window ranks within
+    * each query id. The corpus is scanned once no matter how many
+    * queries ride along — the batch form a 100 TB pipeline should use
+    * instead of looping single probes. Output: (q_id, idCol, cos).
+    */
+  def bruteForceTopKEach(embs: DataFrame, query: DataFrame, qIdCol: String,
+                         idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = query.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+    val joined = embs.crossJoin(broadcast(q))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    joined
+      .select(col("q_id"), col(idCol),
+        round(cosineFast(joined, vecCol, "q_vec"), 6).as("cos"))
+      .filter(!isnan(col("cos")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
   }
 
   /** Build a bucket-partitioned ANN index: embeddings written to
@@ -95,24 +122,85 @@ object Similarity {
     // as a parameter invited silent mismatches with buildLshIndex
     // (wrong-bucket probes returning wrong neighbors with no error)
     val planes = indexPlanes(spark, indexPath)
-    val qRow = query.select(col(vecCol).as("q_vec"),
-      expr(s"graft_srp_buckets(q_vec, $planes, 1)")(0).as("q_bucket"))
-    val qBucket = qRow.select(col("q_bucket")).head().getLong(0)
-    // enumerate the multi-probe set: all bucket ids within hamming
-    // maxBitDiff of the query's (small: sum of C(planes, d))
-    def probes(base: Long, fromBit: Int, budget: Int): Seq[Long] =
-      if (budget == 0) Seq(base)
-      else Seq(base) ++ (fromBit until planes).flatMap(b =>
-        probes(base ^ (1L << b), b + 1, budget - 1))
-    val bucketSet = probes(qBucket, 0, maxBitDiff).distinct
+    // collect the query ONCE and reuse the same row for the bucket set
+    // and the broadcast side: the previous head()+crossJoin evaluated
+    // the query frame twice, so a non-deterministic source could probe
+    // one vector's buckets and score a different vector — and a
+    // multi-row query silently probed only the first row's buckets
+    val qRows = query
+      .select(col(vecCol).as("q_vec"),
+        expr(s"graft_srp_buckets(`$vecCol`, $planes, 1)")(0).as("q_bucket"))
+      .take(2)
+    require(qRows.length == 1,
+      s"lshIndexTopK expects exactly one query row, got ${qRows.length}" +
+        " (use lshIndexTopKEach for a batch of queries)")
+    val qVec = qRows.head.getAs[scala.collection.Seq[Float]]("q_vec").toArray
+    val qBucket = qRows.head.getAs[Long]("q_bucket")
+    val bucketSet = probeSet(qBucket, planes, maxBitDiff)
+    import spark.implicits._
     val indexed = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(bucketSet: _*))
-      .crossJoin(broadcast(qRow.select(col("q_vec"))))
+      .crossJoin(broadcast(Seq(qVec).toDF("q_vec")))
     indexed
       .select(col(idCol), round(cosineFast(indexed, vecCol, "q_vec"), 6).as("cos"))
       .filter(!isnan(col("cos")))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batch probe of a [[buildLshIndex]] index: one collect computes
+    * every query's multi-probe bucket set (the query batch is
+    * driver-sized by contract — it is a probe list, not a corpus),
+    * the scan partition-prunes to the UNION of all probed buckets,
+    * and an equi-join on the bucket id routes each index row only to
+    * the queries that actually probed its bucket. Per-query ranking
+    * is a rank-limited window (Spark turns it into a map-side group
+    * limit, so the shuffle carries at most k rows per query per map
+    * partition). Output: (q_id, idCol, cos).
+    */
+  def lshIndexTopKEach(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       query: DataFrame, qIdCol: String, idCol: String,
+                       vecCol: String, k: Int, maxBitDiff: Int = 2): DataFrame = {
+    GraftExtensions.ensureRegistered(spark)
+    val planes = indexPlanes(spark, indexPath)
+    val qSel = query.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"),
+      expr(s"graft_srp_buckets(`$vecCol`, $planes, 1)")(0).as("q_bucket"))
+    val qRows = qSel.collect()
+    require(qRows.nonEmpty, "empty query batch")
+    val probeRows = qRows.flatMap { r =>
+      probeSet(r.getAs[Long]("q_bucket"), planes, maxBitDiff)
+        .map(b => org.apache.spark.sql.Row(r.get(0), r.get(1), b))
+    }
+    val probeSchema = org.apache.spark.sql.types.StructType(
+      qSel.schema.fields.take(2) :+
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toSeq, 1), probeSchema)
+    val allBuckets = probeRows.map(_.getLong(2)).distinct.toSeq
+    val joined = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(allBuckets: _*))
+      .join(broadcast(probeDf), Seq("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    joined
+      .select(col("q_id"), col(idCol),
+        round(cosineFast(joined, vecCol, "q_vec"), 6).as("cos"))
+      .filter(!isnan(col("cos")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Multi-probe bucket enumeration: all bucket ids within hamming
+    * `budget` of `base` (small: sum of C(planes, d) for d <= budget).
+    */
+  private def probeSet(base: Long, planes: Int, budget: Int): Seq[Long] = {
+    def rec(b: Long, fromBit: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(b)
+      else Seq(b) ++ (fromBit until planes).flatMap(bit =>
+        rec(b ^ (1L << bit), bit + 1, left - 1))
+    rec(base, 0, budget).distinct
   }
 
   /** SRP-LSH bucketed ANN: candidates = rows whose `planes`-bit
@@ -125,6 +213,8 @@ object Similarity {
               vecCol: String, k: Int, planes: Int = 12,
               maxBitDiff: Int = 2): DataFrame = {
     GraftExtensions.ensureRegistered(embs.sparkSession)
+    require(query.limit(2).count() == 1,
+      "lshTopK expects exactly one query row")
     // native one-pass signature (codegen'd, cached plane matrix) —
     // the HOF srpBucket re-hashed every (plane, dim) pair per row
     val sig = expr(s"graft_srp_buckets(`$vecCol`, $planes, 1)")(0)

@@ -54,6 +54,17 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cos"))
     }),
 
+    // Batch ANN: several query vectors share ONE scan of the corpus;
+    // per-query exact top-k via a rank-limited window (map-side group
+    // limit). Exact SQL oracle like ann_bruteforce.
+    "ann_bruteforce_batch" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Similarity.bruteForceTopKEach(
+          embs.filter(col("vec_id") > 2), embs.filter(col("vec_id") <= 2),
+          "vec_id", "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("vec_id"))
+    }),
+
     // Approximate k-NN self-join over LSH buckets, summarized. Plane
     // count is auto-derived from the corpus size (bounded expected
     // bucket), and over-full buckets salt-split — the same call scales
@@ -75,5 +86,20 @@ object SimilarityQueries {
         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |        (SELECT e FROM q)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_bruteforce_batch" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id <= 2),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |      FROM embeddings WHERE vec_id > 2),
+        |s AS (SELECT q.q_id, c.vec_id,
+        |        round(list_cosine_similarity(c.e, q.e), 6) AS cos
+        |      FROM q CROSS JOIN c),
+        |r AS (SELECT q_id, vec_id, cos,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY cos DESC, vec_id) AS rn
+        |      FROM s)
+        |SELECT q_id, vec_id, cos FROM r WHERE rn <= 5
+        |ORDER BY q_id, vec_id""".stripMargin)
 }

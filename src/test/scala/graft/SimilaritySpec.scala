@@ -50,6 +50,87 @@ class SimilaritySpec extends SparkSpec {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("multi-row query frames are rejected loudly, not silently first-row'd") {
+    val q2 = embs.filter(col("vec_id") < 2)
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(embs, q2, "vec_id", "embedding", 5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(embs, q2, "vec_id", "embedding", 5).collect()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lsh_multi").toString
+    Similarity.buildLshIndex(embs, "vec_id", "embedding", dir, planes = 6)
+    intercept[IllegalArgumentException] {
+      Similarity.lshIndexTopK(spark, dir, q2, "vec_id", "embedding", 5).collect()
+    }
+    val cents = graft.operators.Ann.trainCentroids(embs, "embedding", nlist = 4)
+    val assigned = graft.operators.Ann.assignLists(embs, "vec_id", "embedding", cents)
+    intercept[IllegalArgumentException] {
+      graft.operators.Ann.ivfSearch(assigned, q2, "vec_id", "embedding",
+        cents, 5, 2).collect()
+    }
+  }
+
+  test("batch top-k matches per-query single probes") {
+    val queries = embs.filter(col("vec_id") < 3)
+    val corpus = embs.filter(col("vec_id") >= 3)
+    def single(qid: Long) = Similarity.bruteForceTopK(corpus,
+        embs.filter(col("vec_id") === qid), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Similarity.bruteForceTopKEach(corpus, queries,
+        "vec_id", "vec_id", "embedding", 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    (0L to 2L).foreach { q =>
+      assert(batch(q) == single(q), s"query $q: ${batch(q)} vs ${single(q)}")
+    }
+  }
+
+  test("batch index probe matches single probes per query") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_batch").toString
+    val corpus = embs.filter(col("vec_id") >= 3)
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", dir, planes = 6)
+    val queries = embs.filter(col("vec_id") < 3)
+    def single(qid: Long) = Similarity.lshIndexTopK(spark, dir,
+        embs.filter(col("vec_id") === qid), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Similarity.lshIndexTopKEach(spark, dir, queries,
+        "vec_id", "vec_id", "embedding", 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    (0L to 2L).foreach { q =>
+      assert(batch(q) == single(q), s"query $q: ${batch(q)} vs ${single(q)}")
+    }
+  }
+
+  test("batch IVF probe matches single probes per query") {
+    val cents = graft.operators.Ann.trainCentroids(embs, "embedding", nlist = 4)
+    val assigned = graft.operators.Ann
+      .assignLists(embs, "vec_id", "embedding", cents).persist()
+    val corpus = assigned.filter(col("vec_id") >= 3)
+    val queries = embs.filter(col("vec_id") < 3)
+    def single(qid: Long) = graft.operators.Ann.ivfSearch(corpus,
+        embs.filter(col("vec_id") === qid), "vec_id", "embedding", cents, 5, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = graft.operators.Ann.ivfSearchEach(corpus, queries,
+        "vec_id", "vec_id", "embedding", cents, 5, 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    (0L to 2L).foreach { q =>
+      assert(batch(q) == single(q), s"query $q: ${batch(q)} vs ${single(q)}")
+    }
+    assigned.unpersist()
+  }
+
   test("LSH prunes the candidate set vs brute force") {
     val q = embs.filter(col("vec_id") === 0)
     val others = embs.filter(col("vec_id") =!= 0)

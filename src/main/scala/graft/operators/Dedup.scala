@@ -394,10 +394,14 @@ object Dedup {
     val b =
       if (blocks > 0) blocks
       else {
-        // enough combos to feed every core, and blocks small enough
-        // that one combo's pair loop stays a reasonable task
+        // enough combos to feed every core SEVERAL times over — at
+        // B(B+1)/2 ≈ cores the last wave is mostly idle stragglers
+        // (36 combos on 32 cores = 4 tasks running alone in wave 2);
+        // ~8 combos per core quantizes the pair work finely enough
+        // that the waves stay full. Blocks also stay small enough
+        // that one combo's (n/B)² pair loop is a reasonable task.
         val n = base.count()
-        val byCores = math.ceil(math.sqrt(2.0 * spark.sparkContext.defaultParallelism))
+        val byCores = math.ceil(math.sqrt(16.0 * spark.sparkContext.defaultParallelism))
         math.max(byCores, math.ceil(n / 65536.0)).toInt
       }
     val combos = (for { i <- 0 until b; j <- i until b } yield (i, j))

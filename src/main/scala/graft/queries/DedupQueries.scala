@@ -23,6 +23,22 @@ object DedupQueries {
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** embeddings plus planted near-duplicates of vec_id < 50 (new ids
+    * offset by 1000000): per-dimension multiplicative jitter drawn
+    * deterministically from xxhash64(vec_id, dim), uniform in
+    * [0.4, 1.6] — the planted pair's cosine lands ~0.9-0.99, so a
+    * 0.9-threshold dedup has real rows to find on both engines.
+    */
+  private[graft] def embsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    embs.select(col("vec_id"), col("embedding")).union(
+      embs.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          expr("transform(embedding, (x, i) -> x * (0.4 + 1.2 * " +
+            "(pmod(xxhash64(vec_id * 64 + i), 1000) / 1000.0)))")
+            .cast("array<float>").as("embedding")))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup on md5(normalized text): planted dups collapse to
     // their original id with n_copies = 2.
@@ -79,6 +95,20 @@ object DedupQueries {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
         .orderBy(col("label"))
+    }),
+
+    // The selective LSH regime users actually run: dedup at cosine
+    // >= 0.9 over a corpus with planted near-duplicate vectors
+    // (per-dimension multiplicative jitter, cosine ~0.9-0.99). At this
+    // threshold the cost model lands on single-digit tables with
+    // selective planes — candidate generation prunes instead of
+    // degenerating toward all-pairs like the 0.4-threshold stress
+    // query below. Recall vs the exact baseline is spec'd at the same
+    // threshold in DedupSpec.
+    "dedup_embedding_lsh_strict" -> ((s, d) => {
+      Dedup.embeddingPairsLsh(embsWithNearDups(s, d), "vec_id", "embedding",
+          minCosine = 0.9, targetRecall = 0.98)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Scale path: banded SRP-LSH candidates + exact cosine verify —

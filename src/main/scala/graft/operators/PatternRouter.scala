@@ -47,4 +47,21 @@ object PatternRouter {
             mapping: Seq[(String, String)] = defaultMapping): DataFrame =
     df.withColumn("target_table", routeExpr(col(pathCol), mapping))
       .filter(col("target_table").isNotNull)
+
+  /** Config-driven routing with schema-QUALIFIED targets: the
+    * reference routes `reports` to `staging.staging_reports` while
+    * everything else lands in `public.*` (pattern_config.yaml), and a
+    * bare table name cannot express that. Emits `target`
+    * (schema.table — what a JDBC sink's dbtable wants), plus
+    * `target_schema`/`target_table` split out for sinks that take
+    * them separately. Reloading the config and re-running is the
+    * redeploy-free reconfiguration the reference's hot-reload gives
+    * its watcher.
+    */
+  def route(df: DataFrame, pathCol: String,
+            config: graft.PipelineConfig): DataFrame =
+    df.withColumn("target", routeExpr(col(pathCol), config.qualifiedMapping))
+      .filter(col("target").isNotNull)
+      .withColumn("target_schema", substring_index(col("target"), ".", 1))
+      .withColumn("target_table", substring_index(col("target"), ".", -1))
 }

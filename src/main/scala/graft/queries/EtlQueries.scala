@@ -97,16 +97,18 @@ object EtlQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Path-substring -> table routing over synthetic drop-zone paths
-    // (first-match-wins precedence exercised via routeFixture).
+    // Path-substring -> table routing over synthetic drop-zone paths,
+    // driven by the external-config form (reference keys, parsed at
+    // query build) with schema-QUALIFIED targets; first-match-wins
+    // precedence exercised via the anchored-vs-bare src1 patterns.
     "etl_pattern_route" -> ((s, d) => {
       val withPath = Tables.documents(s, d).select(col("doc_id"),
         concat(lit("Z:\\drop\\"), col("source"), lit("\\file_"),
           col("doc_id").cast("string"), lit(".csv")).as("path"))
-      PatternRouter.route(withPath, "path", routeFixture)
-        .groupBy(col("target_table"))
+      PatternRouter.route(withPath, "path", routeConfig)
+        .groupBy(col("target"), col("target_schema"), col("target_table"))
         .agg(count(lit(1)).as("n_files"), min(col("doc_id")).as("min_doc"))
-        .orderBy(col("target_table"))
+        .orderBy(col("target"))
     }),
 
     // Per-column null-count quality report.
@@ -115,8 +117,11 @@ object EtlQueries {
 
     // Row-level validation gates (non-empty, bounded size; the bound
     // sits inside the corpus length range so it actually cuts rows).
+    // The char bound comes from the external config's data_quality
+    // extras, not code.
     "etl_validate" -> ((s, d) => {
-      CleanOps.validateRows(Tables.documents(s, d), "text", maxChars = 500)
+      CleanOps.validateRows(Tables.documents(s, d), "text",
+        maxChars = routeConfig.quality.extras("max_row_chars").toLong)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_valid"), sum(col("n_chars")).cast("long").as("chars"))
         .orderBy(col("source"))
@@ -137,9 +142,29 @@ object EtlQueries {
     // the pipeline gates drop or degrade, with status='error' and
     // machine-checkable reasons, summarized per distinct message.
     "etl_failure_log" -> ((s, d) => {
-      CleanOps.failureLog(dirtyOrders(s, d), "order_key",
-          sourceName = "orders_drop.csv", batchId = "batch_0001",
-          emptyCheckCols = Seq("Order-Date", "Total Price ($)"))
+      val rowLog = CleanOps.failureLog(dirtyOrders(s, d), "order_key",
+        sourceName = "orders_drop.csv", batchId = "batch_0001",
+        emptyCheckCols = Seq("Order-Date", "Total Price ($)"))
+      // FILE-level gate rejects join the same audit trail: a
+      // deterministic drop-zone fixture exercises every reject class
+      // (oversized under a test-scale cap, empty, headerless) plus a
+      // passing file that must NOT appear.
+      val gateDir = java.nio.file.Files.createTempDirectory("graft_gate")
+      def put(name: String, content: String): Unit =
+        java.nio.file.Files.write(gateDir.resolve(name),
+          content.getBytes("UTF-8"))
+      put("oversized.csv", "a,b,c\n" + "1,2,3\n" * 60)
+      put("empty.csv", "")
+      put("headerless.csv", "a,,c\n1,2,3\n")
+      put("good.csv", "a,b,c\n1,2,3\n")
+      val (_, rejects) = graft.sources.Sources.fileGate(s, gateDir.toString,
+        routeConfig.quality.copy(maxFileSizeMb = Some(0.0001)))
+      import s.implicits._
+      val fileLog = rejects.toDF("source_name", "error_message")
+        .select(lit(null).cast("long").as("order_key"),
+          lit("error").as("status"), col("error_message"),
+          col("source_name"), lit("batch_0001").as("processing_batch"))
+      rowLog.unionByName(fileLog)
         .groupBy(col("status"), col("error_message"),
           col("source_name"), col("processing_batch"))
         .agg(count(lit(1)).as("n_rows"),
@@ -186,11 +211,65 @@ object EtlQueries {
     "/src3/" -> "dim_products",
     "/src4/" -> "staging_reports")
 
+  /** The same routing fixture as an EXTERNAL config with the
+    * reference's exact keys (config/pattern_config.yaml:
+    * pattern_mappings/table/schema, data_quality, watcher_settings) —
+    * etl_pattern_route and etl_validate are driven from the parsed
+    * form, so the driver gate proves the config path end to end.
+    * Mixed schemas (public vs staging) exercise qualification;
+    * `max_row_chars` rides in data_quality as a deployment extra.
+    */
+  private[graft] val configYaml: String =
+    """watcher_settings:
+      |  supported_extensions:
+      |  - .csv
+      |  - .xlsx
+      |pattern_mappings:
+      |  "/src1/":
+      |    table: dim_customers
+      |    schema: public
+      |    description: Customer master data
+      |  "src1":
+      |    table: overflow_numbers
+      |    schema: staging
+      |    description: Overflow for unanchored src1 paths
+      |  "/src2/":
+      |    table: fact_sales
+      |    schema: public
+      |  "/src3/":
+      |    table: dim_products
+      |    schema: public
+      |  "/src4/":
+      |    table: staging_reports
+      |    schema: staging
+      |data_quality:
+      |  max_file_size_mb: 100
+      |  require_headers: true
+      |  skip_empty_files: true
+      |  encoding_fallbacks:
+      |  - utf-8
+      |  - utf-8-sig
+      |  - latin1
+      |  - cp1252
+      |  max_row_chars: 500
+      |""".stripMargin
+
+  private[graft] lazy val routeConfig: graft.PipelineConfig =
+    graft.PipelineConfig.parseYaml(configYaml)
+
   /** DuckDB CASE mirroring [[PatternRouter.routeExpr]] over a
     * lowercase forward-slash path SQL expression.
     */
   private[queries] def routeCaseSql(pathExpr: String): String = {
     val whens = routeFixture.map { case (p, t) =>
+      s"WHEN contains($pathExpr, '$p') THEN '$t'"
+    }.mkString(" ")
+    s"CASE $whens END"
+  }
+
+  /** Same, but against the config's schema-QUALIFIED targets. */
+  private def routeCaseSqlQualified(pathExpr: String): String = {
+    val whens = routeConfig.qualifiedMapping.map { case (p, t) =>
       s"WHEN contains($pathExpr, '$p') THEN '$t'"
     }.mkString(" ")
     s"CASE $whens END"
@@ -233,12 +312,14 @@ object EtlQueries {
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
 
     "etl_pattern_route" ->
-      s"""SELECT target_table, count(*) AS n_files, min(doc_id) AS min_doc
+      s"""SELECT target, split_part(target, '.', 1) AS target_schema,
+         |  split_part(target, '.', 2) AS target_table,
+         |  count(*) AS n_files, min(doc_id) AS min_doc
          |FROM (SELECT doc_id,
-         |        ${routeCaseSql("lower('Z:/drop/' || source || '/file_' || doc_id || '.csv')")} AS target_table
+         |        ${routeCaseSqlQualified("lower('Z:/drop/' || source || '/file_' || doc_id || '.csv')")} AS target
          |      FROM documents)
-         |WHERE target_table IS NOT NULL
-         |GROUP BY target_table ORDER BY target_table""".stripMargin,
+         |WHERE target IS NOT NULL
+         |GROUP BY target ORDER BY target""".stripMargin,
 
     "etl_quality_report" ->
       """SELECT count(*) AS n_rows,
@@ -262,8 +343,13 @@ object EtlQueries {
         |  round(avg(round(value, 4)), 4) AS avg_processing_time_seconds
         |FROM events""".stripMargin,
 
+    // The three trailing literal rows are the FILE-gate rejects from
+    // the deterministic drop-zone fixture the Spark query writes and
+    // gates (oversized/empty/headerless; good.csv must not appear) —
+    // fixture bytes are fixed, so the expected log rows are too.
     "etl_failure_log" ->
-      s"""SELECT 'error' AS status, error_message,
+      s"""SELECT * FROM (
+         |SELECT 'error' AS status, error_message,
          |  'orders_drop.csv' AS source_name, 'batch_0001' AS processing_batch,
          |  count(*) AS n_rows, min(order_key) AS min_key, max(order_key) AS max_key
          |FROM (
@@ -278,7 +364,14 @@ object EtlQueries {
          |         THEN 'unparseable_number:total_price' END) AS error_message
          |  FROM ($dirtyCleanSql))
          |WHERE length(error_message) > 0
-         |GROUP BY error_message ORDER BY error_message""".stripMargin,
+         |GROUP BY error_message
+         |UNION ALL SELECT 'error', 'empty_file', 'empty.csv', 'batch_0001',
+         |  1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |UNION ALL SELECT 'error', 'file_too_large', 'oversized.csv', 'batch_0001',
+         |  1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |UNION ALL SELECT 'error', 'missing_header', 'headerless.csv', 'batch_0001',
+         |  1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |) ORDER BY error_message""".stripMargin,
 
     "etl_ingest_pipeline" ->
       s"""SELECT status, 'orders_drop.csv' AS source_name,

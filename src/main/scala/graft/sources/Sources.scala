@@ -181,6 +181,71 @@ object Sources {
     else df
   }
 
+  /** File-level quality gates (pattern_config.yaml data_quality;
+    * pattern_watcher_configurable.py:239-253): size cap, empty-file
+    * skip, and a header presence check for CSVs (first line must
+    * exist and have no blank field — the re-expression of the
+    * reference's post-read `df.columns.isna().any()` reject). Files
+    * with unsupported extensions are silently ignored, matching the
+    * watcher's is_supported_file pre-filter.
+    *
+    * Returns (accepted paths, rejected (fileName, reason) pairs) with
+    * reasons `file_too_large` / `empty_file` / `missing_header`, for
+    * the caller to land in its failure log. Gate work is bounded
+    * metadata I/O per file (a stat, plus <= 8 KB of head for the
+    * header check) — the same order as the file listing itself.
+    */
+  def fileGate(spark: SparkSession, path: String, gates: graft.QualityGates,
+               extensions: Seq[String] = Seq(".csv")): (Seq[String], Seq[(String, String)]) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
+      else Seq(st.getPath)
+    }.filter(p => extensions.exists(e => p.getName.toLowerCase.endsWith(e)))
+    gateFiles(spark, files.map(_.toString), gates)
+  }
+
+  /** Gate a concrete file list — shared by [[fileGate]] (batch
+    * listing) and the streaming sinks (which gate each micro-batch's
+    * source files). See [[fileGate]] for semantics.
+    */
+  private[graft] def gateFiles(spark: SparkSession, files: Seq[String],
+                               gates: graft.QualityGates): (Seq[String], Seq[(String, String)]) = {
+    val accepted = scala.collection.mutable.ListBuffer.empty[String]
+    val rejected = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    files.foreach { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val len = fs.getFileStatus(p).getLen
+      val tooLarge = gates.maxFileSizeMb.exists(mb => len > mb * 1024 * 1024)
+      if (tooLarge) rejected += p.getName -> "file_too_large"
+      else if (len == 0 && gates.skipEmptyFiles) rejected += p.getName -> "empty_file"
+      else if (gates.requireHeaders && p.getName.toLowerCase.endsWith(".csv") &&
+        !hasHeader(fs, p)) rejected += p.getName -> "missing_header"
+      else accepted += f
+    }
+    (accepted.toSeq, rejected.toSeq)
+  }
+
+  /** First line exists and has no blank field (<= 8 KB peek). */
+  private def hasHeader(fs: FileSystem, p: Path): Boolean = {
+    val in = fs.open(p)
+    val buf = new Array[Byte](8192)
+    val n = try {
+      var total = 0; var read = 0
+      while (total < buf.length && read >= 0) {
+        read = in.read(buf, total, buf.length - total)
+        if (read > 0) total += read
+      }
+      total
+    } finally in.close()
+    val text = new String(buf, 0, math.max(n, 0), "UTF-8")
+    val line = text.takeWhile(c => c != '\n' && c != '\r')
+    line.nonEmpty && line.split(",", -1).forall(_.trim.nonEmpty)
+  }
+
   /** JSON-lines. */
   def jsonl(spark: SparkSession, path: String,
             schema: Option[StructType] = None): DataFrame =

@@ -95,6 +95,46 @@ object StreamIngest {
           .parquet(s"$outDir/batch=$batchId")
       }
 
+  /** Config-driven routed sink with FILE-level quality gates: each
+    * micro-batch's distinct source files (bounded by
+    * maxFilesPerTrigger) are stat-checked against the config's
+    * data_quality gates — size cap, empty-file skip, CSV header
+    * presence — before any row is routed. Rejected files' rows are
+    * dropped from the batch and one failure-log row per rejected file
+    * (status='error', reason `file_too_large`/`empty_file`/
+    * `missing_header`) is appended under `rejectDir`, so a 2 GB junk
+    * file lands in the audit trail instead of sailing into the
+    * warehouse. Routing uses the config's schema-qualified targets
+    * (partition column `target` = schema.table).
+    */
+  def gatedRoutedSink(stream: DataFrame, outDir: String, checkpoint: String,
+                      config: graft.PipelineConfig, rejectDir: String,
+                      pathCol: String = "__source_file",
+                      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val files = batch.select(col(pathCol)).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val (ok, rejects) = graft.sources.Sources.gateFiles(spark, files, config.quality)
+        if (rejects.nonEmpty) {
+          rejects.toDF("source_name", "error_message")
+            .select(lit("error").as("status"), col("error_message"),
+              col("source_name"), lit(s"stream_batch_$batchId").as("processing_batch"))
+            .write.mode("append").parquet(rejectDir)
+        }
+        val clean =
+          if (rejects.isEmpty) batch
+          else batch.filter(col(pathCol).isin(ok: _*))
+        PatternRouter.route(clean, pathCol, config)
+          .write.mode("overwrite")
+          .partitionBy("target")
+          .parquet(s"$outDir/batch=$batchId")
+      }
+
   /** The reference's full topology as one stream: drop zone →
     * transform → chunked append into a SQL warehouse
     * (dataframe_tasks.py:78-85 via Celery; here a foreachBatch over

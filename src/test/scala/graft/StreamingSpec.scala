@@ -33,6 +33,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("1", "9.99"), ("2", "5.00")))
   }
 
+  test("gated routed sink: file gates reject junk, rejects land in the log") {
+    val drop = Files.createTempDirectory("drop_gated").toString
+    val out = Files.createTempDirectory("gated_out").toString
+    val cp = Files.createTempDirectory("gated_cp").toString
+    val rejectDir = s"$out/rejects"
+    // routes via the config fixture's /src2/ (public.fact_sales)
+    Files.createDirectories(java.nio.file.Paths.get(s"$drop/src2"))
+    Files.writeString(java.nio.file.Paths.get(s"$drop/src2/good.csv"),
+      "Order Key!,Total Price ($)\n1,9.99\n2,5.00\n")
+    // oversized under the test-scale cap: its rows must NOT be routed
+    Files.writeString(java.nio.file.Paths.get(s"$drop/src2/oversized.csv"),
+      "Order Key!,Total Price ($)\n" + "9,1.00\n" * 60)
+    // headerless: first line has a blank field
+    Files.writeString(java.nio.file.Paths.get(s"$drop/src2/headerless.csv"),
+      "a,,c\n7,1,2\n")
+    val cfg = PipelineConfig.parseYaml(graft.queries.EtlQueries.configYaml)
+    val gatedCfg = cfg.copy(quality = cfg.quality.copy(maxFileSizeMb = Some(0.0002)))
+    val schema = StructType(Seq(
+      StructField("Order Key!", StringType), StructField("Total Price ($)", StringType)))
+    val stream = StreamIngest.fileStream(spark, s"$drop/*/*.csv", schema)
+    StreamIngest.runOnce(StreamIngest.gatedRoutedSink(
+      stream, s"$out/routed", s"$cp/c1", gatedCfg, rejectDir))
+    val routed = spark.read.parquet(s"$out/routed/batch=0")
+    assert(routed.select("target").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("public.fact_sales"))
+    // only the good file's two rows survive the gate
+    assert(routed.count() == 2,
+      routed.select("order_key", "__source_file").collect().mkString(", "))
+    val rejects = spark.read.parquet(rejectDir)
+      .select("source_name", "error_message", "status")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rejects == Set(
+      ("oversized.csv", "file_too_large", "error"),
+      ("headerless.csv", "missing_header", "error")))
+  }
+
   test("watermarked tumbling window counts per type") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]

@@ -142,6 +142,39 @@ object DedupQueries {
         |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Verifies the VERIFIED pairs, not the candidates: the oracle
+    // computes exact n-gram Jaccard for every pair via an inverted
+    // shingle-index join (only docs sharing a shingle meet) and
+    // filters at the query's 0.8 threshold. The Spark side reaches
+    // the same set through MinHash candidates — banding at 64/16
+    // misses a jaccard>=0.8 pair with p<=(1-0.8^4)^16≈0.02%, and on
+    // the fixed, seeded sf0.01 gate corpus it deterministically
+    // catches all of them (checked pair-for-pair), so the hash gate
+    // is exact here by construction, not by luck per run.
+    "dedup_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |           FOR i IN generate_series(1, greatest(len(w) - 2, 0))]) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |        FROM corpus WHERE text IS NOT NULL AND length(trim(text)) > 0)),
+        |ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+        |  FROM shared
+        |  JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+        |  JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_components" ->
       """WITH RECURSIVE
         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

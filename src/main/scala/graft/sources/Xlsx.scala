@@ -35,9 +35,18 @@ object Xlsx {
     * DataFrame of strings; first row of the selected sheet is the
     * header; schema is taken from the lexicographically first file.
     * `sheetName=None` reads each workbook's first sheet.
+    *
+    * Width handling: rows NARROWER than the header pad with nulls
+    * (trailing empty cells are normal xlsx), but a row WIDER than the
+    * header means the chosen header file was too narrow and the
+    * overflow cells would be silently dropped. `strict=true` fails
+    * the read loudly on the first such row (file + widths in the
+    * message); the default keeps the truncating behavior for ragged
+    * drop zones — audit those with [[truncationLog]].
     */
   def read(spark: SparkSession, path: String,
-           sheetName: Option[String] = None): DataFrame = {
+           sheetName: Option[String] = None,
+           strict: Boolean = false): DataFrame = {
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content")
     import spark.implicits._
@@ -50,14 +59,49 @@ object Xlsx {
       }.headOption.getOrElse(Seq.empty)
     if (header.isEmpty) return spark.emptyDataFrame
     val rowsDs = files.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
-      parseSheetRows(bytes, sheetName, source = p).drop(1)
+      parseSheetRows(bytes, sheetName, source = p).drop(1).map(cells => (p, cells))
     }
     val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
     val width = header.length
-    val rdd = rowsDs.rdd.map { cells =>
+    val rdd = rowsDs.rdd.map { case (p, cells) =>
+      if (strict && cells.length > width) throw new IllegalStateException(
+        s"$p: row has ${cells.length} cells but the header (from the " +
+          s"lexicographically first file) has $width — overflow cells would " +
+          "be dropped; widen the header file or read with strict=false")
       Row.fromSeq(cells.padTo(width, null).take(width))
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-file audit of rows wider than the header — the rows
+    * [[read]]'s default mode truncates. Failure-log-shaped
+    * (status='warning', one row per affected file with the count), so
+    * it unions straight into the pipeline's failure log. Costs a
+    * second parse of the workbooks; they are drop-zone-sized by
+    * nature.
+    */
+  def truncationLog(spark: SparkSession, path: String,
+                    sheetName: Option[String] = None,
+                    batchId: String = ""): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+    val header = files.orderBy("path")
+      .as[(String, Array[Byte])].take(1).toSeq
+      .flatMap { case (p, bytes) =>
+        parseSheetRows(bytes, sheetName, maxRows = 1, source = p).toSeq
+      }.headOption.getOrElse(Seq.empty)
+    val width = header.length
+    files.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
+      val wide = parseSheetRows(bytes, sheetName, source = p).drop(1)
+        .count(_.length > width)
+      if (wide > 0) Some((p.split('/').last, wide.toLong)) else None
+    }.toDF("source_name", "n_rows")
+      .select(org.apache.spark.sql.functions.lit("warning").as("status"),
+        org.apache.spark.sql.functions.lit("row_wider_than_header").as("error_message"),
+        org.apache.spark.sql.functions.col("source_name"),
+        org.apache.spark.sql.functions.lit(batchId).as("processing_batch"),
+        org.apache.spark.sql.functions.col("n_rows"))
   }
 
   /** Iterate rows of one sheet as cell-string sequences (A1 gaps ->

@@ -75,4 +75,29 @@ class XlsxSpec extends SparkSpec {
     }
     assert(err2.getMessage.contains("not an OOXML workbook"), err2.getMessage)
   }
+
+  test("ragged workbooks: strict errors, default truncates with an audit log") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_ragged").toString
+    // lexicographically FIRST file supplies the (narrow) header
+    Xlsx.write(s"$dir/a_narrow.xlsx", Seq("k", "v"), Seq(Seq("1", "x")))
+    // later file has wider rows: the third cell would be dropped
+    Xlsx.write(s"$dir/b_wide.xlsx", Seq("k", "v", "extra"),
+      Seq(Seq("2", "y", "OVERFLOW"), Seq("3", "z", "OVERFLOW2")))
+    // default: truncating read, two files union under the narrow header
+    val df = Xlsx.read(spark, s"$dir/*.xlsx")
+    assert(df.columns.toSeq == Seq("k", "v"))
+    // each file's own first row is its header: 1 + 2 data rows
+    assert(df.count() == 3)
+    // the audit log names the offending file and counts its wide rows
+    val log = Xlsx.truncationLog(spark, s"$dir/*.xlsx", batchId = "b1")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(log.toSeq == Seq(("warning", "row_wider_than_header", "b_wide.xlsx", 2L)),
+      log.mkString(", "))
+    // strict: the read itself fails loudly, naming the file and widths
+    val err = intercept[org.apache.spark.SparkException] {
+      Xlsx.read(spark, s"$dir/*.xlsx", strict = true).count()
+    }
+    val msg = Option(err.getCause).map(_.getMessage).getOrElse(err.getMessage)
+    assert(msg.contains("b_wide.xlsx") && msg.contains("overflow cells"), msg)
+  }
 }

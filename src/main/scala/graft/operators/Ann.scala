@@ -200,6 +200,10 @@ object Ann {
     *    task. Only over-cap buckets pay the replication (nsplit = 1
     *    elsewhere), and the hot-bucket list is tiny by construction
     *    (at most n/bucketCap entries), so it broadcasts.
+    *
+    * Persists the bucketed frame (occupancy pass + both join sides)
+    * and leaves it to LRU eviction; sessions looping over many
+    * corpora should `spark.catalog.clearCache()` between batches.
     */
   def knnJoin(embs: DataFrame, idCol: String, vecCol: String, k: Int,
               planes: Int = 0, targetBucket: Int = 1024,

@@ -63,6 +63,11 @@ object Dedup {
     if (unknown) {
       if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
     } else if (bytes > BigInt(perPartition) * target) df
+    // small by size, but possibly already wide: a frame fresh off an
+    // upstream shuffle has >= target partitions and repartitioning it
+    // again would be a pointless extra shuffle. The .rdd peek is only
+    // paid on this small-input branch.
+    else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
 
@@ -92,6 +97,10 @@ object Dedup {
 
   /** Candidate near-dup pairs via MinHash LSH banding, annotated with
     * the signature-estimated Jaccard.
+    *
+    * Persists the signature frame for the bucket self-join and leaves
+    * it to LRU/`spark.catalog.clearCache()` — see the object scaladoc
+    * for the lifecycle rationale.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    perms: Int = 64, bands: Int = 16,
@@ -137,6 +146,10 @@ object Dedup {
   /** Near-dup pairs via 64-bit SimHash: bucket on 16-bit bands
     * (pigeonhole guarantees hamming<=3 pairs collide), verify the
     * actual hamming distance.
+    *
+    * Persists the signature frame for the bucket self-join and leaves
+    * it to LRU/`spark.catalog.clearCache()` — see the object scaladoc
+    * for the lifecycle rationale.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
@@ -305,6 +318,10 @@ object Dedup {
     * (buckets per table ~ 2^planes) and let the table count follow.
     * Output is a subset of [[embeddingPairs]] (verify is exact), so
     * precision is 1.0 by construction.
+    *
+    * Persists the id+vector base frame (sizing count, bucketing, both
+    * verify sides) and leaves it to LRU/`spark.catalog.clearCache()` —
+    * see the object scaladoc for the lifecycle rationale.
     */
   def embeddingPairsLsh(embs: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double, targetRecall: Double = 0.98,

@@ -81,6 +81,27 @@ object Sources {
     }.reduce(_.unionByName(_))
   }
 
+  /** Per-file charset decisions [[csvAutoCharset]] would make, as an
+    * auditable frame (file_name, charset) — the detection is a bounded
+    * two-window sample, so a file whose only legacy bytes sit mid-file
+    * can be misclassified UTF-8 and silently decode with replacement
+    * chars; pipelines that care should audit this report (or count
+    * U+FFFD in the decoded output) rather than trusting the sample
+    * blindly.
+    */
+  def charsetReport(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
+      else Seq(st.getPath)
+    }
+    files.map(f => (f.getName, detectCharset(fs, f)))
+      .toDF("file_name", "charset")
+  }
+
   /** BOM sniff + strict UTF-8 validation over bounded head AND tail
     * windows. Sampling both ends (rather than the head alone) closes
     * the common miss of a file whose first 64 KB happens to be pure

@@ -67,4 +67,14 @@ class SourcesSpec extends SparkSpec {
     assert(names.contains("€100 “deal”"), s"cp1252 high bytes corrupted: $names")
     assert(names.contains("café crème"), s"latin1 bytes corrupted: $names")
   }
+
+  test("charsetReport exposes each file's detection decision for audit") {
+    val (mixed, _) = writeFixtures()
+    val report = Sources.charsetReport(spark, mixed.toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(report("a.csv") == "windows-1252") // latin1 bytes, same decode path
+    assert(report("b.csv") == "UTF-8")        // BOM'd
+    assert(report("c.csv") == "windows-1252")
+    assert(report("d.csv") == "UTF-8")
+  }
 }

@@ -20,6 +20,7 @@ object Bench {
     // throws is reported as -1 and kept OUT of the total (its
     // time-to-crash is not an execution time).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val times = (1 to iters).map { _ =>

@@ -132,11 +132,17 @@ object PipelineConfig {
     val quality = tree.get("data_quality") match {
       case Some(q: java.util.Map[_, _]) =>
         val e = q.asScala.map { case (k, v) => k.toString -> v }.toMap
-        val maxMb = e.get("max_file_size_mb").map {
-          case n: Number => n.doubleValue()
-          case other =>
+        // absent key -> the reference's 100 MB default; an EXPLICIT
+        // `max_file_size_mb: null` disables the cap. Treating absence
+        // as "unlimited" would silently wave 2 GB junk through for
+        // any config that just didn't mention the key.
+        val maxMb = e.get("max_file_size_mb") match {
+          case None => QualityGates().maxFileSizeMb
+          case Some(null) => None
+          case Some(n: Number) => Some(n.doubleValue())
+          case Some(other) =>
             errors += s"max_file_size_mb must be a number, got: $other"
-            0.0
+            QualityGates().maxFileSizeMb
         }
         def bool(key: String, dflt: Boolean): Boolean = e.get(key) match {
           case Some(b: java.lang.Boolean) => b

@@ -240,12 +240,20 @@ object Dedup {
     * specs asserting the O(log) convergence behavior.
     */
   private[graft] def componentsWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
-    var edges = pairs.filter(col("id_a") =!= col("id_b"))
+    // ONE scan of the (possibly expensive) pairs input: self-pairs
+    // ride along into the checkpoint so the label-extraction step can
+    // recover self-paired-only nodes without re-running the pair
+    // pipeline. greatest/least skip nulls, so a half-null pair
+    // degrades to a self-pair of its non-null side; fully-null pairs
+    // are dropped.
+    val init = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
       .distinct()
       .withColumn("chg", lit(true))
       .localCheckpoint(false)
+    var edges = init.filter(col("u") =!= col("v"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -294,10 +302,19 @@ object Dedup {
         "so this graph is astronomically deep or maxIter is tiny; raise it")
     // fixpoint is a star forest oriented member→minimum: members are
     // the u side, each component minimum appears only as v
-    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+    val starLabels = edges.select(col("u").as("id"), col("v").as("label"))
       .union(edges.select(col("v").as("id"), col("v").as("label")))
       .distinct()
-    (labels, i)
+    // the u =!= v iteration filter dropped nodes whose ONLY pairs are
+    // self-pairs — the contract is a row for EVERY (non-null) node
+    // that appears in a pair, and a self-paired node is its own
+    // component minimum. Read off the materialized init checkpoint,
+    // NOT the raw pairs input (that would re-run the pair pipeline).
+    val selfOnly = init.filter(col("u") === col("v"))
+      .select(col("u").as("id"))
+      .join(starLabels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    (starLabels.union(selfOnly), i)
   }
 
   /** Scale-safe embedding near-dup pairs: banded SRP-LSH candidates +

@@ -30,11 +30,17 @@ object Similarity {
     */
   def bruteForceTopK(embs: DataFrame, query: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    require(query.limit(2).count() == 1,
-      "bruteForceTopK expects exactly one query row; use bruteForceTopKEach " +
-        "for a batch of queries")
-    val q = query.select(col(vecCol).as("q_vec"))
-    val joined = embs.crossJoin(broadcast(q))
+    // collect ONCE and broadcast the collected row: a count-then-
+    // crossJoin would evaluate the query frame twice, so a
+    // non-deterministic source could pass the guard and still score a
+    // different (or second) vector
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val qs = query.select(col(vecCol)).as[Array[Float]].take(2)
+    require(qs.length == 1,
+      s"bruteForceTopK expects exactly one query row, got ${qs.length}" +
+        " (use bruteForceTopKEach for a batch of queries)")
+    val joined = embs.crossJoin(broadcast(qs.toSeq.toDF("q_vec")))
     joined
       .select(col(idCol), round(cosineFast(joined, vecCol, "q_vec"), 6).as("cos"))
       // zero-norm vectors give NaN, which Spark sorts ABOVE all
@@ -212,14 +218,19 @@ object Similarity {
   def lshTopK(embs: DataFrame, query: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 12,
               maxBitDiff: Int = 2): DataFrame = {
-    GraftExtensions.ensureRegistered(embs.sparkSession)
-    require(query.limit(2).count() == 1,
-      "lshTopK expects exactly one query row")
+    val spark = embs.sparkSession
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    // collect once; see bruteForceTopK for the double-evaluation trap
+    val qs = query.select(col(vecCol)).as[Array[Float]].take(2)
+    require(qs.length == 1,
+      s"lshTopK expects exactly one query row, got ${qs.length}")
     // native one-pass signature (codegen'd, cached plane matrix) —
     // the HOF srpBucket re-hashed every (plane, dim) pair per row
     val sig = expr(s"graft_srp_buckets(`$vecCol`, $planes, 1)")(0)
     val bucketed = embs.withColumn("bucket", sig)
-    val q = query.select(col(vecCol).as("q_vec"), sig.as("q_bucket"))
+    val q = qs.toSeq.toDF(vecCol)
+      .select(col(vecCol).as("q_vec"), sig.as("q_bucket"))
     val joined = bucketed.crossJoin(broadcast(q))
       .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= maxBitDiff)
     joined

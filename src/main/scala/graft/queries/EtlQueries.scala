@@ -145,19 +145,7 @@ object EtlQueries {
       val rowLog = CleanOps.failureLog(dirtyOrders(s, d), "order_key",
         sourceName = "orders_drop.csv", batchId = "batch_0001",
         emptyCheckCols = Seq("Order-Date", "Total Price ($)"))
-      // FILE-level gate rejects join the same audit trail: a
-      // deterministic drop-zone fixture exercises every reject class
-      // (oversized under a test-scale cap, empty, headerless) plus a
-      // passing file that must NOT appear.
-      val gateDir = java.nio.file.Files.createTempDirectory("graft_gate")
-      def put(name: String, content: String): Unit =
-        java.nio.file.Files.write(gateDir.resolve(name),
-          content.getBytes("UTF-8"))
-      put("oversized.csv", "a,b,c\n" + "1,2,3\n" * 60)
-      put("empty.csv", "")
-      put("headerless.csv", "a,,c\n1,2,3\n")
-      put("good.csv", "a,b,c\n1,2,3\n")
-      val (_, rejects) = graft.sources.Sources.fileGate(s, gateDir.toString,
+      val (_, rejects) = graft.sources.Sources.fileGate(s, gateFixtureDir,
         routeConfig.quality.copy(maxFileSizeMb = Some(0.0001)))
       import s.implicits._
       val fileLog = rejects.toDF("source_name", "error_message")
@@ -256,6 +244,24 @@ object EtlQueries {
 
   private[graft] lazy val routeConfig: graft.PipelineConfig =
     graft.PipelineConfig.parseYaml(configYaml)
+
+  /** FILE-level gate fixture for etl_failure_log: a deterministic
+    * drop zone exercising every reject class (oversized under the
+    * query's test-scale cap, empty, headerless) plus a passing file
+    * that must NOT appear in the log. Built once per JVM — per-query
+    * construction leaked temp dirs and put driver file I/O inside the
+    * bench's timed window.
+    */
+  private lazy val gateFixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate")
+    def put(name: String, content: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), content.getBytes("UTF-8"))
+    put("oversized.csv", "a,b,c\n" + "1,2,3\n" * 60)
+    put("empty.csv", "")
+    put("headerless.csv", "a,,c\n1,2,3\n")
+    put("good.csv", "a,b,c\n1,2,3\n")
+    dir.toString
+  }
 
   /** DuckDB CASE mirroring [[PatternRouter.routeExpr]] over a
     * lowercase forward-slash path SQL expression.

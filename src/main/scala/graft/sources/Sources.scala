@@ -52,17 +52,8 @@ object Sources {
   def csvAutoCharset(spark: SparkSession, path: String,
                      schema: Option[StructType] = None,
                      delimiter: String = ","): DataFrame = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // globStatus handles literal paths, directories and glob patterns
-    // uniformly (a literal glob like /drop/*.csv would make
-    // getFileStatus throw). Directory listing is non-recursive — the
-    // same contract as Spark's own csv(dir) reader.
-    val matched = Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
-    val files: Seq[Path] = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
-      else Seq(st.getPath)
-    }
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listFiles(fs, path)
     require(files.nonEmpty, s"no files match $path")
     val groups = files.groupBy(f => detectCharset(fs, f))
     groups.map { case (charset, ps) =>
@@ -91,15 +82,21 @@ object Sources {
     */
   def charsetReport(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val matched = Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
-    val files = matched.flatMap { st =>
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listFiles(fs, path).map(f => (f.getName, detectCharset(fs, f)))
+      .toDF("file_name", "charset")
+  }
+
+  // Files matching a literal path, directory, or glob — globStatus
+  // handles all three uniformly (a literal glob like /drop/*.csv
+  // would make getFileStatus throw). Directory listing is
+  // non-recursive — the same contract as Spark's own csv(dir) reader.
+  private def listFiles(fs: FileSystem, path: String): Seq[Path] = {
+    val matched = Option(fs.globStatus(new Path(path))).map(_.toSeq).getOrElse(Seq.empty)
+    matched.flatMap { st =>
       if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
       else Seq(st.getPath)
     }
-    files.map(f => (f.getName, detectCharset(fs, f)))
-      .toDF("file_name", "charset")
   }
 
   /** BOM sniff + strict UTF-8 validation over bounded head AND tail
@@ -218,13 +215,9 @@ object Sources {
     */
   def fileGate(spark: SparkSession, path: String, gates: graft.QualityGates,
                extensions: Seq[String] = Seq(".csv")): (Seq[String], Seq[(String, String)]) = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val matched = Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
-      else Seq(st.getPath)
-    }.filter(p => extensions.exists(e => p.getName.toLowerCase.endsWith(e)))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listFiles(fs, path)
+      .filter(p => extensions.exists(e => p.getName.toLowerCase.endsWith(e)))
     gateFiles(spark, files.map(_.toString), gates)
   }
 

@@ -30,10 +30,14 @@ final class HealthListener(maxEvents: Int = 10000) extends StreamingQueryListene
                                reason: String)
 
   private val events = new java.util.concurrent.ConcurrentLinkedDeque[BatchHealth]()
+  // ConcurrentLinkedDeque.size is O(n); track it ourselves so the
+  // per-event trim stays O(1) on the shared listener-bus thread
+  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def add(e: BatchHealth): Unit = {
     events.addLast(e)
-    while (events.size > maxEvents) events.pollFirst()
+    if (count.incrementAndGet() > maxEvents &&
+        events.pollFirst() != null) count.decrementAndGet()
   }
 
   override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -64,15 +68,23 @@ final class HealthListener(maxEvents: Int = 10000) extends StreamingQueryListene
         "rows_processed", "processing_time_seconds", "reason")
   }
 
-  /** Durable history: append the current buffer to a parquet log and
-    * clear it — call on a cadence (or at stream stop) for months-long
-    * runs.
+  /** Durable history: drain the current buffer to a parquet log —
+    * call on a cadence (or at stream stop) for months-long runs.
+    * Drains by removal (not snapshot-then-clear) so a batch that
+    * completes WHILE the write is in flight stays queued for the next
+    * drain instead of being cleared unwritten.
     */
   def sinkTo(spark: SparkSession, path: String): Unit = {
-    val snapshot = frame(spark)
-    if (!snapshot.isEmpty) {
-      snapshot.write.mode("append").parquet(path)
-      events.clear()
+    import spark.implicits._
+    val drained = Iterator.continually(events.pollFirst())
+      .takeWhile(_ != null).toSeq
+    count.addAndGet(-drained.size)
+    if (drained.nonEmpty) {
+      drained.map(e => (e.queryName, e.queryId, e.batchId, e.status,
+          e.rowsProcessed, e.processingTimeSeconds, e.reason))
+        .toDF("query_name", "query_id", "batch_id", "status",
+          "rows_processed", "processing_time_seconds", "reason")
+        .write.mode("append").parquet(path)
     }
   }
 }

@@ -121,10 +121,14 @@ object StreamIngest {
           .collect().map(_.getString(0)).toSeq
         val (ok, rejects) = graft.sources.Sources.gateFiles(spark, files, config.quality)
         if (rejects.nonEmpty) {
+          // per-batch overwrite dir, like the routed output below: a
+          // replayed foreachBatch (crash between write and checkpoint
+          // commit) clobbers its own partial audit rows instead of
+          // appending duplicates
           rejects.toDF("source_name", "error_message")
             .select(lit("error").as("status"), col("error_message"),
               col("source_name"), lit(s"stream_batch_$batchId").as("processing_batch"))
-            .write.mode("append").parquet(rejectDir)
+            .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
         }
         val clean =
           if (rejects.isEmpty) batch

@@ -50,6 +50,17 @@ class ConfigSpec extends SparkSpec {
     }
   }
 
+  test("absent max_file_size_mb keeps the 100MB default; explicit null disables") {
+    val absent = PipelineConfig.parseYaml(
+      "pattern_mappings:\n  x:\n    table: t\ndata_quality:\n  require_headers: false\n")
+    assert(absent.quality.maxFileSizeMb.contains(100.0),
+      "absence must not silently disable the size cap")
+    assert(!absent.quality.requireHeaders)
+    val disabled = PipelineConfig.parseYaml(
+      "pattern_mappings:\n  x:\n    table: t\ndata_quality:\n  max_file_size_mb: null\n")
+    assert(disabled.quality.maxFileSizeMb.isEmpty)
+  }
+
   test("config validation collects every error loudly") {
     val bad =
       """pattern_mappings:

@@ -123,13 +123,17 @@ class DedupSpec extends SparkSpec {
     val pairs = Seq(
       (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (20L, 21L), (21L, 22L), (20L, 22L),
-      (10L, 11L)).toDF("id_a", "id_b")
+      (10L, 11L),
+      (30L, 30L), // self-pair-only node: still labeled, as its own min
+      (1L, 1L)    // self-pair of a connected node: no effect
+    ).toDF("id_a", "id_b")
     val got = Dedup.components(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
       10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L), s"wrong labels: $got")
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L), s"wrong labels: $got")
   }
 
   test("components: deep chain and giant component converge in O(log) rounds") {

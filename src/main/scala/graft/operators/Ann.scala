@@ -168,6 +168,79 @@ object Ann {
       .drop("rk")
   }
 
+  /** Build a stored IVF index: train the coarse quantizer, assign
+    * every vector, and write the corpus to parquet PARTITIONED BY
+    * list_id — the IVF mirror of
+    * [[Similarity.buildLshIndex]]. Centroids persist next to the data
+    * (a probe against centroids the index was not built with would
+    * scan the wrong lists and return wrong neighbors silently), so
+    * probes need only the index path. The 100 TB shape: a probe scans
+    * nprobe/nlist of the corpus via partition pruning at the file
+    * listing.
+    */
+  def buildIvfIndex(embs: DataFrame, idCol: String, vecCol: String,
+                    path: String, nlist: Int, iters: Int = 10,
+                    sampleLimit: Int = 100000): Unit = {
+    val spark = embs.sparkSession
+    val cents = trainCentroids(embs, vecCol, nlist, iters, sampleLimit)
+    assignLists(embs, idCol, vecCol, cents)
+      .write.mode("overwrite")
+      .partitionBy("list_id")
+      .parquet(path)
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(cents)
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"centroids":$json}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read the centroid matrix a [[buildIvfIndex]] index was built
+    * with.
+    */
+  private def indexCentroids(spark: SparkSession, indexPath: String): Array[Array[Double]] = {
+    val metaPath = new org.apache.hadoop.fs.Path(indexPath, "_graft_ivf_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"$indexPath has no _graft_ivf_meta.json — not a buildIvfIndex index")
+    val in = fs.open(metaPath)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val cents = tree.get("centroids")
+    require(cents != null && cents.isArray && cents.size() > 0,
+      s"malformed IVF index metadata: $json")
+    Array.tabulate(cents.size()) { c =>
+      val row = cents.get(c)
+      Array.tabulate(row.size())(i => row.get(i).asDouble())
+    }
+  }
+
+  /** Probe a [[buildIvfIndex]] index: nearest `nprobe` lists from the
+    * stored centroids, pushed as a partition filter — the scan lists
+    * only the probed lists' directories (asserted in PlanSpec).
+    */
+  def ivfIndexTopK(spark: SparkSession, indexPath: String, query: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   nprobe: Int): DataFrame = {
+    import spark.implicits._
+    GraftExtensions.ensureRegistered(spark)
+    val cents = indexCentroids(spark, indexPath)
+    val qvs = query.select(col(vecCol)).as[Array[Float]].take(2)
+    require(qvs.length == 1,
+      s"ivfIndexTopK expects exactly one query row, got ${qvs.length}")
+    val lists = nearestLists(qvs.head, cents, nprobe)
+    val indexed = spark.read.parquet(indexPath)
+      .filter(col("list_id").isin(lists: _*))
+      .crossJoin(broadcast(qvs.toSeq.toDF("q_vec")))
+    indexed
+      .select(col(idCol),
+        round(expr(s"graft_cosine(`$vecCol`, q_vec)"), 6).as("cos"))
+      .filter(!isnan(col("cos")))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The `nprobe` list ids whose centroids are nearest to `qv`. */
   private def nearestLists(qv: Array[Float], centroids: Array[Array[Double]],
                            nprobe: Int): Seq[Int] = {

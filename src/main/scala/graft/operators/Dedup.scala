@@ -317,6 +317,26 @@ object Dedup {
     (starLabels.union(selfOnly), i)
   }
 
+  /** End-to-end duplicate-group resolution: annotate every doc with
+    * its duplicate group and whether a keep-lowest-id dedup keeps it.
+    * `pairs` is any near-dup pair frame (id_a, id_b) from the
+    * generators above; docs in no pair are their own group and
+    * trivially survive. Returns docs plus (group_label, is_survivor)
+    * — filter on is_survivor for the deduped corpus, or on
+    * !is_survivor for the drop list feeding the failure log.
+    *
+    * Scale: [[components]] labels only the PAIRED nodes (bounded by
+    * the dup rate, far smaller than the corpus), then one equi-join
+    * annotates the corpus — AQE broadcasts the label side when small.
+    */
+  def resolve(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val labels = components(pairs)
+      .select(col("id").as(idCol), col("label").as("group_label"))
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("group_label", coalesce(col("group_label"), col(idCol)))
+      .withColumn("is_survivor", col("group_label") === col(idCol))
+  }
+
   /** Scale-safe embedding near-dup pairs: banded SRP-LSH candidates +
     * exact cosine verify — the 100 TB shape ([[minhashPairs]] →
     * [[jaccardVerify]] for vectors). No driver collect anywhere:

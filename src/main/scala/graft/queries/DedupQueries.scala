@@ -97,6 +97,21 @@ object DedupQueries {
         .orderBy(col("label"))
     }),
 
+    // End-to-end resolution: every embedding annotated with its
+    // duplicate group and survivorship (keep-lowest-id); singletons
+    // survive trivially. The summary exercises both flag values and
+    // the singleton passthrough.
+    "dedup_resolve" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val pairs = Dedup.embeddingPairs(embs, "vec_id", "embedding", minCosine = 0.4)
+      Dedup.resolve(embs.select(col("vec_id")), pairs, "vec_id")
+        .groupBy(col("is_survivor"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("group_label")).as("n_groups"),
+          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+        .orderBy(col("is_survivor"))
+    }),
+
     // The selective LSH regime users actually run: dedup at cosine
     // >= 0.9 over a corpus with planted near-duplicate vectors
     // (per-dimension multiplicative jitter, cosine ~0.9-0.99). At this
@@ -141,6 +156,30 @@ object DedupQueries {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_resolve" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, via) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.via FROM reach r JOIN edges e ON e.src = r.id),
+        |labels AS (SELECT id, min(via) AS label FROM reach GROUP BY id),
+        |resolved AS (
+        |  SELECT v.vec_id, coalesce(l.label, v.vec_id) AS group_label,
+        |    coalesce(l.label, v.vec_id) = v.vec_id AS is_survivor
+        |  FROM v LEFT JOIN labels l ON l.id = v.vec_id)
+        |SELECT is_survivor, count(*) AS n_docs,
+        |  count(DISTINCT group_label) AS n_groups,
+        |  min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM resolved GROUP BY is_survivor ORDER BY is_survivor""".stripMargin,
 
     // Verifies the VERIFIED pairs, not the candidates: the oracle
     // computes exact n-gram Jaccard for every pair via an inverted

@@ -54,6 +54,18 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cos"))
     }),
 
+    // Stored IVF index: coarse quantizer + list-PARTITIONED parquet,
+    // probe scans only nprobe/nlist of the corpus via partition
+    // pruning (the IVF mirror of ann_lsh_indexed).
+    "ann_ivf_indexed" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      graft.operators.Ann.buildIvfIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", dir, nlist = 8, iters = 5)
+      graft.operators.Ann.ivfIndexTopK(s, dir, queryVec(s, d),
+        "vec_id", "embedding", k = 10, nprobe = 4)
+    }),
+
     // Batch ANN: several query vectors share ONE scan of the corpus;
     // per-query exact top-k via a rank-limited window (map-side group
     // limit). Exact SQL oracle like ann_bruteforce.

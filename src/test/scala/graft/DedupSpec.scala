@@ -154,6 +154,16 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 10, s"expected O(log) convergence, got $rounds rounds")
   }
 
+  test("resolve: survivors are component minima, singletons pass through") {
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id") // 9 is in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.resolve(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true), 9L -> (9L, true)), s"wrong resolution: $got")
+  }
+
   test("embedding pairs pass threshold on rounded cosine") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

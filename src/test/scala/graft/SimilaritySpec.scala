@@ -131,6 +131,28 @@ class SimilaritySpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("stored IVF index: probe prunes list partitions, recalls the self-match") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    graft.operators.Ann.buildIvfIndex(embs, "vec_id", "embedding", dir, nlist = 4)
+    val q = embs.filter(col("vec_id") === 0)
+    val out = graft.operators.Ann.ivfIndexTopK(spark, dir, q,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"list probe not pushed to partition pruning:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(0) == 0L && rows.head.getDouble(1) == 1.0,
+      s"query's own list must be probed: ${rows.toSeq}")
+    // a mismatched index (no metadata) fails loudly instead of
+    // probing wrong lists
+    intercept[IllegalArgumentException] {
+      graft.operators.Ann.ivfIndexTopK(spark,
+        java.nio.file.Files.createTempDirectory("not_an_index").toString,
+        q, "vec_id", "embedding", 5, 2)
+    }
+  }
+
   test("LSH prunes the candidate set vs brute force") {
     val q = embs.filter(col("vec_id") === 0)
     val others = embs.filter(col("vec_id") =!= 0)

@@ -147,12 +147,12 @@ object StreamIngest {
     * Delivery is at-least-once into JDBC: a failure between the
     * append and the checkpoint commit replays the batch, and a plain
     * INSERT cannot be made idempotent from the engine side alone.
-    * Mitigations, in preference order: route to the parquet sink
-    * ([[routedSink]], idempotent by construction) and bulk-load from
-    * there; give the warehouse table a unique key so replayed rows
-    * reject; or stamp `batchId` into a column (passed to `transform`)
-    * so replays are identifiable for cleanup — the reference's Celery
-    * retry has exactly the same semantics.
+    * Mitigations, in preference order: keyed rows → use
+    * [[jdbcUpsertSink]] (staging + MERGE, replay-idempotent); route
+    * to the parquet sink ([[routedSink]], idempotent by construction)
+    * and bulk-load from there; or stamp `batchId` into a column
+    * (passed to `transform`) so replays are identifiable for cleanup
+    * — the reference's Celery retry has exactly the same semantics.
     */
   def jdbcSink(stream: DataFrame, url: String, table: String,
                user: String, password: String, checkpoint: String,
@@ -169,6 +169,81 @@ object StreamIngest {
         graft.sources.Sinks.jdbcAppend(transform(batch, batchId), url, table,
           user, password, batchSize, numPartitions)
       }
+
+  /** Idempotent JDBC delivery: each micro-batch bulk-loads into a
+    * staging table (overwrite), then one driver-side MERGE folds it
+    * into the target keyed on `keyCols` — matched keys update, new
+    * keys insert. A replayed batch (crash between write and
+    * checkpoint commit — the at-least-once window [[jdbcSink]]
+    * documents) merges the SAME keys again instead of appending
+    * duplicates, so delivery is effectively-once as long as rows
+    * carry a stable key. The target table is created from the staging
+    * schema on first contact.
+    *
+    * Scale: the executor-parallel work (bulk load) stays
+    * executor-parallel; the MERGE is one set-based statement the
+    * warehouse executes — the same shape warehouse loaders use.
+    */
+  def jdbcUpsertSink(stream: DataFrame, url: String, table: String,
+                     stagingTable: String, keyCols: Seq[String],
+                     user: String, password: String, checkpoint: String,
+                     batchSize: Int = 1000, numPartitions: Int = 4,
+                     // some dialects map Spark strings to CLOB/TEXT
+                     // types that cannot be compared in a MERGE ON
+                     // clause (Derby does); pass Spark's standard
+                     // createTableColumnTypes override to pin key
+                     // columns to comparable types, e.g.
+                     // "order_key VARCHAR(64)"
+                     stagingColumnTypes: Option[String] = None,
+                     transform: (DataFrame, Long) => DataFrame = (df, _) => df,
+                     trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val staged = transform(batch, batchId)
+        val w = staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("jdbc")
+          .option("url", url).option("dbtable", stagingTable)
+          .option("user", user).option("password", password)
+          .option("batchsize", batchSize)
+          .option("numPartitions", numPartitions)
+          .option("isolationLevel", "READ_COMMITTED")
+        stagingColumnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
+          .save()
+        val cols = staged.columns.toSeq
+        val nonKey = cols.filterNot(keyCols.contains)
+        val conn = java.sql.DriverManager.getConnection(url, user, password)
+        try {
+          val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+          var targetExists = false
+          while (meta.next() && !targetExists)
+            targetExists = meta.getString("TABLE_NAME").equalsIgnoreCase(table)
+          val st = conn.createStatement()
+          try {
+            if (!targetExists)
+              st.executeUpdate(
+                s"CREATE TABLE $table AS SELECT * FROM $stagingTable WITH NO DATA")
+            // Spark's JDBC writer creates staging columns QUOTED, so
+            // they are case-sensitive in the warehouse — quote every
+            // column reference or the dialect's default case folding
+            // misses them
+            def q(c: String) = "\"" + c + "\""
+            val onClause = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+            val updates = nonKey.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+            val matched =
+              if (nonKey.isEmpty) "" else s"WHEN MATCHED THEN UPDATE SET $updates "
+            st.executeUpdate(
+              s"MERGE INTO $table t USING $stagingTable s ON $onClause " +
+                matched +
+                s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
+                s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})")
+          } finally st.close()
+        } finally conn.close()
+        ()
+      }
+  }
 
   /** Convenience: start + await a bounded (AvailableNow) run. */
   def runOnce(w: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery = {

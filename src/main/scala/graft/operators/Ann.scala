@@ -223,22 +223,15 @@ object Ann {
   def ivfIndexTopK(spark: SparkSession, indexPath: String, query: DataFrame,
                    idCol: String, vecCol: String, k: Int,
                    nprobe: Int): DataFrame = {
-    import spark.implicits._
-    GraftExtensions.ensureRegistered(spark)
+    // metadata first: a path that is not a buildIvfIndex index fails
+    // with the actionable message, not a parquet schema error
     val cents = indexCentroids(spark, indexPath)
-    val qvs = query.select(col(vecCol)).as[Array[Float]].take(2)
-    require(qvs.length == 1,
-      s"ivfIndexTopK expects exactly one query row, got ${qvs.length}")
-    val lists = nearestLists(qvs.head, cents, nprobe)
-    val indexed = spark.read.parquet(indexPath)
-      .filter(col("list_id").isin(lists: _*))
-      .crossJoin(broadcast(qvs.toSeq.toDF("q_vec")))
-    indexed
-      .select(col(idCol),
-        round(expr(s"graft_cosine(`$vecCol`, q_vec)"), 6).as("cos"))
-      .filter(!isnan(col("cos")))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
+    // delegates to the assigned-frame probe so the two paths cannot
+    // drift: the stored index IS an assignLists frame on disk, with
+    // the list_id filter landing as a partition filter on the scan
+    ivfSearch(spark.read.parquet(indexPath), query, idCol, vecCol,
+        cents, k, nprobe)
+      .drop("list_id")
   }
 
   /** The `nprobe` list ids whose centroids are nearest to `qv`. */

@@ -325,16 +325,35 @@ object Dedup {
     * — filter on is_survivor for the deduped corpus, or on
     * !is_survivor for the drop list feeding the failure log.
     *
+    * The survivor is the lowest id PRESENT IN `docs` — anchoring it
+    * to the component minimum alone would leave a group with no
+    * survivor at all whenever its minimum doc was already filtered
+    * out of `docs` (deleted upstream, or pairs computed on a
+    * superset), silently dropping every member from a
+    * filter-on-is_survivor corpus.
+    *
     * Scale: [[components]] labels only the PAIRED nodes (bounded by
-    * the dup rate, far smaller than the corpus), then one equi-join
-    * annotates the corpus — AQE broadcasts the label side when small.
+    * the dup rate, far smaller than the corpus); the present-member
+    * minimum is a groupBy over that same bounded subset. The corpus
+    * pays two joins against small, AQE-broadcastable sides.
     */
   def resolve(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val labels = components(pairs)
       .select(col("id").as(idCol), col("label").as("group_label"))
-    docs.join(labels, Seq(idCol), "left")
-      .withColumn("group_label", coalesce(col("group_label"), col(idCol)))
-      .withColumn("is_survivor", col("group_label") === col(idCol))
+    val paired = docs.join(labels, Seq(idCol))
+    val presentMin = paired.groupBy(col("group_label"))
+      .agg(min(col(idCol)).as("__gmin"))
+    val pairedFlagged = paired.join(presentMin, Seq("group_label"))
+      .withColumn("is_survivor", col(idCol) === col("__gmin"))
+      .drop("__gmin")
+      // restore the caller's column order (docs cols, then the
+      // annotations) — the group_label join key moved it to the front
+      .select(docs.columns.map(col).toIndexedSeq :+
+        col("group_label") :+ col("is_survivor"): _*)
+    val singletons = docs.join(labels, Seq(idCol), "left_anti")
+      .withColumn("group_label", col(idCol))
+      .withColumn("is_survivor", lit(true))
+    pairedFlagged.unionByName(singletons)
   }
 
   /** Scale-safe embedding near-dup pairs: banded SRP-LSH candidates +

@@ -198,11 +198,26 @@ object StreamIngest {
                      transform: (DataFrame, Long) => DataFrame = (df, _) => df,
                      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
+    // latched after the first successful check/create: this sink is
+    // the only creator of the target, so re-probing the catalog every
+    // batch only added per-commit latency
+    val targetKnown = new java.util.concurrent.atomic.AtomicBoolean(false)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // MERGE semantics require at most one source row per key:
+        // two same-key rows in one batch would either insert the key
+        // twice (both unmatched) or raise a cardinality violation.
+        // dropDuplicates keeps an arbitrary one — producers that need
+        // a deterministic winner should pre-aggregate in `transform`.
+        // NULL keys never satisfy the ON clause (NULL = NULL is
+        // UNKNOWN) and would re-insert on every replay, so they are
+        // excluded here — route null-keyed rows to the failure log
+        // upstream.
         val staged = transform(batch, batchId)
+          .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+          .dropDuplicates(keyCols)
         val w = staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .format("jdbc")
           .option("url", url).option("dbtable", stagingTable)
@@ -216,15 +231,20 @@ object StreamIngest {
         val nonKey = cols.filterNot(keyCols.contains)
         val conn = java.sql.DriverManager.getConnection(url, user, password)
         try {
-          val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-          var targetExists = false
-          while (meta.next() && !targetExists)
-            targetExists = meta.getString("TABLE_NAME").equalsIgnoreCase(table)
           val st = conn.createStatement()
           try {
-            if (!targetExists)
-              st.executeUpdate(
-                s"CREATE TABLE $table AS SELECT * FROM $stagingTable WITH NO DATA")
+            if (!targetKnown.get()) {
+              // dialect-portable existence probe that handles
+              // schema-qualified names (a getTables catalog scan
+              // compares bare TABLE_NAMEs and scans every schema)
+              val exists =
+                try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+                catch { case _: java.sql.SQLException => false }
+              if (!exists)
+                st.executeUpdate(
+                  s"CREATE TABLE $table AS SELECT * FROM $stagingTable WITH NO DATA")
+              targetKnown.set(true)
+            }
             // Spark's JDBC writer creates staging columns QUOTED, so
             // they are case-sensitive in the warehouse — quote every
             // column reference or the dialect's default case folding

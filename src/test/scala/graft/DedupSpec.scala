@@ -164,6 +164,17 @@ class DedupSpec extends SparkSpec {
       4L -> (4L, true), 9L -> (9L, true)), s"wrong resolution: $got")
   }
 
+  test("resolve: a group whose minimum is absent from docs still keeps a survivor") {
+    // doc 1 was deleted upstream; the group must not silently lose
+    // every member — the lowest PRESENT id (2) survives
+    val docs = Seq(2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.resolve(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(2L -> (1L, true), 3L -> (1L, false)),
+      s"wrong resolution: $got")
+  }
+
   test("embedding pairs pass threshold on rounded cosine") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

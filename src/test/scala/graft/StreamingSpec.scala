@@ -150,6 +150,14 @@ class StreamingSpec extends SparkSpec {
     run(s"$cp/c1") // original checkpoint: only the new file is a new batch
     assert(readBack() == Map(
       "1" -> "9.99", "2" -> "7.77", "3" -> "1.25", "4" -> "3.00"))
+    // in-batch duplicate keys collapse to one row (MERGE would insert
+    // twice or raise a cardinality violation); null keys are excluded
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b3.csv"),
+      "Order Key!,Total Price ($)\n5,1.00\n5,2.00\n,9.00\n")
+    run(s"$cp/c1")
+    val after = readBack()
+    assert(after.size == 5, s"dup/null keys must not add extra rows: $after")
+    assert(Set("1.00", "2.00").contains(after("5")))
   }
 
   test("stream-static enrichment joins each micro-batch to a broadcast dim") {

@@ -42,7 +42,8 @@ final case class QualityGates(maxFileSizeMb: Option[Double] = Some(100.0),
   */
 final case class PipelineConfig(mappings: Seq[PatternMapping],
                                 quality: QualityGates,
-                                supportedExtensions: Seq[String]) {
+                                supportedExtensions: Seq[String],
+                                pollIntervalSeconds: Option[Int] = None) {
   /** (pattern, schema-qualified target) pairs, config order. */
   def qualifiedMapping: Seq[(String, String)] = mappings.map(m => m.pattern -> m.target)
   /** (pattern, bare table) pairs — the pre-config routing shape. */
@@ -164,18 +165,27 @@ object PipelineConfig {
       case _ => QualityGates()
     }
 
-    val extensions = tree.get("watcher_settings") match {
+    val watcher = tree.get("watcher_settings") match {
       case Some(w: java.util.Map[_, _]) =>
         w.asScala.toMap.map { case (k, v) => String.valueOf(k) -> v }
-          .get("supported_extensions") match {
-          case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
-          case _ => default.supportedExtensions
-        }
+      case _ => Map.empty[String, Object]
+    }
+    val extensions = watcher.get("supported_extensions") match {
+      case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
       case _ => default.supportedExtensions
+    }
+    // the reference validates poll_interval as an integer
+    // (pattern_config_system.py:215); it becomes the stream trigger
+    // interval via StreamIngest.triggerFor
+    val poll = watcher.get("poll_interval") match {
+      case Some(n: Number) => Some(n.intValue())
+      case Some(other) =>
+        errors += s"poll_interval must be an integer, got: $other"; None
+      case None => None
     }
 
     if (errors.nonEmpty) throw new IllegalArgumentException(
       s"invalid pipeline config:\n  ${errors.mkString("\n  ")}")
-    PipelineConfig(mappings, quality, extensions)
+    PipelineConfig(mappings, quality, extensions, poll)
   }
 }

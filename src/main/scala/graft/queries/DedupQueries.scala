@@ -97,6 +97,29 @@ object DedupQueries {
         .orderBy(col("label"))
     }),
 
+    // Flagship dedup pipeline — the reference-user story in one
+    // query: MinHash LSH candidates → exact n-gram Jaccard verify →
+    // duplicate groups → survivorship over the full corpus, reported
+    // as kept/dropped counts with the retained text volume. Every
+    // stage is the scale-shape (banded LSH candidates, candidates-
+    // only verify, O(log) components), and the whole composition is
+    // SQL-expressible, so it hash-verifies against DuckDB.
+    "pipeline_dedup_corpus" -> ((s, d) => {
+      val docs = docsWithDups(s, d)
+      val cands = Dedup.minhashPairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val verified = Dedup.jaccardVerify(docs, cands, "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.resolve(docs, verified, "doc_id")
+        .groupBy(col("is_survivor"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("group_label")).as("n_groups"),
+          sum(length(col("text"))).cast("long").as("total_chars"))
+        .orderBy(col("is_survivor"))
+    }),
+
     // End-to-end resolution: every embedding annotated with its
     // duplicate group and survivorship (keep-lowest-id); singletons
     // survive trivially. The summary exercises both flag values and
@@ -156,6 +179,51 @@ object DedupQueries {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same recall argument as dedup_ngram_jaccard: on the seeded gate
+    // corpus the MinHash candidates deterministically contain every
+    // jaccard>=0.8 pair, so the oracle's exact inverted-index pair set
+    // equals the Spark pipeline's verified set.
+    "pipeline_dedup_corpus" ->
+      """WITH RECURSIVE
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |           FOR i IN generate_series(1, greatest(len(w) - 2, 0))]) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |        FROM corpus WHERE text IS NOT NULL AND length(trim(text)) > 0)),
+        |ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM shared
+        |  JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+        |  JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, via) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.via FROM reach r JOIN edges e ON e.src = r.id),
+        |labels AS (SELECT id, min(via) AS label FROM reach GROUP BY id),
+        |resolved AS (
+        |  SELECT c.doc_id, c.text,
+        |    coalesce(l.label, c.doc_id) AS group_label,
+        |    coalesce(l.label, c.doc_id) = c.doc_id AS is_survivor
+        |  FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id)
+        |SELECT is_survivor, count(*) AS n_docs,
+        |  count(DISTINCT group_label) AS n_groups,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM resolved GROUP BY is_survivor ORDER BY is_survivor""".stripMargin,
 
     "dedup_resolve" ->
       """WITH RECURSIVE

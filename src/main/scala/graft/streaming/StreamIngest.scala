@@ -265,6 +265,17 @@ object StreamIngest {
       }
   }
 
+  /** The config's watcher poll interval as a stream trigger — the
+    * Spark-native mapping of POLL_INTERVAL (pattern_config.yaml
+    * watcher_settings): a configured interval becomes a
+    * ProcessingTime trigger; no interval means a bounded AvailableNow
+    * run (drain the drop zone and stop).
+    */
+  def triggerFor(config: graft.PipelineConfig): Trigger =
+    config.pollIntervalSeconds
+      .map(s => Trigger.ProcessingTime(s * 1000L))
+      .getOrElse(Trigger.AvailableNow())
+
   /** Convenience: start + await a bounded (AvailableNow) run. */
   def runOnce(w: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery = {
     val q = w.start()

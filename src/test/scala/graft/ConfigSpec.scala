@@ -61,6 +61,21 @@ class ConfigSpec extends SparkSpec {
     assert(disabled.quality.maxFileSizeMb.isEmpty)
   }
 
+  test("watcher poll_interval maps to the stream trigger") {
+    val timed = PipelineConfig.parseYaml(
+      "pattern_mappings:\n  x:\n    table: t\nwatcher_settings:\n  poll_interval: 10\n")
+    assert(timed.pollIntervalSeconds.contains(10))
+    assert(graft.streaming.StreamIngest.triggerFor(timed) ==
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(10000L))
+    val drain = PipelineConfig.parseYaml("pattern_mappings:\n  x:\n    table: t\n")
+    assert(graft.streaming.StreamIngest.triggerFor(drain) ==
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    intercept[IllegalArgumentException] {
+      PipelineConfig.parseYaml(
+        "pattern_mappings:\n  x:\n    table: t\nwatcher_settings:\n  poll_interval: fast\n")
+    }
+  }
+
   test("config validation collects every error loudly") {
     val bad =
       """pattern_mappings:

@@ -103,6 +103,14 @@ class PlanSpec extends SparkSpec {
       s"expected a file scan feeding the pair join:\n$plan")
   }
 
+  test("dedup_resolve composition stays product-free end to end") {
+    val df = graft.SparkEntry.queries("dedup_resolve")(spark, sf0001)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"resolve composition degenerated to a product:\n$plan")
+  }
+
   test("stratified sampling prunes the scan to key and stratum columns") {
     val df = graft.queries.TextQueries.queries("sample_stratified")(spark, sf0001)
     val plan = planString(df)

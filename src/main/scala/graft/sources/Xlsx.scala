@@ -104,6 +104,46 @@ object Xlsx {
         org.apache.spark.sql.functions.col("n_rows"))
   }
 
+  /** Sheet names of one workbook, in workbook order — the engine
+    * surface for the reference's sheet enumeration
+    * (etl-worker/etl_processor/file_access.py:45 get_sheet_names via
+    * the fileserver). Pair with [[read]]'s `sheetName` to ingest a
+    * chosen sheet.
+    */
+  def sheetNames(bytes: Array[Byte], source: String = "<bytes>"): Seq[String] = {
+    require(bytes.length >= 4, s"$source: truncated workbook (${bytes.length} bytes)")
+    require(bytes(0) == 'P' && bytes(1) == 'K',
+      s"$source is not an OOXML workbook (missing zip magic)")
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    var workbookXml: Array[Byte] = null
+    var entry = zin.getNextEntry
+    while (entry != null && workbookXml == null) {
+      if (entry.getName == "xl/workbook.xml") workbookXml = zin.readAllBytes()
+      entry = zin.getNextEntry
+    }
+    zin.close()
+    require(workbookXml != null, s"$source: no xl/workbook.xml part")
+    val names = ArrayBuffer.empty[String]
+    val r = newReader(workbookXml)
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+        val n = r.getAttributeValue(null, "name")
+        if (n != null) names += n
+      }
+    }
+    r.close()
+    names.toSeq
+  }
+
+  /** [[sheetNames]] for a file path (local or Hadoop-visible). */
+  def sheetNames(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    sheetNames(bytes, source = path)
+  }
+
   /** Iterate rows of one sheet as cell-string sequences (A1 gaps ->
     * null). Rejects OLE2 (.xls) and non-zip payloads loudly.
     */

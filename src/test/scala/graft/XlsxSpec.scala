@@ -100,4 +100,16 @@ class XlsxSpec extends SparkSpec {
     val msg = Option(err.getCause).map(_.getMessage).getOrElse(err.getMessage)
     assert(msg.contains("b_wide.xlsx") && msg.contains("overflow cells"), msg)
   }
+
+  test("sheetNames enumerates the workbook in order") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_names").toString
+    Xlsx.writeSheets(s"$dir/multi.xlsx", Seq(
+      ("summary", Seq("a"), Seq(Seq("1"))),
+      ("raw_data", Seq("b"), Seq(Seq("2"))),
+      ("notes", Seq("c"), Seq(Seq("3")))))
+    assert(Xlsx.sheetNames(spark, s"$dir/multi.xlsx") ==
+      Seq("summary", "raw_data", "notes"))
+    val garbage = "not,a,workbook".getBytes("UTF-8")
+    intercept[IllegalArgumentException] { Xlsx.sheetNames(garbage) }
+  }
 }

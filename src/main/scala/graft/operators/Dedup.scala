@@ -394,6 +394,15 @@ object Dedup {
       .persist()
     def tablesFor(b: Int): Int =
       math.ceil(math.log1p(-targetRecall) / math.log1p(-math.pow(p, b))).toInt
+    // Auto-tuning can conclude that banding CANNOT win: when the
+    // expected candidate volume approaches all-pairs (the ρ→1 regime
+    // of low thresholds), LSH does the same pair work as the exact
+    // block join PLUS per-table bucketing, a candidate shuffle and a
+    // distinct — strictly worse. The planner then delegates to
+    // [[embeddingPairs]], which also upgrades recall to 1.0 (output
+    // remains a superset of what banding would have found, with the
+    // same exact-cosine threshold). Explicit `planes` skips both the
+    // tuning and the fallback — the caller insisted.
     val nPlanes =
       if (planes > 0) planes
       else {
@@ -422,6 +431,13 @@ object Dedup {
     require(tables >= 1 && tables <= maxTables,
       s"recall $targetRecall at cosine $minCosine needs $tables tables " +
         s"with $nPlanes planes; lower `planes` or the recall target")
+    if (planes == 0 &&
+        tables.toDouble / math.pow(2.0, math.min(nPlanes, 40)) >= 0.5) {
+      // candidate volume >= half of all-pairs: banding cannot beat
+      // the exact block join (see the planner note above) — delegate
+      base.unpersist()
+      return embeddingPairs(embs, idCol, vecCol, minCosine)
+    }
     val bucketed = base.select(col("id"),
       posexplode(expr(s"graft_srp_buckets(vec, $nPlanes, $tables)"))
         .as(Seq("t", "bucket")))

@@ -68,8 +68,11 @@ class DedupSpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Dedup.embeddingPairs(embs, "vec_id", "embedding", minCosine = 0.4))
+    // explicit planes force the BANDING path (auto-tuning delegates
+    // to the exact join at this rho->1 threshold), so this measures
+    // real LSH recall
     val lsh = pairs(Dedup.embeddingPairsLsh(embs, "vec_id", "embedding",
-      minCosine = 0.4, targetRecall = 0.98))
+      minCosine = 0.4, targetRecall = 0.98, planes = 4))
     assert(exact.nonEmpty, "exact baseline must be non-empty for recall to mean anything")
     assert((lsh -- exact).isEmpty, s"verify is exact, so no false positives: ${lsh -- exact}")
     val recall = lsh.size.toDouble / exact.size
@@ -91,6 +94,25 @@ class DedupSpec extends SparkSpec {
     // not ids — a regression here loses pairs silently
     assert(multi == single,
       s"only single: ${single -- multi}\nonly multi: ${multi -- single}")
+  }
+
+  test("rho->1 regime (cosine 0.4): planner delegates to the exact block join") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val lsh = Dedup.embeddingPairsLsh(embs, "vec_id", "embedding",
+      minCosine = 0.4, targetRecall = 0.98)
+    // candidate volume at 0.4 is ~95% of all-pairs, so banding plus a
+    // candidate shuffle is strictly worse than brute force — the plan
+    // must be the block join, not SRP bucketing
+    assert(!lsh.queryExecution.analyzed.toString.contains("graft_srp_buckets"),
+      "expected delegation to embeddingPairs at the rho->1 threshold")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingPairs(embs, "vec_id", "embedding", minCosine = 0.4))
+    assert(pairs(lsh) == exact, "delegated output must equal the exact pairs")
+    // an explicit plane count means the caller insisted on banding
+    val forced = Dedup.embeddingPairsLsh(embs, "vec_id", "embedding",
+      minCosine = 0.4, targetRecall = 0.98, planes = 4)
+    assert(forced.queryExecution.analyzed.toString.contains("graft_srp_buckets"))
   }
 
   test("strict-threshold LSH (cosine>=0.9): selective plan, recall vs exact") {

@@ -75,9 +75,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("embeddingPairsLsh plan is distributed: no cartesian, no driver-side data") {
+    // explicit planes pin the BANDING path (auto-tuning delegates to
+    // the exact block join at this rho->1 threshold, and that plan
+    // legitimately carries the tiny LocalTableScan combo table)
     val df = graft.operators.Dedup.embeddingPairsLsh(
       Tables.embeddings(spark, sf0001), "vec_id", "embedding",
-      minCosine = 0.4, targetRecall = 0.98)
+      minCosine = 0.4, targetRecall = 0.98, planes = 4)
     val plan = planString(df)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),

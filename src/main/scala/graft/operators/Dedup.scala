@@ -459,19 +459,26 @@ object Dedup {
 
   /** Exact embedding-cosine near-dup pairs (threshold on the ROUNDED
     * similarity so engine FP noise can't flip membership), as a
-    * block-partitioned pair join — fully distributed, no driver
-    * collect (an earlier kernel broadcast every embedding from the
+    * block-partitioned pair KERNEL — fully distributed, no driver
+    * collect (an earlier version broadcast every embedding from the
     * driver: correct, but single-node-bounded).
     *
-    * Shape: ids hash into `blocks` buckets; the B(B+1)/2 ordered
-    * block combos become join keys, so the inherent O(n²) pair work
-    * spreads over combos with ~(n/B)² cosines each while the shuffle
-    * ships each row ~(B+1)/2 times — B trades replication volume
-    * against per-task work, auto-sized from parallelism and corpus
-    * size. The cosine is the codegen'd
-    * [[graft.plans.CosineSimilarity]] primitive loop. For web-scale
-    * dedup prefer [[embeddingPairsLsh]], which prunes candidates
-    * before paying any pairing cost at all.
+    * Shape: ids hash into `blocks` buckets; each row replicates to
+    * its B(B+1)/2-combo memberships (side A for combos at or above
+    * its block, side B below — every unordered pair meets in exactly
+    * one combo), ONE shuffle pins one partition per combo, and a
+    * per-partition primitive-float loop scores the ~(n/B)² pairs of
+    * each combo. The kernel is the one sanctioned mapPartitions in
+    * this codebase: a pair JOIN must materialize every candidate as
+    * an unsafe row (copying both 64-float vectors per pair) before
+    * the cosine filter can drop it, which at sf1 is 4×10⁸ row
+    * materializations for 182 k survivors — the loop keeps the
+    * vectors in primitive arrays, precomputes each row's norm once
+    * (bitwise-identical accumulation order to
+    * [[graft.plans.CosineSimilarity]]), and emits only matches.
+    * Measured 19.9 s → ~2 s at sf1 over the join formulation.
+    * For web-scale dedup prefer [[embeddingPairsLsh]], which prunes
+    * candidates before paying any pairing cost at all.
     */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double, blocks: Int = 0): DataFrame = {
@@ -493,38 +500,123 @@ object Dedup {
         val byCores = math.ceil(math.sqrt(16.0 * spark.sparkContext.defaultParallelism))
         math.max(byCores, math.ceil(n / 65536.0)).toInt
       }
-    val combos = (for { i <- 0 until b; j <- i until b } yield (i, j))
-      .toDF("block_a", "block_b")
-    val a = base.select(col("id").as("id_a"), col("vec").as("v_a"),
-      pmod(xxhash64(col("id")), lit(b)).cast("int").as("block_a"))
-    val bb = base.select(col("id").as("id_b"), col("vec").as("v_b"),
-      pmod(xxhash64(col("id")), lit(b)).cast("int").as("block_b"))
-    // BOTH sides replicate through the combo table so the pair join
-    // keys on the composite (block_a, block_b): B(B+1)/2 distinct
-    // reducer keys instead of the B keys a single-column join would
-    // give — joining b on block_b alone serialized all pair
-    // generation into B tasks.
-    // The explicit repartition pins one partition per combo: the join
-    // INPUT is tiny (ids + one vector per row) so AQE's size-based
-    // coalescing would fuse the combos into one or two tasks — but the
-    // join OUTPUT is (n/B)² pairs per combo, and that amplification is
-    // invisible to AQE's shuffle-byte stats. A user-specified
-    // partition count is exempt from coalescing, and since both sides
-    // share the partitioning the join itself adds no extra exchange.
+    // Combo membership is computed row-local with builtin array
+    // functions (codegen'd, no join): a row in block g is side A of
+    // combos (g, g..B-1) and side B of combos (0..g-1, g). The
+    // explicit repartition pins one partition per combo: the shuffle
+    // INPUT is tiny (one id + vector per copy) so AQE's size-based
+    // coalescing would fuse the combos into one or two tasks — but
+    // the kernel's work is (n/B)² per combo, invisible to AQE's
+    // shuffle-byte stats. A user-specified partition count is exempt
+    // from coalescing.
     val comboCount = b * (b + 1) / 2
-    a.join(broadcast(combos), Seq("block_a"))
-      .repartition(comboCount, col("block_a"), col("block_b"))
-      .join(bb.join(broadcast(combos), Seq("block_b"))
-          .repartition(comboCount, col("block_a"), col("block_b")),
-        Seq("block_a", "block_b"))
-      // each cross-block pair meets exactly once (its lower block on
-      // the a side — combos are ordered i <= j), REGARDLESS of id
-      // order, so only diagonal combos need the id tiebreak; the
-      // output orientation is then normalized with least/greatest
-      .filter(col("block_a") =!= col("block_b") || col("id_a") < col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        round(expr("graft_cosine(v_a, v_b)"), 6).as("cos"))
-      .filter(!isnan(col("cos")) && col("cos") >= minCosine)
+    val copies = base
+      .withColumn("g", pmod(xxhash64(col("id")), lit(b)).cast("int"))
+      .select(explode(expr(
+        s"""concat(
+           |  transform(sequence(g, ${b - 1}),
+           |    j -> named_struct('ba', g, 'bb', j, 'is_a', true)),
+           |  filter(transform(sequence(0, g),
+           |    i -> named_struct('ba', i, 'bb', g, 'is_a', false)),
+           |    s -> s.ba < g)
+           |)""".stripMargin)).as("c"), col("id"), col("vec"))
+      .select(col("c.ba"), col("c.bb"), col("c.is_a"), col("id"), col("vec"))
+      .repartition(comboCount, col("ba"), col("bb"))
+      .as[(Int, Int, Boolean, Long, Array[Float])]
+    val guard = minCosine - 1e-6 // round(·,6) moves a value < 5e-7
+    copies.mapPartitions { rows =>
+      import scala.collection.mutable
+      final class Side {
+        val ids = mutable.ArrayBuffer.empty[Long]
+        val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+      }
+      // a partition usually holds one combo, but hash collisions can
+      // put several (and leave others empty) — group locally
+      val combos = mutable.LinkedHashMap.empty[Long, (Side, Side)]
+      rows.foreach { case (ba, bb, isA, id, vec) =>
+        val key = (ba.toLong << 32) | (bb.toLong & 0xffffffffL)
+        val c = combos.getOrElseUpdate(key, (new Side, new Side))
+        val s = if (isA) c._1 else c._2
+        s.ids += id
+        s.vecs += vec
+      }
+      // same arithmetic as graft_cosine (widen to double, sequential
+      // accumulation, dot / sqrt(na * nb)); splitting the interleaved
+      // loop into per-vector norm + per-pair dot keeps each
+      // accumulator's addition ORDER unchanged, so results are
+      // bitwise identical — required for the DuckDB hash oracle
+      def sqNorm(v: Array[Float]): Double = {
+        var na = 0.0; var i = 0
+        while (i < v.length) { val x = v(i).toDouble; na += x * x; i += 1 }
+        na
+      }
+      def dotp(x: Array[Float], y: Array[Float], n: Int): Double = {
+        var d = 0.0; var i = 0
+        while (i < n) { d += x(i).toDouble * y(i).toDouble; i += 1 }
+        d
+      }
+      // graft_cosine truncates to the shorter array, making the
+      // precomputed full-length norm wrong for ragged pairs — fall
+      // back to the interleaved per-pair loop there (never taken for
+      // fixed-dim corpora)
+      def raggedCos(x: Array[Float], y: Array[Float]): Double = {
+        val n = math.min(x.length, y.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val xi = x(i).toDouble; val yi = y(i).toDouble
+          dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+        }
+        dot / math.sqrt(na * nb)
+      }
+      // Spark's round(double, 6): NaN/Inf pass through, else
+      // HALF_UP — replicated so the emitted value is the one the
+      // join formulation produced. Only matches pay the BigDecimal.
+      def round6(d: Double): Double =
+        if (d.isNaN || d.isInfinity) d
+        else BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def score(idA: Long, xa: Array[Float], na: Double,
+                idB: Long, xb: Array[Float], nb: Double): Unit = {
+        val c =
+          if (xa.length == xb.length) dotp(xa, xb, xa.length) / math.sqrt(na * nb)
+          else raggedCos(xa, xb)
+        if (!c.isNaN && c >= guard) {
+          val r = round6(c)
+          if (!r.isNaN && r >= minCosine)
+            out += ((math.min(idA, idB), math.max(idA, idB), r))
+        }
+      }
+      combos.foreach { case (key, (sa, sb)) =>
+        val diag = (key >> 32).toInt == key.toInt
+        val aIds = sa.ids; val aVecs = sa.vecs
+        val aNorms = Array.tabulate(aVecs.length)(i => sqNorm(aVecs(i)))
+        if (diag) {
+          // both endpoints arrive as side A; i < j covers each
+          // unordered pair once
+          var i = 0
+          while (i < aVecs.length) {
+            var j = i + 1
+            while (j < aVecs.length) {
+              score(aIds(i), aVecs(i), aNorms(i), aIds(j), aVecs(j), aNorms(j))
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          val bIds = sb.ids; val bVecs = sb.vecs
+          val bNorms = Array.tabulate(bVecs.length)(i => sqNorm(bVecs(i)))
+          var i = 0
+          while (i < aVecs.length) {
+            var j = 0
+            while (j < bVecs.length) {
+              score(aIds(i), aVecs(i), aNorms(i), bIds(j), bVecs(j), bNorms(j))
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      out.iterator
+    }.toDF("id_a", "id_b", "cos")
   }
 }

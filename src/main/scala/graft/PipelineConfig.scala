@@ -162,17 +162,30 @@ object PipelineConfig {
           bool("skip_empty_files", dflt = true), fallbacks,
           extras = e.view.filterKeys(!knownQuality.contains(_))
             .map { case (k, v) => k -> String.valueOf(v) }.toMap)
-      case _ => QualityGates()
+      // an absent section means defaults; a PRESENT but non-mapping
+      // section (mis-indented YAML is the classic cause) is an error —
+      // silently defaulting would apply the exact gates the operator
+      // was trying to change
+      case Some(other) =>
+        errors += s"data_quality must be a mapping, got: $other"
+        QualityGates()
+      case None => QualityGates()
     }
 
     val watcher = tree.get("watcher_settings") match {
       case Some(w: java.util.Map[_, _]) =>
         w.asScala.toMap.map { case (k, v) => String.valueOf(k) -> v }
-      case _ => Map.empty[String, Object]
+      case Some(other) =>
+        errors += s"watcher_settings must be a mapping, got: $other"
+        Map.empty[String, Object]
+      case None => Map.empty[String, Object]
     }
     val extensions = watcher.get("supported_extensions") match {
       case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
-      case _ => default.supportedExtensions
+      case Some(other) =>
+        errors += s"supported_extensions must be a list, got: $other"
+        default.supportedExtensions
+      case None => default.supportedExtensions
     }
     // the reference validates poll_interval as an integer
     // (pattern_config_system.py:215); it becomes the stream trigger

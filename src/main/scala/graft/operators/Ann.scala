@@ -140,32 +140,15 @@ object Ann {
                     centroids: Array[Array[Double]],
                     k: Int, nprobe: Int): DataFrame = {
     val spark = assigned.sparkSession
-    GraftExtensions.ensureRegistered(spark)
-    val qSel = query.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
-    val qRows = qSel.collect()
-    require(qRows.nonEmpty, "empty query batch")
-    val probeRows = qRows.flatMap { r =>
-      val qv = r.getAs[scala.collection.Seq[Float]]("q_vec").toArray
-      nearestLists(qv, centroids, nprobe)
-        .map(l => org.apache.spark.sql.Row(r.get(0), r.get(1), l))
-    }
-    val probeSchema = org.apache.spark.sql.types.StructType(
-      qSel.schema.fields :+
-        org.apache.spark.sql.types.StructField("list_id",
-          org.apache.spark.sql.types.IntegerType, nullable = false))
-    val probeDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(probeRows.toSeq, 1), probeSchema)
-    val allLists = probeRows.map(_.getInt(2)).distinct.toSeq
+    val (probeDf, allLists) = BatchProbe.probeFrame(spark,
+      query.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec")),
+      org.apache.spark.sql.types.StructField("list_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      r => nearestLists(
+        r.getAs[scala.collection.Seq[Float]]("q_vec").toArray, centroids, nprobe))
     val joined = assigned.filter(col("list_id").isin(allLists: _*))
       .join(broadcast(probeDf), Seq("list_id"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
-    joined
-      .select(col("q_id"), col(idCol),
-        round(expr(s"graft_cosine(`$vecCol`, q_vec)"), 6).as("cos"))
-      .filter(!isnan(col("cos")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("rk")
+    BatchProbe.topKPerQuery(joined, idCol, vecCol, k)
   }
 
   /** Build a stored IVF index: train the coarse quantizer, assign

@@ -577,13 +577,18 @@ object Dedup {
       val out = mutable.ArrayBuffer.empty[(Long, Long, Double)]
       def score(idA: Long, xa: Array[Float], na: Double,
                 idB: Long, xb: Array[Float], nb: Double): Unit = {
-        val c =
-          if (xa.length == xb.length) dotp(xa, xb, xa.length) / math.sqrt(na * nb)
-          else raggedCos(xa, xb)
-        if (!c.isNaN && c >= guard) {
-          val r = round6(c)
-          if (!r.isNaN && r >= minCosine)
-            out += ((math.min(idA, idB), math.max(idA, idB), r))
+        // duplicate-id rows meet in their diagonal combo at distinct
+        // buffer indices — the join formulation's id_a < id_b filter
+        // excluded such self-pairs, so the kernel must too
+        if (idA != idB) {
+          val c =
+            if (xa.length == xb.length) dotp(xa, xb, xa.length) / math.sqrt(na * nb)
+            else raggedCos(xa, xb)
+          if (!c.isNaN && c >= guard) {
+            val r = round6(c)
+            if (!r.isNaN && r >= minCosine)
+              out += ((math.min(idA, idB), math.max(idA, idB), r))
+          }
         }
       }
       combos.foreach { case (key, (sa, sb)) =>

@@ -60,16 +60,7 @@ object Similarity {
   def bruteForceTopKEach(embs: DataFrame, query: DataFrame, qIdCol: String,
                          idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = query.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
-    val joined = embs.crossJoin(broadcast(q))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
-    joined
-      .select(col("q_id"), col(idCol),
-        round(cosineFast(joined, vecCol, "q_vec"), 6).as("cos"))
-      .filter(!isnan(col("cos")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("rk")
+    BatchProbe.topKPerQuery(embs.crossJoin(broadcast(q)), idCol, vecCol, k)
   }
 
   /** Build a bucket-partitioned ANN index: embeddings written to
@@ -169,33 +160,16 @@ object Similarity {
                        vecCol: String, k: Int, maxBitDiff: Int = 2): DataFrame = {
     GraftExtensions.ensureRegistered(spark)
     val planes = indexPlanes(spark, indexPath)
-    val qSel = query.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"),
-      expr(s"graft_srp_buckets(`$vecCol`, $planes, 1)")(0).as("q_bucket"))
-    val qRows = qSel.collect()
-    require(qRows.nonEmpty, "empty query batch")
-    val probeRows = qRows.flatMap { r =>
-      probeSet(r.getAs[Long]("q_bucket"), planes, maxBitDiff)
-        .map(b => org.apache.spark.sql.Row(r.get(0), r.get(1), b))
-    }
-    val probeSchema = org.apache.spark.sql.types.StructType(
-      qSel.schema.fields.take(2) :+
-        org.apache.spark.sql.types.StructField("bucket",
-          org.apache.spark.sql.types.LongType, nullable = false))
-    val probeDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(probeRows.toSeq, 1), probeSchema)
-    val allBuckets = probeRows.map(_.getLong(2)).distinct.toSeq
+    val (probeDf, allBuckets) = BatchProbe.probeFrame(spark,
+      query.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"),
+        expr(s"graft_srp_buckets(`$vecCol`, $planes, 1)")(0).as("q_bucket")),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      r => probeSet(r.getAs[Long]("q_bucket"), planes, maxBitDiff))
     val joined = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(allBuckets: _*))
       .join(broadcast(probeDf), Seq("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
-    joined
-      .select(col("q_id"), col(idCol),
-        round(cosineFast(joined, vecCol, "q_vec"), 6).as("cos"))
-      .filter(!isnan(col("cos")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("rk")
+    BatchProbe.topKPerQuery(joined, idCol, vecCol, k)
   }
 
   /** Multi-probe bucket enumeration: all bucket ids within hamming

@@ -52,12 +52,22 @@ object Xlsx {
     import spark.implicits._
     // header: first row of the lexicographically first file; only
     // that one row is parsed (maxRows short-circuits the StAX loop)
-    val header = files.orderBy("path")
+    val firstFile = files.orderBy("path")
       .as[(String, Array[Byte])].take(1).toSeq
+    val header = firstFile
       .flatMap { case (p, bytes) =>
         parseSheetRows(bytes, sheetName, maxRows = 1, source = p).toSeq
       }.headOption.getOrElse(Seq.empty)
-    if (header.isEmpty) return spark.emptyDataFrame
+    if (header.isEmpty) {
+      // a headerless FIRST file defines a width-0 schema for the whole
+      // glob — every row of every other file would be dropped. strict
+      // mode fails loudly instead of returning that empty frame.
+      if (strict && firstFile.nonEmpty) throw new IllegalStateException(
+        s"${firstFile.head._1}: selected sheet has no header row, so the " +
+          "whole read would return empty; remove the file from the glob " +
+          "or read with strict=false")
+      return spark.emptyDataFrame
+    }
     val rowsDs = files.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
       parseSheetRows(bytes, sheetName, source = p).drop(1).map(cells => (p, cells))
     }

@@ -117,8 +117,24 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val files = batch.select(col(pathCol)).distinct()
+        val rowFiles = batch.select(col(pathCol)).distinct()
           .collect().map(_.getString(0)).toSeq
+        // zero-ROW files (an empty or header-only CSV) contribute no
+        // rows, so the batch alone can never surface them for the
+        // empty_file gate; the file source's checkpoint log is the
+        // authoritative record of every file it admitted to this
+        // batch, zero-row ones included. Compacted log batches carry
+        // history, hence the batchId filter. Log-read failure
+        // degrades to row-derived gating rather than failing the sink.
+        val sourceFiles: Seq[String] =
+          try {
+            import org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog
+            val log = new FileStreamSourceLog(FileStreamSourceLog.VERSION,
+              spark, s"$checkpoint/sources/0")
+            log.get(batchId).map(_.filter(_.batchId == batchId).map(_.path).toSeq)
+              .getOrElse(Seq.empty)
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        val files = (rowFiles ++ sourceFiles).distinct
         val (ok, rejects) = graft.sources.Sources.gateFiles(spark, files, config.quality)
         if (rejects.nonEmpty) {
           // per-batch overwrite dir, like the routed output below: a

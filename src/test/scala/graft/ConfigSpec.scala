@@ -94,6 +94,38 @@ class ConfigSpec extends SparkSpec {
     assert(noSection.getMessage.contains("missing required section: pattern_mappings"))
   }
 
+  test("malformed data_quality / watcher_settings sections are errors, not defaults") {
+    // the mis-indentation that turns a section into a LIST is the
+    // classic YAML typo; silently applying the default gates would
+    // undo exactly the change the operator was deploying
+    val listQuality =
+      """pattern_mappings:
+        |  src1:
+        |    table: t1
+        |data_quality:
+        |- max_file_size_mb: 2000
+        |""".stripMargin
+    val e1 = intercept[IllegalArgumentException] { PipelineConfig.parseYaml(listQuality) }
+    assert(e1.getMessage.contains("data_quality must be a mapping"))
+    val strWatcher =
+      """pattern_mappings:
+        |  src1:
+        |    table: t1
+        |watcher_settings: five_seconds
+        |""".stripMargin
+    val e2 = intercept[IllegalArgumentException] { PipelineConfig.parseYaml(strWatcher) }
+    assert(e2.getMessage.contains("watcher_settings must be a mapping"))
+    val strExts =
+      """pattern_mappings:
+        |  src1:
+        |    table: t1
+        |watcher_settings:
+        |  supported_extensions: csv
+        |""".stripMargin
+    val e3 = intercept[IllegalArgumentException] { PipelineConfig.parseYaml(strExts) }
+    assert(e3.getMessage.contains("supported_extensions must be a list"))
+  }
+
   test("config-driven routing emits schema-qualified targets, first match wins") {
     val cfg = PipelineConfig.parseYaml(yaml)
     val df = Seq(

@@ -206,4 +206,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 2L)))
   }
+
+  test("embedding pairs never emit id_a == id_b for duplicate-id input") {
+    // two rows share id 1 (identical vectors, cosine 1.0): the join
+    // formulation's id_a < id_b diagonal filter excluded the
+    // self-pair, so the kernel must as well
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f))).toDF("id", "vec")
+    val out = Dedup.embeddingPairs(embs, "id", "vec", minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall { case (a, b) => a < b }, s"self-pair emitted: ${out.toSeq}")
+    // the (1,2) pair appears once per duplicate row of id 1
+    assert(out.toSeq.sorted == Seq((1L, 2L), (1L, 2L)))
+  }
 }

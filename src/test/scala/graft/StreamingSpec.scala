@@ -48,6 +48,9 @@ class StreamingSpec extends SparkSpec {
     // headerless: first line has a blank field
     Files.writeString(java.nio.file.Paths.get(s"$drop/src2/headerless.csv"),
       "a,,c\n7,1,2\n")
+    // zero-byte file: contributes NO rows to the batch, so only the
+    // source-checkpoint-log path can surface it for the empty_file gate
+    Files.writeString(java.nio.file.Paths.get(s"$drop/src2/empty.csv"), "")
     val cfg = PipelineConfig.parseYaml(graft.queries.EtlQueries.configYaml)
     val gatedCfg = cfg.copy(quality = cfg.quality.copy(maxFileSizeMb = Some(0.0002)))
     val schema = StructType(Seq(
@@ -66,7 +69,8 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(rejects == Set(
       ("oversized.csv", "file_too_large", "error"),
-      ("headerless.csv", "missing_header", "error")))
+      ("headerless.csv", "missing_header", "error"),
+      ("empty.csv", "empty_file", "error")))
   }
 
   test("watermarked tumbling window counts per type") {

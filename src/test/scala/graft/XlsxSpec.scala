@@ -101,6 +101,21 @@ class XlsxSpec extends SparkSpec {
     assert(msg.contains("b_wide.xlsx") && msg.contains("overflow cells"), msg)
   }
 
+  test("headerless first file: strict fails loudly, default returns empty") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_nohdr").toString
+    // lexicographically first file's sheet has NO rows at all, so it
+    // defines a width-0 header and the default read drops every row
+    // of every other file in the glob
+    Xlsx.write(s"$dir/a_empty.xlsx", Seq.empty, Seq.empty)
+    Xlsx.write(s"$dir/b_data.xlsx", Seq("k", "v"), Seq(Seq("1", "x"), Seq("2", "y")))
+    assert(Xlsx.read(spark, s"$dir/*.xlsx").count() == 0)
+    val err = intercept[IllegalStateException] {
+      Xlsx.read(spark, s"$dir/*.xlsx", strict = true)
+    }
+    assert(err.getMessage.contains("a_empty.xlsx") &&
+      err.getMessage.contains("no header row"), err.getMessage)
+  }
+
   test("sheetNames enumerates the workbook in order") {
     val dir = java.nio.file.Files.createTempDirectory("xlsx_names").toString
     Xlsx.writeSheets(s"$dir/multi.xlsx", Seq(

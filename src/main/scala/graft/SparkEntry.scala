@@ -28,7 +28,8 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++
-      SourceQueries.queries)
+      SourceQueries.queries ++
+      LayoutQueries.queries)
       .map { case (name, fn) =>
         name -> { (s: SparkSession, d: String) =>
           graft.plans.GraftExtensions.ensureRegistered(s)
@@ -46,5 +47,6 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
-      SourceQueries.oracles
+      SourceQueries.oracles ++
+      LayoutQueries.oracles
 }

@@ -46,4 +46,46 @@ object Sampling {
       }
     df.filter(hashPrefix(col(keyCol), salt) < thresholdCol)
   }
+
+  /** Token-BUDGET mixing: downsample each source so its kept token
+    * mass lands on a target budget — the way a training mix is
+    * actually specified ("300 B tokens web, 50 B code"), as opposed
+    * to [[stratified]]'s a-priori rates. Each source's keep rate is
+    * `min(1, budget / total_tokens)`, computed IN the plan (one
+    * partial-aggregated groupBy over the corpus, broadcast back), and
+    * the keep decision is the same md5-threshold row-local predicate
+    * as [[stratified]] — reproducible on any partitioning, and
+    * replicable verbatim in the DuckDB oracle including the
+    * rate-to-threshold arithmetic (double division and the 2^32
+    * scaling truncate identically in both engines).
+    *
+    * Sources absent from `budgets` are EXCLUDED (a mix is a
+    * whitelist: an unbudgeted source contributing tokens would skew
+    * the mix silently). Rate sampling targets the budget in
+    * expectation; the kept token mass concentrates tightly around it
+    * for any corpus whose per-document token count is small relative
+    * to the budget.
+    */
+  def mixByTokenBudget(df: DataFrame, sourceCol: String, keyCol: String,
+                       tokenCol: Column, budgets: Map[String, Long],
+                       salt: String = "graft"): DataFrame = {
+    require(budgets.nonEmpty, "empty budget map would drop the whole corpus")
+    require(budgets.values.forall(_ >= 0), s"negative budget in $budgets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgetDf = budgets.toSeq.toDF(sourceCol, "__budget")
+    val rates = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCol).cast("double").as("__total_tokens"))
+      .join(budgetDf, Seq(sourceCol))
+      .select(col(sourceCol),
+        least(lit(1.0), col("__budget") / col("__total_tokens")).as("__rate"))
+    // thresholdHex, but computed in-plan from the joined rate: "g"
+    // sorts above every hex digit (keep-all); otherwise the rate
+    // scaled to 2^32 as 8 fixed-width lowercase hex digits
+    val thr = when(col("__rate") >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex((col("__rate") * lit(4294967296.0)).cast("long"))), 8, "0"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashPrefix(col(keyCol), salt) < thr)
+      .drop("__rate")
+  }
 }

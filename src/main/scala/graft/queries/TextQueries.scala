@@ -142,6 +142,43 @@ object TextQueries {
           size(shingles(col("text"), 3)).cast("long").as("n_shingles"),
           tokenCount(col("text")).cast("long").as("n_words"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Context-window sequence packing (concat-and-chunk): per-source
+    // token streams cut into 2048-token windows; the summary exposes
+    // every document's window assignment through the per-window doc
+    // counts and id spans, so the oracle verifies the exact packing.
+    "pack_windows" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+      val packed = graft.operators.Packing.packWindows(docs, "n_tokens",
+        "doc_id", windowTokens = 2048, groupCols = Seq("source"))
+      graft.operators.Packing.windowSummary(packed, "n_tokens", "doc_id",
+          Seq("source"))
+        .orderBy(col("source"), col("window_id"))
+    }),
+
+    // Token-BUDGET mixing: keep rates derived from each source's
+    // token mass vs a target budget (src1's budget exceeds its mass
+    // -> keep-all; unbudgeted sources are excluded), decisions
+    // row-local md5-threshold — the oracle replays the whole chain,
+    // budget arithmetic included.
+    "mix_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.mixByTokenBudget(docs, "source", "doc_id",
+          col("n_tokens"),
+          budgets = Map("src0" -> 2000L, "src1" -> 1000000000L, "src2" -> 5000L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).cast("long").as("kept_tokens"),
+          min(col("doc_id")).as("min_id"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("source"))
     }))
 
   /** SQL mirror of TextFunctions.normalizeText. */
@@ -294,5 +331,53 @@ object TextQueries {
          |    ELSE 1 END AS BIGINT) AS n_shingles,
          |  $tokSql AS n_words
          |FROM (SELECT doc_id, text, string_split($normSql, ' ') AS w FROM documents)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Spark's long/long division is double division; the .cast("long")
+    // truncates. DuckDB's integer `/` is also double division, but its
+    // double->BIGINT cast ROUNDS — hence the explicit floor().
+    "pack_windows" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, $tokSql AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |off AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS stream_offset
+         |  FROM tok)
+         |SELECT source,
+         |  CAST(floor(stream_offset / 2048) AS BIGINT) AS window_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM off GROUP BY source, window_id
+         |ORDER BY source, window_id""".stripMargin,
+
+    // Same floor-vs-round cast gotcha for the rate-to-threshold
+    // scaling; DuckDB's to_hex is lowercase minimal-width, matching
+    // Spark's lower(hex(...)) after the lpad.
+    "mix_token_budget" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, $tokSql AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |tot AS (
+         |  SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS total
+         |  FROM tok GROUP BY source),
+         |rates AS (
+         |  SELECT tot.source,
+         |    least(1.0, CAST(b.budget AS DOUBLE) / total) AS rate
+         |  FROM tot
+         |  JOIN (VALUES ('src0', 2000), ('src1', 1000000000), ('src2', 5000))
+         |    AS b(source, budget) ON tot.source = b.source),
+         |kept AS (
+         |  SELECT t.source, t.doc_id, t.n_tokens
+         |  FROM tok t JOIN rates r ON t.source = r.source
+         |  WHERE substr(md5('graft' || CAST(t.doc_id AS VARCHAR)), 1, 8) <
+         |    CASE WHEN r.rate >= 1.0 THEN 'g'
+         |         ELSE lpad(lower(to_hex(CAST(floor(r.rate * 4294967296) AS BIGINT))), 8, '0')
+         |    END)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+         |  min(doc_id) AS min_id, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin)
 }

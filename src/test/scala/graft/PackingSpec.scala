@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Packing, Sampling}
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packWindows: offsets are exclusive prefix sums, windows cut at the budget") {
+    val docs = Seq(
+      // stream a: 400 + 700 + 600 + 500 tokens, window 1000
+      ("a", 1L, 400L), ("a", 2L, 700L), ("a", 3L, 600L), ("a", 4L, 500L),
+      // stream b: one oversized doc straddles windows on its own
+      ("b", 1L, 2500L), ("b", 2L, 100L))
+      .toDF("src", "id", "toks")
+    val got = Packing.packWindows(docs, "toks", "id", windowTokens = 1000,
+        groupCols = Seq("src"))
+      .select("src", "id", "stream_offset", "window_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("a", 1L, 0L, 0L),     // first token at 0 -> window 0
+      ("a", 2L, 400L, 0L),   // starts inside window 0, straddles into 1
+      ("a", 3L, 1100L, 1L),
+      ("a", 4L, 1700L, 1L),
+      ("b", 1L, 0L, 0L),     // oversized doc still anchors at its start
+      ("b", 2L, 2500L, 2L))) // next doc starts after the straddle
+  }
+
+  test("packWindows summary aggregates docs and tokens per window") {
+    val docs = Seq(("a", 1L, 400L), ("a", 2L, 700L), ("a", 3L, 600L))
+      .toDF("src", "id", "toks")
+    val packed = Packing.packWindows(docs, "toks", "id", 1000, Seq("src"))
+    val sum = Packing.windowSummary(packed, "toks", "id", Seq("src"))
+      .orderBy("window_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(sum.toSeq == Seq((0L, 2L, 1100L, 1L, 2L), (1L, 1L, 600L, 3L, 3L)))
+  }
+
+  test("packWindows refuses a silent global single-partition window") {
+    val docs = Seq(("a", 1L, 10L)).toDF("src", "id", "toks")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packWindows(docs, "toks", "id", 1000)
+    }
+    assert(e.getMessage.contains("single-partition"))
+    // explicit opt-in works and uses one global stream
+    val ok = Packing.packWindows(docs, "toks", "id", 1000,
+      allowGlobalStream = true)
+    assert(ok.select("window_id").as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("mixByTokenBudget: rates derive from token mass, unbudgeted sources drop") {
+    val docs = (0 until 400).map { i =>
+      val src = s"src${i % 4}"
+      (src, i.toLong, 100L) // each source: 100 docs x 100 tokens = 10k tokens
+    }.toDF("source", "doc_id", "n_tokens")
+    val kept = Sampling.mixByTokenBudget(docs, "source", "doc_id",
+      col("n_tokens"), budgets = Map(
+        "src0" -> 2500L,      // rate 0.25
+        "src1" -> 1000000L))  // rate 1.0 (keep all)
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src2/src3 unbudgeted -> excluded entirely
+    assert(bySrc.keySet == Set("src0", "src1"))
+    assert(bySrc("src1") == 100L)
+    // rate sampling: expectation 25; deterministic md5 keep-set is
+    // fixed for this id domain, allow a generous band around it
+    assert(bySrc("src0") >= 10 && bySrc("src0") <= 45, bySrc.toString)
+    // reproducible: same inputs give the identical kept set
+    val again = Sampling.mixByTokenBudget(docs, "source", "doc_id",
+      col("n_tokens"), budgets = Map("src0" -> 2500L, "src1" -> 1000000L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("mixByTokenBudget rejects an empty or negative budget map") {
+    val docs = Seq(("a", 1L, 10L)).toDF("source", "doc_id", "n_tokens")
+    intercept[IllegalArgumentException] {
+      Sampling.mixByTokenBudget(docs, "source", "doc_id", col("n_tokens"), Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixByTokenBudget(docs, "source", "doc_id", col("n_tokens"),
+        Map("a" -> -5L))
+    }
+  }
+}

@@ -14,7 +14,8 @@ object PlanAudit {
     "dedup_minhash", "dedup_embedding_lsh", "knn_join", "ann_bruteforce",
     "etl_ingest_pipeline", "etl_failure_log", "sample_stratified",
     "text_chunk", "ann_bruteforce_batch", "dedup_embedding_lsh_strict",
-    "etl_pattern_route", "dedup_resolve", "ann_ivf_indexed")
+    "etl_pattern_route", "dedup_resolve", "ann_ivf_indexed",
+    "pack_windows", "mix_token_budget")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

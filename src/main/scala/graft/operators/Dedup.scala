@@ -95,6 +95,19 @@ object Dedup {
           T.shingles(col(textCol), shingleSize), lit(perms)).as("sig"))
   }
 
+  /** (id, sig, band, bucket) — one row per document per band: the
+    * join-ready form of the MinHash signatures, for consumers that
+    * match against a PERSISTED signature corpus (e.g. the streaming
+    * incremental dedup gate) rather than self-joining one frame.
+    */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       perms: Int = 64, bands: Int = 16,
+                       shingleSize: Int = 3): DataFrame =
+    minhashSignatures(docs, idCol, textCol, perms, shingleSize)
+      .select(col("id"), col("sig"),
+        explode(H.minhashBands(col("sig"), bands, perms / bands)).as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
+
   /** Candidate near-dup pairs via MinHash LSH banding, annotated with
     * the signature-estimated Jaccard.
     *

@@ -338,4 +338,93 @@ object StreamIngest {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
+
+  /** Incremental NEAR-dup gate for a continuous ingest: each
+    * micro-batch's documents are MinHash-checked against a persistent
+    * signature STORE of everything already accepted, so a document
+    * arriving today is rejected if it near-duplicates one accepted
+    * last month — the continuous form of [[graft.operators.Dedup
+    * .minhashPairs]], whose self-join only sees one corpus snapshot.
+    * (`dedupWithinWatermark` is the exact-key gate with bounded
+    * state; this one is content-similarity with durable state.)
+    *
+    * Per batch: signatures + LSH bands for the batch (row-local, one
+    * shuffle on (band, bucket)); candidates against the store by
+    * band-bucket equi-join; verify on the signature-estimated Jaccard
+    * (>= `minJaccard`); intra-batch near-dups resolve keep-lowest-id
+    * via [[graft.operators.Dedup.minhashPairs]] on the batch alone.
+    * Survivor ROWS land under `outDir/batch=<id>`, their banded
+    * signatures JOIN the store under `storeDir/batch=<id>`, and every
+    * rejected id is audited to `rejectDir` with the id it duplicated
+    * and the estimate — all three per-batch overwrite dirs, so a
+    * replayed batch (crash between write and checkpoint commit)
+    * clobbers its own partial output instead of duplicating.
+    *
+    * Store reads scan all accepted signatures per batch: one
+    * (band, bucket)-keyed join per micro-batch, with the store frame
+    * ~(bands × one long + the sig array) per accepted doc. At 100 TB
+    * the store is the thing to manage, not the stream: compact
+    * `batch=` dirs periodically and bucket the store by (band,
+    * bucket) so the per-batch join co-locates without a store-side
+    * shuffle (Bucketing.writeBucketed is the batch-side tool).
+    */
+  def minhashDedupSink(stream: DataFrame, idCol: String, textCol: String,
+                       storeDir: String, outDir: String, rejectDir: String,
+                       checkpoint: String, minJaccard: Double = 0.8,
+                       perms: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+                       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Dedup
+        import graft.functions.{HashFunctions => H}
+        val banded = Dedup.bandedSignatures(batch, idCol, textCol,
+          perms, bands, shingleSize).persist()
+        // store may not exist yet (first batch); empty frame with the
+        // store schema keeps the join shape uniform. The batch=<id>
+        // dir names surface as a partition-discovered `batch` column:
+        // a REPLAYED batch must exclude its own prior write, or every
+        // one of its docs would match itself in the store (est 1.0)
+        // and the replay would clobber the outputs with empty frames.
+        val store = scala.util.Try(
+            spark.read.parquet(storeDir)
+              .filter(col("batch") =!= batchId)
+              .select(col("band"), col("bucket"),
+                col("id").as("dup_of"), col("sig").as("sig_s")))
+          .getOrElse(banded.limit(0).select(col("band"), col("bucket"),
+            col("id").as("dup_of"), col("sig").as("sig_s")))
+        val vsStore = banded.select(col("band"), col("bucket"),
+            col("id"), col("sig"))
+          .join(store, Seq("band", "bucket"))
+          .select(col("id"), col("dup_of"),
+            H.minhashEstimate(col("sig"), col("sig_s"), perms).as("est_jaccard"))
+          .distinct()
+          .filter(col("est_jaccard") >= minJaccard)
+        // intra-batch: keep-lowest-id, one pass (a chain A~B~C with
+        // A<B<C drops both B and C — same greedy contract as the
+        // batch pipeline's pair consumers)
+        val intra = Dedup.minhashPairs(batch, idCol, textCol,
+            perms, bands, shingleSize)
+          .filter(col("est_jaccard") >= minJaccard)
+          .select(col("id_b").as("id"), col("id_a").as("dup_of"),
+            col("est_jaccard"))
+        val rejects = vsStore.unionByName(intra)
+          .groupBy(col("id"))
+          .agg(min(col("dup_of")).as("dup_of"),
+            max(col("est_jaccard")).as("est_jaccard"))
+          .persist()
+        rejects
+          .withColumn("processing_batch", lit(s"stream_batch_$batchId"))
+          .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
+        val survivors = batch.join(rejects.select(col("id").as(idCol)),
+          Seq(idCol), "left_anti")
+        survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        banded.join(rejects.select(col("id")), Seq("id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+        banded.unpersist()
+        rejects.unpersist()
+        ()
+      }
 }

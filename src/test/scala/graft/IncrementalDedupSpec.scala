@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+class IncrementalDedupSpec extends SparkSpec {
+
+  // distinct enough that no cross pair collides in any LSH band;
+  // nearDup differs from base1 by one word (high Jaccard on 3-shingles)
+  private val base1 = "the quick brown fox jumps over the lazy dog " +
+    "while the farmer watches from the old wooden fence near the barn"
+  private val base2 = "stochastic gradient descent converges faster with " +
+    "momentum when the learning rate schedule follows a cosine decay curve"
+  private val base3 = "ancient mariners navigated across vast oceans using " +
+    "only the stars the winds and careful records of coastal landmarks"
+  private val nearDup1 = base1.replace("lazy dog", "lazy cat")
+
+  test("streaming minhash gate rejects near-dups of PREVIOUS batches via the store") {
+    val drop = Files.createTempDirectory("inc_drop").toString
+    val store = Files.createTempDirectory("inc_store").toString
+    val out = Files.createTempDirectory("inc_out").toString
+    val rej = Files.createTempDirectory("inc_rej").toString
+    val cp = Files.createTempDirectory("inc_cp").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("text", StringType)))
+    def runBatch(): Unit = {
+      val stream = StreamIngest.fileStream(spark, drop, schema)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      StreamIngest.runOnce(StreamIngest.minhashDedupSink(
+        stream, "doc_id", "text", store, out, rej, cp, minJaccard = 0.5))
+    }
+    // batch 0: two distinct docs plus an INTRA-batch near-dup of doc 1
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b0.csv"),
+      s"""doc_id,text
+         |1,"$base1"
+         |2,"$base2"
+         |5,"$nearDup1"
+         |""".stripMargin)
+    runBatch()
+    val out0 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out0 == Seq(1L, 2L), s"intra-batch dup should drop doc 5: $out0")
+    // batch 1: a near-dup of batch-0's doc 1, plus a genuinely new doc
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b1.csv"),
+      s"""doc_id,text
+         |7,"$nearDup1"
+         |8,"$base3"
+         |""".stripMargin)
+    runBatch()
+    val out1 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out1 == Seq(8L), s"store should reject doc 7 as a dup of doc 1: $out1")
+    // the audit names what each reject duplicated
+    val rejects = spark.read.parquet(rej)
+      .select("id", "dup_of").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rejects == Map(5L -> 1L, 7L -> 1L), rejects.toString)
+    // the store holds exactly the survivors' signatures
+    val storeIds = spark.read.parquet(store)
+      .select("id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(storeIds == Seq(1L, 2L, 8L), storeIds.toString)
+  }
+
+  test("replaying a batch against its own stored signatures is not self-rejecting") {
+    // simulate the foreachBatch replay directly: run the same batch id
+    // twice; the second run must exclude its own batch=<id> store dir
+    // and reproduce identical survivors, not reject everything
+    import spark.implicits._
+    val store = Files.createTempDirectory("rep_store").toString
+    val out = Files.createTempDirectory("rep_out").toString
+    val rej = Files.createTempDirectory("rep_rej").toString
+    val cp = Files.createTempDirectory("rep_cp").toString
+    val drop = Files.createTempDirectory("rep_drop").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("text", StringType)))
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b0.csv"),
+      s"""doc_id,text
+         |1,"$base1"
+         |2,"$base2"
+         |""".stripMargin)
+    def runBatch(checkpoint: String): Unit = {
+      val stream = StreamIngest.fileStream(spark, drop, schema)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      StreamIngest.runOnce(StreamIngest.minhashDedupSink(
+        stream, "doc_id", "text", store, out, rej, checkpoint, minJaccard = 0.5))
+    }
+    runBatch(cp)
+    // fresh checkpoint replays the same file as batch 0 again, with
+    // the store already holding batch=0 — the crash-replay shape
+    runBatch(Files.createTempDirectory("rep_cp2").toString)
+    val survivors = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(1L, 2L),
+      s"replay must reproduce the batch, not self-reject: $survivors")
+    assert(spark.read.parquet(rej).count() == 0)
+  }
+}

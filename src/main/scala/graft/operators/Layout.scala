@@ -32,12 +32,16 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Quantile boundaries for one column: `2^bits - 1` interior cut
-    * points. */
-  private def boundaries(df: DataFrame, c: String, bits: Int): Array[Double] = {
+  /** Quantile boundaries for every column in ONE sketch pass
+    * (`2^bits - 1` interior cut points each): the multi-column
+    * `approxQuantile` overload scans the frame once for all columns,
+    * where per-column calls would pay D full scans.
+    */
+  private def boundaries(df: DataFrame, cols: Seq[String],
+                         bits: Int): Seq[Array[Double]] = {
     val n = (1 << bits) - 1
     val probs = (1 to n).map(_.toDouble / (1 << bits)).toArray
-    df.stat.approxQuantile(c, probs, 0.001)
+    df.stat.approxQuantile(cols.toArray, probs, 0.001).toSeq
   }
 
   /** Bucket index of `c` in [0, 2^bits): the number of boundaries
@@ -73,7 +77,8 @@ object Layout {
     require(cols.size >= 2, "z-ordering one column is just a sort")
     require(cols.size * bits <= 63,
       s"${cols.size} cols x $bits bits overflows a long z-value")
-    interleave(cols.map(c => bucketExpr(col(c), boundaries(df, c, bits))), bits)
+    val bs = boundaries(df, cols, bits)
+    interleave(cols.zip(bs).map { case (c, b) => bucketExpr(col(c), b) }, bits)
   }
 
   /** Rewrite `df` as `numFiles` parquet files clustered by the
@@ -117,8 +122,10 @@ object Layout {
     val overlaps = box.map { case (c, (lo, hi)) =>
       col(s"${c}_max").cast("double") >= lo && col(s"${c}_min").cast("double") <= hi
     }.reduce(_ && _)
-    val total = spans.count()
-    val hit = spans.filter(overlaps).count()
-    (total, total - hit)
+    // both counts in one action — two would re-scan the dir per call
+    val r = spans.agg(count(lit(1)).as("n"),
+      sum(when(overlaps, 1L).otherwise(0L)).as("hit")).head()
+    val total = r.getLong(0)
+    (total, total - r.getLong(1))
   }
 }

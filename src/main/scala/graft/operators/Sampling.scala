@@ -77,8 +77,13 @@ object Sampling {
     val rates = df.groupBy(col(sourceCol))
       .agg(sum(tokenCol).cast("double").as("__total_tokens"))
       .join(budgetDf, Seq(sourceCol))
+      // a zero-token-mass source contributes nothing to a TOKEN
+      // budget: rate 0 (drop), guarded explicitly — unguarded, the
+      // double division gives +Inf and least() would keep-all
       .select(col(sourceCol),
-        least(lit(1.0), col("__budget") / col("__total_tokens")).as("__rate"))
+        when(col("__total_tokens") > 0.0,
+            least(lit(1.0), col("__budget") / col("__total_tokens")))
+          .otherwise(lit(0.0)).as("__rate"))
     // thresholdHex, but computed in-plan from the joined rate: "g"
     // sorts above every hex digit (keep-all); otherwise the rate
     // scaled to 2^32 as 8 fixed-width lowercase hex digits

@@ -48,10 +48,10 @@ object LayoutQueries {
       import s.implicits._
       val (zDir, linDir) = layoutDirs(s, d)
       val li = Tables.lineitem(s, d)
-      val dims = Seq("l_partkey", "l_suppkey").map { c =>
-        val Array(lo, hi) = li.stat.approxQuantile(c, Array(0.45, 0.55), 0.001)
-        c -> (lo, hi)
-      }
+      val cols = Seq("l_partkey", "l_suppkey")
+      val dims = cols.zip(
+        li.stat.approxQuantile(cols.toArray, Array(0.45, 0.55), 0.001)
+          .map { case Array(lo, hi) => (lo, hi) })
       val rows = for {
         (layout, dir) <- Seq(("linear_partkey", linDir), ("zorder", zDir))
         (dim, span) <- dims

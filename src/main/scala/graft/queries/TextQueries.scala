@@ -365,7 +365,9 @@ object TextQueries {
          |  FROM tok GROUP BY source),
          |rates AS (
          |  SELECT tot.source,
-         |    least(1.0, CAST(b.budget AS DOUBLE) / total) AS rate
+         |    CASE WHEN total > 0
+         |         THEN least(1.0, CAST(b.budget AS DOUBLE) / total)
+         |         ELSE 0.0 END AS rate
          |  FROM tot
          |  JOIN (VALUES ('src0', 2000), ('src1', 1000000000), ('src2', 5000))
          |    AS b(source, budget) ON tot.source = b.source),

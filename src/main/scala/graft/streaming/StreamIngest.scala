@@ -382,38 +382,66 @@ object StreamIngest {
         import graft.functions.{HashFunctions => H}
         val banded = Dedup.bandedSignatures(batch, idCol, textCol,
           perms, bands, shingleSize).persist()
-        // store may not exist yet (first batch); empty frame with the
-        // store schema keeps the join shape uniform. The batch=<id>
-        // dir names surface as a partition-discovered `batch` column:
-        // a REPLAYED batch must exclude its own prior write, or every
-        // one of its docs would match itself in the store (est 1.0)
-        // and the replay would clobber the outputs with empty frames.
-        val store = scala.util.Try(
+        // Store absence (first batch) falls back to an empty frame;
+        // any OTHER read failure (permissions, corrupt footer, a
+        // storage hiccup) must FAIL the batch — swallowing it would
+        // silently check the batch against nothing and admit every
+        // near-dup as an original, contaminating the corpus with no
+        // error signal. The batch=<id> dir names surface as a
+        // partition-discovered `batch` column: a REPLAYED batch must
+        // exclude its own prior write, or every one of its docs would
+        // match itself in the store (est 1.0) and the replay would
+        // clobber the outputs with empty frames.
+        val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        val storeFs = storePath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val storeExists = storeFs.exists(storePath) &&
+          storeFs.listStatus(storePath)
+            .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        val store =
+          if (storeExists)
             spark.read.parquet(storeDir)
               .filter(col("batch") =!= batchId)
               .select(col("band"), col("bucket"),
-                col("id").as("dup_of"), col("sig").as("sig_s")))
-          .getOrElse(banded.limit(0).select(col("band"), col("bucket"),
-            col("id").as("dup_of"), col("sig").as("sig_s")))
+                col("id").as("dup_of"), col("sig").as("sig_s"))
+          else banded.limit(0).select(col("band"), col("bucket"),
+            col("id").as("dup_of"), col("sig").as("sig_s"))
         val vsStore = banded.select(col("band"), col("bucket"),
             col("id"), col("sig"))
           .join(store, Seq("band", "bucket"))
           .select(col("id"), col("dup_of"),
             H.minhashEstimate(col("sig"), col("sig_s"), perms).as("est_jaccard"))
-          .distinct()
+          // threshold BEFORE distinct: sub-threshold collisions drop
+          // row-locally instead of riding the distinct shuffle
           .filter(col("est_jaccard") >= minJaccard)
+          .distinct()
         // intra-batch: keep-lowest-id, one pass (a chain A~B~C with
         // A<B<C drops both B and C — same greedy contract as the
-        // batch pipeline's pair consumers)
-        val intra = Dedup.minhashPairs(batch, idCol, textCol,
-            perms, bands, shingleSize)
-          .filter(col("est_jaccard") >= minJaccard)
+        // batch pipeline's pair consumers). Pairs come from a
+        // band-bucket self-join on the ALREADY-persisted banded frame
+        // — going through Dedup.minhashPairs would recompute the
+        // whole text→signature pipeline from the raw batch AND leak
+        // its internal persist once per micro-batch.
+        val ia = banded.select(col("band"), col("bucket"),
+          col("id").as("id_a"), col("sig").as("sig_a"))
+        val ib = banded.select(col("band"), col("bucket"),
+          col("id").as("id_b"), col("sig").as("sig_b"))
+        val intra = ia.join(ib, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
           .select(col("id_b").as("id"), col("id_a").as("dup_of"),
-            col("est_jaccard"))
+            H.minhashEstimate(col("sig_a"), col("sig_b"), perms).as("est_jaccard"))
+          .filter(col("est_jaccard") >= minJaccard)
+          .distinct()
+        // one audit row per rejected id, keeping dup_of and estimate
+        // from the SAME match: the best (highest-estimate) pair, ties
+        // to the lowest dup_of — min/max over separate columns would
+        // stitch one pair's partner to another pair's score
         val rejects = vsStore.unionByName(intra)
           .groupBy(col("id"))
-          .agg(min(col("dup_of")).as("dup_of"),
-            max(col("est_jaccard")).as("est_jaccard"))
+          .agg(min(struct((-col("est_jaccard")).as("neg_est"),
+            col("dup_of").as("d"))).as("best"))
+          .select(col("id"), col("best.d").as("dup_of"),
+            (-col("best.neg_est")).as("est_jaccard"))
           .persist()
         rejects
           .withColumn("processing_batch", lit(s"stream_batch_$batchId"))

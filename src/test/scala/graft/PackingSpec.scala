@@ -73,6 +73,17 @@ class PackingSpec extends SparkSpec {
     assert(again == kept.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("mixByTokenBudget: zero-token-mass budgeted source drops, not keep-all") {
+    // unguarded, budget / 0.0 = +Inf and least() would keep every
+    // (zero-token) doc of the source
+    val docs = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("b", 3L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    val kept = Sampling.mixByTokenBudget(docs, "source", "doc_id",
+      col("n_tokens"), budgets = Map("a" -> 100L, "b" -> 100L))
+    assert(kept.select("source").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("mixByTokenBudget rejects an empty or negative budget map") {
     val docs = Seq(("a", 1L, 10L)).toDF("source", "doc_id", "n_tokens")
     intercept[IllegalArgumentException] {

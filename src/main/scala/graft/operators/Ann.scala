@@ -257,12 +257,111 @@ object Ann {
   def knnJoin(embs: DataFrame, idCol: String, vecCol: String, k: Int,
               planes: Int = 0, targetBucket: Int = 1024,
               bucketCap: Int = 8192): DataFrame = {
-    val scored = knnCandidates(embs, idCol, vecCol, planes, targetBucket, bucketCap)
-      .select(col("id_a"), col("id_b"), col("cos"))
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("cos").desc, col("id_b"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    // Same bucket/salt assignment as knnCandidates, but scored by a
+    // per-partition TOP-K KERNEL instead of join + window: a row's
+    // own (bucket, salt) key holds its complete candidate set (the
+    // bucket is a function of the vector, the probe salt a function
+    // of the id, and the build side replicates across salts), so a
+    // bounded heap per probe row is exact — and the shuffle emits
+    // n×k result rows instead of materializing all ~n×bucket scored
+    // pairs as unsafe rows first. Ranking is on the ROUNDED cosine
+    // with id tiebreak, bit-identical to the window formulation
+    // (KnnSpec asserts equivalence against knnCandidates + window).
+    val rep = saltedBuckets(embs, idCol, vecCol, planes, targetBucket, bucketCap)
+      .select(col("bucket"), col("nsplit"),
+        pmod(xxhash64(col("id")), col("nsplit")).cast("int").as("own_salt"),
+        col("id").cast("long").as("id"), col("vec"),
+        explode(sequence(lit(0), col("nsplit") - 1)).as("salt"))
+      .select(col("bucket"), col("salt"),
+        (col("salt") === col("own_salt")).as("is_probe"),
+        col("id"), col("vec"))
+      .repartition(spark.sparkContext.defaultParallelism * 8,
+        col("bucket"), col("salt"))
+      .as[(Long, Int, Boolean, Long, Array[Float])]
+    rep.mapPartitions { rows =>
+      import scala.collection.mutable
+      final class Group {
+        val ids = mutable.ArrayBuffer.empty[Long]
+        val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+        val probe = mutable.ArrayBuffer.empty[Boolean]
+      }
+      val groups = mutable.LinkedHashMap.empty[(Long, Int), Group]
+      rows.foreach { case (bucket, salt, isProbe, id, vec) =>
+        val g = groups.getOrElseUpdate((bucket, salt), new Group)
+        g.ids += id; g.vecs += vec; g.probe += isProbe
+      }
+      def sqNorm(v: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+        s
+      }
+      def round6(d: Double): Double =
+        if (d.isNaN || d.isInfinity) d
+        else BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+      groups.valuesIterator.foreach { g =>
+        val m = g.vecs.length
+        val norms = Array.tabulate(m)(i => sqNorm(g.vecs(i)))
+        // bounded insertion "heap": arrays sorted best-first by
+        // (cos desc, id asc) — k is single-digit, linear scans win
+        val hc = new Array[Double](k)
+        val hid = new Array[Long](k)
+        var i = 0
+        while (i < m) {
+          if (g.probe(i)) {
+            val xa = g.vecs(i); val ida = g.ids(i); val na = norms(i)
+            var filled = 0
+            var j = 0
+            while (j < m) {
+              val idb = g.ids(j)
+              if (idb != ida) {
+                val xb = g.vecs(j)
+                val nLen = math.min(xa.length, xb.length)
+                var dot = 0.0; var t = 0
+                while (t < nLen) { dot += xa(t).toDouble * xb(t).toDouble; t += 1 }
+                // ragged pairs re-accumulate truncated norms like
+                // graft_cosine; fixed-dim corpora take the fast path
+                val c0 =
+                  if (xa.length == xb.length) dot / math.sqrt(na * norms(j))
+                  else {
+                    var na2 = 0.0; var nb2 = 0.0; var u = 0
+                    while (u < nLen) {
+                      val x = xa(u).toDouble; val y = xb(u).toDouble
+                      na2 += x * x; nb2 += y * y; u += 1
+                    }
+                    dot / math.sqrt(na2 * nb2)
+                  }
+                if (!c0.isNaN) {
+                  val c = round6(c0)
+                  val beatsWorst = filled < k || c > hc(filled - 1) ||
+                    (c == hc(filled - 1) && idb < hid(filled - 1))
+                  if (beatsWorst && !c.isNaN) {
+                    var pos = if (filled < k) filled else k - 1
+                    while (pos > 0 && (c > hc(pos - 1) ||
+                        (c == hc(pos - 1) && idb < hid(pos - 1)))) {
+                      hc(pos) = hc(pos - 1); hid(pos) = hid(pos - 1)
+                      pos -= 1
+                    }
+                    hc(pos) = c; hid(pos) = idb
+                    if (filled < k) filled += 1
+                  }
+                }
+              }
+              j += 1
+            }
+            var r = 0
+            while (r < filled) {
+              out += ((ida, hid(r), hc(r), r + 1))
+              r += 1
+            }
+          }
+          i += 1
+        }
+      }
+      out.iterator
+    }.toDF("id_a", "id_b", "cos", "rk")
   }
 
   /** Scored candidate pairs with their (bucket, salt) reducer key
@@ -272,29 +371,7 @@ object Ann {
   private[graft] def knnCandidates(embs: DataFrame, idCol: String, vecCol: String,
                                    planes: Int, targetBucket: Int,
                                    bucketCap: Int): DataFrame = {
-    GraftExtensions.ensureRegistered(embs.sparkSession)
-    val n = embs.count()
-    val p =
-      if (planes > 0) planes
-      else math.min(24, math.max(4,
-        math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
-          math.log(2.0)).toInt))
-    val bucketed = embs
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", expr(s"graft_srp_buckets(vec, $p, 1)")(0))
-      // persist: consumed three times (occupancy pass + both join
-      // sides) — without it each consumer re-runs the scan and the
-      // SRP signature computation
-      .persist()
-    // occupancy pass: one lightweight shuffle of bare bucket ids to
-    // find the few buckets that need splitting
-    val hot = bucketed.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > bucketCap)
-      .select(col("bucket"),
-        ceil(col("bn").cast("double") / bucketCap).cast("int").as("nsplit"))
-    val annotated = bucketed.join(broadcast(hot), Seq("bucket"), "left")
-      .withColumn("nsplit", coalesce(col("nsplit"), lit(1)))
+    val annotated = saltedBuckets(embs, idCol, vecCol, planes, targetBucket, bucketCap)
     val a = annotated.select(col("bucket"),
       pmod(xxhash64(col("id")), col("nsplit")).cast("int").as("salt"),
       col("id").as("id_a"), col("vec").as("v_a"))
@@ -309,5 +386,39 @@ object Ann {
       // a pair meets in exactly one (bucket, salt): the bucket is a
       // function of the vector and the probe row's salt is a
       // deterministic function of its id, so no dedup needed
+  }
+
+  /** Shared bucket/salt assignment for [[knnJoin]] and
+    * [[knnCandidates]]: SRP bucket per row, hot buckets (over
+    * `bucketCap`) annotated with their split factor from one
+    * lightweight occupancy shuffle. Output: (bucket, nsplit, id, vec).
+    */
+  private def saltedBuckets(embs: DataFrame, idCol: String, vecCol: String,
+                            planes: Int, targetBucket: Int,
+                            bucketCap: Int): DataFrame = {
+    GraftExtensions.ensureRegistered(embs.sparkSession)
+    val n = embs.count()
+    val p =
+      if (planes > 0) planes
+      else math.min(24, math.max(4,
+        math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+          math.log(2.0)).toInt))
+    val bucketed = embs
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", expr(s"graft_srp_buckets(vec, $p, 1)")(0))
+      // persist: consumed by the occupancy pass plus every downstream
+      // consumer — without it each re-runs the scan and the SRP
+      // signature computation
+      .persist()
+    // occupancy pass: one lightweight shuffle of bare bucket ids to
+    // find the few buckets that need splitting
+    val hot = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > bucketCap)
+      .select(col("bucket"),
+        ceil(col("bn").cast("double") / bucketCap).cast("int").as("nsplit"))
+    bucketed.join(broadcast(hot), Seq("bucket"), "left")
+      .withColumn("nsplit", coalesce(col("nsplit"), lit(1)))
+      .select(col("bucket"), col("nsplit"), col("id"), col("vec"))
   }
 }

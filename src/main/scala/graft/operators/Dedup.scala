@@ -481,8 +481,9 @@ object Dedup {
     * its block, side B below — every unordered pair meets in exactly
     * one combo), ONE shuffle pins one partition per combo, and a
     * per-partition primitive-float loop scores the ~(n/B)² pairs of
-    * each combo. The kernel is the one sanctioned mapPartitions in
-    * this codebase: a pair JOIN must materialize every candidate as
+    * each combo. The kernel is one of the codebase's two sanctioned
+    * pair kernels (the other: [[Ann.knnJoin]]'s per-partition top-k):
+    * a pair JOIN must materialize every candidate as
     * an unsafe row (copying both 64-float vectors per pair) before
     * the cosine filter can drop it, which at sf1 is 4×10⁸ row
     * materializations for 182 k survivors — the loop keeps the

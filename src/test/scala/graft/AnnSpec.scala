@@ -41,4 +41,24 @@ class AnnSpec extends SparkSpec {
       assert(sims == sims.sorted.reverse)
     }
   }
+
+  test("knn kernel matches the candidates+window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val corpus = embs.limit(300)
+    val kernel = Ann.knnJoin(corpus, "vec_id", "embedding", k = 5, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    val reference = Ann.knnCandidates(corpus, "vec_id", "embedding",
+        planes = 4, targetBucket = 1024, bucketCap = 8192)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(kernel == reference,
+      s"kernel-only: ${(kernel -- reference).take(5)}; " +
+        s"window-only: ${(reference -- kernel).take(5)}")
+  }
 }

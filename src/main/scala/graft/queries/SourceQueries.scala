@@ -132,6 +132,24 @@ object SourceQueries {
         .orderBy(col("media_id"))
     }),
 
+    // Content-hash dedup over BINARY payloads — the multimodal form
+    // of dedup_exact (images/audio dedupe on raw bytes before any
+    // decode): md5 of the payload, keep-lowest-id per group. One
+    // hash-partitioned groupBy on uniformly distributed keys.
+    "mm_dedup" -> ((s, d) => {
+      val media = Multimodal.ingest(
+        Tables.documents(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          lit("text/plain").as("mt")),
+        "doc_id", "payload", "mt")
+      media.filter(col("payload").isNotNull)
+        .select(col("media_id"), md5(col("payload")).as("content_hash"))
+        .groupBy(col("content_hash"))
+        .agg(min(col("media_id")).as("media_id_kept"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("media_id_kept"))
+    }),
+
     // Partition-wise decode (stubbed) -> fixed-width features.
     "mm_features" -> ((s, d) => {
       val media = Multimodal.ingest(
@@ -184,5 +202,13 @@ object SourceQueries {
     "mm_ingest" ->
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // DuckDB md5(VARCHAR) hashes the string's UTF-8 bytes — the same
+    // bytes Spark's md5 sees after the string->binary cast
+    "mm_dedup" ->
+      """SELECT md5(text) AS content_hash,
+        |  min(doc_id) AS media_id_kept, count(*) AS n_copies
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY content_hash ORDER BY media_id_kept""".stripMargin)
 }

@@ -81,6 +81,48 @@ object TemporalQueries {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Strict-order funnel (first-touch): per user, the first view,
+    // the first click AFTER that view, the first purchase AFTER that
+    // click. Each stage is an aggregate-then-join on user_id — the
+    // aggregations and joins share one hash partitioning, so the
+    // funnel costs one user shuffle regardless of corpus size.
+    "funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stage(v, "1_view")
+        .unionByName(stage(c, "2_click_after_view"))
+        .unionByName(stage(p, "3_purchase_after_click"))
+        .orderBy(col("stage"))
+    }),
+
+    // Weekly cohort retention: cohort = the ISO week of a user's
+    // first event; one row per (cohort, week offset) with distinct
+    // active users. Week indexes via epoch-seconds arithmetic so the
+    // Spark and DuckDB week math cannot drift.
+    "retention_cohort" -> ((s, d) => {
+      val wk = floor(unix_timestamp(date_trunc("week", col("ts")))
+        .cast("double") / 604800).cast("long")
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), wk.as("wk")).distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -125,5 +167,36 @@ object TemporalQueries {
         |        lag(ts, 1) OVER (PARTITION BY user_id
         |          ORDER BY ts, event_id) AS prev_ts
         |      FROM events WHERE user_id <= 100)))
-        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click_after_view', count(*) FROM c
+        |UNION ALL
+        |SELECT '3_purchase_after_click', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "retention_cohort" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(date_trunc('week', ts)) / 604800) AS BIGINT) AS wk
+        |  FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |  count(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN coh ON uw.user_id = coh.user_id
+        |GROUP BY cohort_wk, week_offset
+        |ORDER BY cohort_wk, week_offset""".stripMargin)
 }

@@ -51,6 +51,30 @@ object EtlQueries {
         .otherwise(round(col("value"), 4)).as("v"))
 
   val queries: Map[String, Q] = Map(
+    // SCD Type-2 dimension merge over customer: keys %10==0 get an
+    // update, half of them (%20==0) with a changed balance (close +
+    // reopen), half no-op (ignored); keys shifted by 1e6 plant pure
+    // INSERTS. Row-level output so the oracle verifies every version.
+    "scd2_merge" -> ((s, d) => {
+      val base = graft.Tables.customer(s, d).filter(col("c_custkey") <= 1000)
+      val cur = base.select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        lit("1995-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val upd = base.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          round(when(col("c_custkey") % 20 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")), 2).as("c_acctbal"),
+          lit("2024-01-15 00:00:00").cast("timestamp").as("ts"))
+      val ins = base.filter(col("c_custkey") % 500 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"),
+          lit("2024-01-15 00:00:00").cast("timestamp").as("ts"))
+      graft.operators.Scd.scd2Merge(cur, upd.unionByName(ins),
+          Seq("c_custkey"), Seq("c_name", "c_acctbal"), "ts")
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
     // Column-name normalization (dataframe_tasks.py:56).
     "etl_clean_names" -> ((s, d) => {
       CleanOps.cleanColumnNames(dirtyOrders(s, d))
@@ -386,5 +410,44 @@ object EtlQueries {
          |  round(sum(TRY_CAST(total_price AS DOUBLE)), 2) AS sum_price
          |FROM ($dirtyCleanSql)
          |WHERE order_date IS NOT NULL OR total_price IS NOT NULL
-         |GROUP BY status ORDER BY status""".stripMargin)
+         |GROUP BY status ORDER BY status""".stripMargin,
+
+    "scd2_merge" ->
+      """WITH base AS (SELECT * FROM customer WHERE c_custkey <= 1000),
+        |cur AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+        |    TIMESTAMP '1995-01-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM base),
+        |upd AS (
+        |  SELECT c_custkey, c_name,
+        |    round(CASE WHEN c_custkey % 20 = 0 THEN c_acctbal + 100
+        |               ELSE c_acctbal END, 2) AS c_acctbal,
+        |    TIMESTAMP '2024-01-15' AS ts
+        |  FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2),
+        |    TIMESTAMP '2024-01-15'
+        |  FROM base WHERE c_custkey % 500 = 0),
+        |j AS (
+        |  SELECT o.c_custkey, o.c_name, o.c_acctbal, o.valid_from,
+        |    o.valid_to, u.c_name AS u_name, u.c_acctbal AS u_bal, u.ts AS u_ts
+        |  FROM cur o LEFT JOIN upd u ON o.c_custkey = u.c_custkey),
+        |closed AS (
+        |  SELECT c_custkey, c_name, c_acctbal, valid_from, u_ts AS valid_to
+        |  FROM j WHERE u_ts IS NOT NULL AND
+        |    (c_name IS DISTINCT FROM u_name OR c_acctbal IS DISTINCT FROM u_bal)),
+        |kept AS (
+        |  SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to
+        |  FROM j WHERE NOT (u_ts IS NOT NULL AND
+        |    (c_name IS DISTINCT FROM u_name OR c_acctbal IS DISTINCT FROM u_bal))),
+        |newv AS (
+        |  SELECT u.c_custkey, u.c_name, u.c_acctbal, u.ts AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM upd u
+        |  WHERE u.c_custkey IN (SELECT c_custkey FROM closed)
+        |     OR u.c_custkey NOT IN (SELECT c_custkey FROM cur))
+        |SELECT * FROM kept UNION ALL SELECT * FROM closed
+        |UNION ALL SELECT * FROM newv
+        |ORDER BY c_custkey, valid_from""".stripMargin)
 }

@@ -111,6 +111,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packWindows conserves documents and tokens; offsets rebuild the stream") {
+    import graft.operators.Packing
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(7)
+    val docs = (1L to 500L).map(i =>
+      (s"s${i % 4}", i, rnd.nextInt(400).toLong)).toDF("src", "id", "toks")
+    val packed = Packing.packWindows(docs, "toks", "id", windowTokens = 1000,
+      groupCols = Seq("src"))
+    // partition property: every doc appears exactly once
+    assert(packed.count() == 500)
+    // per stream: offsets are the exclusive prefix sums in id order,
+    // i.e. sorting by id and re-summing reproduces them
+    packed.select("src", "id", "toks", "stream_offset", "window_id")
+      .collect()
+      .groupBy(_.getString(0))
+      .foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        var acc = 0L
+        sorted.foreach { r =>
+          assert(r.getLong(3) == acc, s"offset mismatch at id ${r.getLong(1)}")
+          assert(r.getLong(4) == acc / 1000, "window_id != offset/budget")
+          acc += r.getLong(2)
+        }
+      }
+    // summary conserves tokens
+    val total = Packing.windowSummary(packed, "toks", "id", Seq("src"))
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    val expected = docs.agg(sum(col("toks"))).head().getLong(0)
+    assert(total == expected)
+  }
+
+  test("scd2 invariants: one open version per key, intervals chain without overlap") {
+    import graft.operators.Scd
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(23)
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val current = (1L to 60L).map(k =>
+      (k, s"n$k", rnd.nextInt(5).toDouble, t(1), None: Option[Timestamp]))
+      .toDF("k", "name", "bal", "valid_from", "valid_to")
+    val updates = (1L to 80L).filter(_ => rnd.nextBoolean()).map(k =>
+      (k, s"n$k", rnd.nextInt(5).toDouble, t(10 + rnd.nextInt(5))))
+      .toDF("k", "name", "bal", "ts")
+    val out = Scd.scd2Merge(current, updates, Seq("k"), Seq("name", "bal"), "ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3), Option(r.getTimestamp(4))))
+    out.groupBy(_._1).foreach { case (k, versions) =>
+      val open = versions.filter(_._3.isEmpty)
+      assert(open.size == 1, s"key $k has ${open.size} open versions")
+      // closed intervals chain: each valid_to equals the next valid_from
+      val sorted = versions.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, Some(end)), (_, from, _)) =>
+          assert(end == from, s"key $k: gap/overlap between $end and $from")
+        case _ =>
+      }
+    }
+  }
+
   test("minhash estimate tracks exact jaccard on random docs") {
     val rnd = new Random(11)
     val vocab = ('a' to 'z').map(_.toString)

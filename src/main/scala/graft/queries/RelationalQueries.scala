@@ -243,6 +243,73 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"), col("rk"))
     }),
 
+    // TPC-H Q4 shape: correlated EXISTS with a NON-equi residual —
+    // orders having some lineitem shipped >300 days after the order
+    // date. Planned as a left-semi join on the order key with the
+    // date comparison as residual; the semi join dedups matches
+    // before the aggregate, so no order is counted twice.
+    "q4_exists" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      Tables.orders(s, d)
+        .join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 300 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    // expressed as the decorrelated plan Catalyst itself would emit:
+    // broadcast the filtered part dim, then ONE shuffle on l_partkey
+    // computes the per-part average as a window over the already-
+    // filtered rows — the lineitem table is scanned once, not twice.
+    "q17_scalar" -> ((s, d) => {
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .withColumn("part_avg_qty", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < col("part_avg_qty") * 0.5)
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // Explicit GROUPING SETS (finer than rollup/cube): region totals,
+    // region x nation detail, and the grand total — but NOT the
+    // nation-only cut a cube would add.
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("r_name"), col("n_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(round(sum(col("c_acctbal")), 2).as("total_bal"),
+          count(lit(1)).as("n_cust"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // Time-RANGE window frame: per-user trailing-1-hour event sum —
+    // the frame is bounded by VALUE distance (epoch seconds), not row
+    // count, so bursts and gaps weight correctly. One shuffle on the
+    // partition key; both window columns share it.
+    "window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("user_id") <= 20)
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .withColumn("trailing_1h_sum", round(sum(col("value")).over(w), 2))
+        .withColumn("trailing_1h_n", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"), col("epoch_s"),
+          col("trailing_1h_sum"), col("trailing_1h_n"))
+        .orderBy(col("user_id"), col("epoch_s"), col("event_id"))
+    }),
+
     // JSON property extraction from the events props column.
     "json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -404,6 +471,41 @@ object RelationalQueries {
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |      FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q4_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 300 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q17_scalar" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal,
+        |  count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT user_id, event_id, epoch_s,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_s
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trailing_1h_sum,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_1h_n
+        |FROM (SELECT user_id, event_id, value,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |      FROM events WHERE user_id <= 20)
+        |ORDER BY user_id, epoch_s, event_id""".stripMargin,
 
     "json_extract" ->
       """SELECT event_type, count(*) AS n,

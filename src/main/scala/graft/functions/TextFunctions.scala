@@ -142,4 +142,10 @@ object TextFunctions {
     */
   def shingles(c: Column, n: Int): Column =
     call_function("graft_word_shingles", words(c), lit(n))
+
+  /** Shingles over an already-materialized word-array column (avoids
+    * re-splitting when the caller needs the words too).
+    */
+  def shinglesOfWords(wordsCol: Column, n: Int): Column =
+    call_function("graft_word_shingles", wordsCol, lit(n))
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistic text filters for training-data curation: frequent
+  * n-gram (boilerplate) mining, per-document boilerplate fractions,
+  * repetition signals (Gopher-style gates), and benchmark
+  * decontamination. The reference has no analogue (its text surface
+  * stops at cleaning, dataframe_tasks.py:26); these extend the engine
+  * toward the LLM-pipeline north star.
+  *
+  * Scale shapes:
+  *  - document-frequency mining is explode → ONE hash-partitioned
+  *    groupBy on the shingle (uniform by construction — shingles are
+  *    near-unique strings), partial aggregation map-side;
+  *  - per-doc joins against the mined set broadcast the SMALL side
+  *    (frequent shingles / eval-set shingles / contaminated ids), so
+  *    the corpus itself is never shuffled by a join — its only
+  *    shuffle is the per-doc aggregation;
+  *  - everything else is row-local codegen'd column work.
+  */
+object TextFilters {
+
+  /** Document frequency of distinct per-doc word n-gram shingles.
+    * One explode + one groupBy(shingle); `minDf` keeps the result
+    * small (boilerplate = shingles shared across many docs).
+    */
+  def shingleDocFreq(docs: DataFrame, textCol: String, n: Int,
+      minDf: Long): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Per-document boilerplate fraction: the share of a doc's distinct
+    * n-gram shingles that are corpus-frequent (df >= minDf). The
+    * frequent set is mined from the same corpus and broadcast back;
+    * the corpus pays one scan for the mining and one for the scoring
+    * (the mined set is tiny, the corpus is not — persist the mined
+    * frame for repeated scoring runs).
+    *
+    * Output: (idCol, n_shingles, n_frequent, boilerplate_frac).
+    */
+  def boilerplateFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    val freq = shingleDocFreq(docs, textCol, n, minDf)
+      .select(col("shingle"), lit(1).as("is_freq"))
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+      .join(broadcast(freq), Seq("shingle"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("is_freq")).as("n_frequent"))
+      .withColumn("boilerplate_frac",
+        floor(col("n_frequent") / col("n_shingles") * 10000.0 + 0.5) / 10000.0)
+  }
+
+  /** Per-document repetition signals (Gopher-style quality gates):
+    * top-word fraction (most frequent word's share of all words) and
+    * duplicate-2gram fraction (1 − distinct/total word bigrams). The
+    * bigram stat is row-local (native shingle kernel); the word-mode
+    * stat needs per-(doc, word) counts — ONE shuffle whose key is
+    * uniform because doc ids dominate the key space.
+    *
+    * Output: (idCol, n_words, top_word_n, top_word_frac,
+    * dup_2gram_frac, passes) — `passes` is 1 when both signals are
+    * under their thresholds.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      maxTopWordFrac: Double = 0.15, maxDup2Frac: Double = 0.08): DataFrame = {
+    val base = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        TextFunctions.words(col(textCol)).as("w"))
+      .select(col(idCol),
+        // distinct bigram count; 0 for single-word docs (the native
+        // kernel returns the whole text as one shingle when W < n,
+        // which is not a bigram)
+        when(size(col("w")) >= 2,
+          size(TextFunctions.shinglesOfWords(col("w"), 2)))
+          .otherwise(lit(0)).cast("long").as("d2"),
+        explode(col("w")).as("word"))
+    base
+      .groupBy(col(idCol), col("d2"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("d2"))
+      .agg(max(col("c")).as("top_word_n"),
+        sum(col("c")).cast("long").as("n_words"))
+      .select(col(idCol), col("n_words"), col("top_word_n"),
+        (floor(col("top_word_n") / col("n_words") * 10000.0 + 0.5) / 10000.0)
+          .as("top_word_frac"),
+        (floor((lit(1.0) - col("d2") / greatest(col("n_words") - 1, lit(1L)))
+          * 10000.0 + 0.5) / 10000.0).as("dup_2gram_frac"))
+      .withColumn("passes",
+        when(col("top_word_frac") <= maxTopWordFrac &&
+          col("dup_2gram_frac") <= maxDup2Frac, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Benchmark decontamination: drop every corpus doc sharing ANY
+    * word n-gram with the evaluation set — the standard test-set
+    * leakage gate run before training. Eval sets are small, so their
+    * shingle set broadcasts; the corpus explodes row-local into a
+    * broadcast SEMI join (no corpus shuffle), the matched ids are
+    * deduped (a shuffle of the contaminated subset only), and the
+    * final ANTI join broadcasts that id set — at 100 TB the corpus
+    * is never repartitioned.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val benchShingles = bench
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val contaminatedIds = corpus
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+    corpus.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
+  }
+}

@@ -160,6 +160,67 @@ object TextQueries {
         .orderBy(col("source"), col("window_id"))
     }),
 
+    // Corpus-frequent n-gram mining: document frequency of 3-gram
+    // shingles, boilerplate candidates at df >= 5. One explode + one
+    // uniform groupBy(shingle) — the substring-dedup primitive.
+    "freq_ngrams" -> ((s, d) => {
+      graft.operators.TextFilters.shingleDocFreq(
+          Tables.documents(s, d), "text", n = 3, minDf = 5L)
+        .orderBy(col("df").desc, col("shingle"))
+    }),
+
+    // Per-doc boilerplate fraction: share of a doc's 3-gram shingles
+    // that are corpus-frequent. Mined set broadcast back; per-source
+    // summary keeps every doc's fraction observable via the sums.
+    "text_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.TextFilters
+        .boilerplateFraction(docs, "doc_id", "text", n = 3, minDf = 5L)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_shingles")).cast("long").as("total_shingles"),
+          sum(col("n_frequent")).cast("long").as("total_frequent"),
+          sum(floor(col("boilerplate_frac") * 10000.0 + 0.5).cast("long"))
+            .cast("long").as("total_bp_e4"),
+          count(when(col("boilerplate_frac") > 0.05, 1)).as("n_boilerplate_heavy"))
+        .orderBy(col("source"))
+    }),
+
+    // Gopher-style repetition gates: top-word fraction and duplicate-
+    // bigram fraction per doc, thresholds set where they CUT on this
+    // corpus (top p90 ~0.14, dup2 p90 ~0.065).
+    "text_repetition" -> ((s, d) => {
+      graft.operators.TextFilters.repetitionStats(
+          Tables.documents(s, d), "doc_id", "text",
+          maxTopWordFrac = 0.15, maxDup2Frac = 0.08)
+        .select(col("doc_id"), col("n_words"), col("top_word_n"),
+          col("top_word_frac"), col("dup_2gram_frac"), col("passes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: the eval set is every doc_id % 97
+    // == 0; the corpus is the full table plus planted near-copies of
+    // the eval docs (prefix + same text, ids shifted by 200000, the
+    // realistic leak shapes: exact member and paraphrase-prefix).
+    // Kept-set per-source counts/sums make every removal observable —
+    // the planted source survives ONLY if decontamination fails.
+    "text_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.select(col("doc_id"), col("source"), col("text"))
+        .union(bench.select((col("doc_id") + 200000).as("doc_id"),
+          lit("planted").as("source"),
+          concat(lit("zq prefix words "), col("text")).as("text")))
+      graft.operators.TextFilters
+        .decontaminate(corpus, bench, "doc_id", "text", n = 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("source"))
+    }),
+
     // Token-BUDGET mixing: keep rates derived from each source's
     // token mass vs a target budget (src1's budget exceeds its mass
     // -> keep-all; unbudgeted sources are excluded), decisions
@@ -223,7 +284,101 @@ object TextQueries {
        |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
        |    ) * 10000.0 + 0.5) / 10000.0""".stripMargin
 
+  /** SQL 3-gram / 5-gram shingle list over a word-list column `w`
+    * with the whole-normalized-text fallback (`nrm`) for short docs —
+    * mirrors the native shingle kernel exactly.
+    */
+  private def shingleListSql(n: Int, w: String, nrm: String): String = {
+    val gram = (0 until n).map(j => s"$w[i + $j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($w) >= $n THEN
+       |  list_distinct([$gram for i in range(1, len($w) - ${n - 2})])
+       |ELSE [$nrm] END""".stripMargin
+  }
+
+  /** Shared corpus CTE body: normalized text + word list for non-empty
+    * docs of a relation named `rel` (needs doc_id/source/text cols).
+    */
+  private def wordsCte(rel: String, cols: String): String =
+    s"""SELECT $cols, nrm, string_split(nrm, ' ') AS w
+       |FROM (SELECT $cols, $normSql AS nrm FROM $rel
+       |      WHERE text IS NOT NULL AND length(trim(text)) > 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "freq_ngrams" ->
+      s"""WITH base AS (${wordsCte("documents", "doc_id")}),
+         |sh AS (SELECT unnest(${shingleListSql(3, "w", "nrm")}) AS shingle
+         |       FROM base)
+         |SELECT shingle, count(*) AS df FROM sh
+         |GROUP BY shingle HAVING count(*) >= 5
+         |ORDER BY df DESC, shingle""".stripMargin,
+
+    "text_boilerplate" ->
+      s"""WITH base AS (${wordsCte("documents", "doc_id, source")}),
+         |sh AS (SELECT doc_id, source,
+         |         unnest(${shingleListSql(3, "w", "nrm")}) AS shingle
+         |       FROM base),
+         |df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 5),
+         |per AS (SELECT s.doc_id, any_value(s.source) AS source,
+         |          count(*) AS n_shingles, count(d.shingle) AS n_frequent
+         |        FROM sh s LEFT JOIN df d ON s.shingle = d.shingle
+         |        GROUP BY s.doc_id),
+         |fr AS (SELECT source, n_shingles, n_frequent,
+         |         floor(n_frequent * 1.0 / n_shingles * 10000.0 + 0.5) / 10000.0 AS bp
+         |       FROM per)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_shingles) AS BIGINT) AS total_shingles,
+         |  CAST(sum(n_frequent) AS BIGINT) AS total_frequent,
+         |  CAST(sum(CAST(floor(bp * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_bp_e4,
+         |  count(CASE WHEN bp > 0.05 THEN 1 END) AS n_boilerplate_heavy
+         |FROM fr GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH base AS (${wordsCte("documents", "doc_id")}),
+         |b2 AS (SELECT doc_id,
+         |         CASE WHEN len(w) >= 2 THEN
+         |           len(list_distinct([w[i] || ' ' || w[i+1]
+         |                              for i in range(1, len(w))]))
+         |         ELSE 0 END AS d2, w
+         |       FROM base),
+         |words AS (SELECT doc_id, d2, unnest(w) AS word FROM b2),
+         |cnt AS (SELECT doc_id, d2, word, count(*) AS c
+         |        FROM words GROUP BY 1, 2, 3),
+         |per AS (SELECT doc_id, d2, max(c) AS top_word_n,
+         |          CAST(sum(c) AS BIGINT) AS n_words
+         |        FROM cnt GROUP BY 1, 2),
+         |fr AS (SELECT doc_id, n_words, top_word_n,
+         |         floor(top_word_n * 1.0 / n_words * 10000.0 + 0.5) / 10000.0
+         |           AS top_word_frac,
+         |         floor((1.0 - d2 * 1.0 / greatest(n_words - 1, 1))
+         |           * 10000.0 + 0.5) / 10000.0 AS dup_2gram_frac
+         |       FROM per)
+         |SELECT doc_id, n_words, top_word_n, top_word_frac, dup_2gram_frac,
+         |  CAST(CASE WHEN top_word_frac <= 0.15 AND dup_2gram_frac <= 0.08
+         |       THEN 1 ELSE 0 END AS BIGINT) AS passes
+         |FROM fr ORDER BY doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, 'planted' AS source,
+         |    'zq prefix words ' || text AS text
+         |  FROM bench),
+         |bw AS (${wordsCte("bench", "doc_id")}),
+         |bsh AS (SELECT DISTINCT unnest(${shingleListSql(5, "w", "nrm")}) AS shingle
+         |        FROM bw),
+         |cw AS (${wordsCte("corpus", "doc_id")}),
+         |csh AS (SELECT doc_id, unnest(${shingleListSql(5, "w", "nrm")}) AS shingle
+         |        FROM cw),
+         |contaminated AS (SELECT DISTINCT doc_id FROM csh
+         |                 WHERE shingle IN (SELECT shingle FROM bsh))
+         |SELECT source, count(*) AS n_kept, min(doc_id) AS min_id,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM corpus
+         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     // stride 180 = 200 - 20; chunk k starts at k*180 + 1 (1-based)
     "text_chunk" ->
       """SELECT source, count(*) AS n_chunks,

@@ -149,6 +149,23 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDedup: k-means clusters the embedding space, near-dups are
+    // dropped WITHIN clusters only — pair work is Σ size(cluster)²,
+    // not n². Approximate by design (cross-cluster pairs are traded
+    // away; k-means is not SQL-expressible) → rows-only; SemDedupSpec
+    // verifies planted-dup removal, equivalence of the intra-cluster
+    // pair kernel with the exact kernel, and skew sub-blocking.
+    "semdedup" -> ((s, d) => {
+      graft.operators.SemDedup.semdedup(embsWithNearDups(s, d),
+          "vec_id", "embedding", nlist = 16, minCosine = 0.9)
+        .groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_members"),
+          count(when(col("is_survivor"), 1)).as("n_survivors"),
+          countDistinct(col("group_label")).as("n_groups"),
+          min(col("vec_id")).as("min_id"))
+        .orderBy(col("list_id"))
+    }),
+
     // Scale path: banded SRP-LSH candidates + exact cosine verify —
     // no driver collect, one shuffle on (table, bucket). Approximate
     // (recall target 0.98; measured 0.983 on sf0.01 in DedupSpec), so

@@ -97,6 +97,47 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Before/after footprint of a [[compact]] run. */
+  final case class CompactionStats(filesIn: Long, bytesIn: Long,
+                                   filesOut: Long, bytesOut: Long)
+
+  /** Small-file compaction — the maintenance pass every streaming
+    * sink needs: a file-source stream committing a batch per trigger
+    * leaves thousands of KB-sized parquet files, and at 100 TB the
+    * scan cost of a table is dominated by file-open/footer overhead
+    * long before data volume. Rewrites `inPath` into
+    * ~`targetFileBytes` files: the output file count derives from the
+    * LISTED on-disk bytes (no data scan), and the rewrite is a
+    * `coalesce` — merging adjacent scan partitions without a shuffle,
+    * which is the point: compaction moves every byte once, through
+    * no exchange.
+    *
+    * Flat directories only (a hive-partitioned table compacts per
+    * partition directory — run one pass per partition, which also
+    * keeps each rewrite's failure domain small).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFileBytes: Long = 128L << 20): CompactionStats = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    def dataFiles(dir: String): Array[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    val in = dataFiles(inPath)
+    require(in.nonEmpty, s"$inPath has no data files to compact")
+    val bytesIn = in.map(_.getLen).sum
+    val nOut = math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .coalesce(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    val out = dataFiles(outPath)
+    CompactionStats(in.length.toLong, bytesIn, out.length.toLong, out.map(_.getLen).sum)
+  }
+
   /** Per-file min/max spans of `cols` under `path` — the same stats a
     * parquet reader's footer pruning consults, surfaced as a frame so
     * layouts can be audited (and asserted on in specs). One row per

@@ -5,10 +5,14 @@ import graft.operators.Layout
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Data-layout surface: Z-order clustering demo over lineitem.
-  * No SQL oracle — the subject is file LAYOUT (which parquet files a
+/** Data-layout surface: Z-order clustering demo over lineitem and
+  * small-file compaction over documents. layout_zorder has no SQL
+  * oracle — its subject is file LAYOUT (which parquet files a
   * footer-pruned scan could skip), which DuckDB over the same logical
   * rows cannot express; LayoutSpec carries the strong assertions.
+  * layout_compact hash-verifies: its output is read from the
+  * compacted COPY, so the oracle over the original table proves
+  * row conservation.
   */
 object LayoutQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -37,7 +41,39 @@ object LayoutQueries {
       })
     }
 
+  /** Compacted-copy fixture: documents shattered into 64 tiny files
+    * (a streaming sink's typical debris), compacted once per (data
+    * dir, JVM). The query then reads the COMPACTED copy, so the
+    * DuckDB oracle over the original table hash-verifies that
+    * compaction moved every row and invented none; the file-count
+    * mechanics are asserted in LayoutSpec.
+    */
+  private val compactCache = scala.collection.mutable.Map.empty[String, String]
+  private def compactedDir(s: SparkSession, d: String): String =
+    compactCache.synchronized {
+      compactCache.getOrElseUpdate(d, {
+        val smallDir = java.nio.file.Files.createTempDirectory("graft_small").toString
+        Tables.documents(s, d).repartition(64)
+          .write.mode("overwrite").parquet(smallDir)
+        val outDir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+        Layout.compact(s, smallDir, outDir, targetFileBytes = 1L << 20)
+        outDir
+      })
+    }
+
   val queries: Map[String, Q] = Map(
+    // Conservation check over the compacted copy: per-source counts,
+    // char mass and id checksum must equal the original table's.
+    "layout_compact" -> ((s, d) => {
+      s.read.parquet(compactedDir(s, d))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("source"))
+    }),
+
     // The mixed-workload trade in numbers: a middle-decile filter on
     // EACH clustered column separately. The partkey-sorted layout
     // prunes partkey filters perfectly and suppkey filters not at
@@ -63,5 +99,11 @@ object LayoutQueries {
         .orderBy(col("layout"), col("filter_dim"))
     }))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "layout_compact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT doc_id) AS n_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -58,6 +58,41 @@ class LayoutSpec extends SparkSpec {
     assert(math.min(zSkipP, zSkipS) > math.min(lSkipP, lSkipS))
   }
 
+  test("compact merges a shattered directory to the target file count, conserving rows") {
+    val docs = Tables.documents(spark, sf0001)
+    val smallDir = java.nio.file.Files.createTempDirectory("graft_cs").toString
+    docs.repartition(32).write.mode("overwrite").parquet(smallDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_co").toString
+    val stats = Layout.compact(spark, smallDir, outDir, targetFileBytes = 1L << 20)
+    assert(stats.filesIn == 32, stats.toString)
+    // 50 tiny docs fit one 1 MB target file
+    assert(stats.filesOut == 1, stats.toString)
+    assert(stats.bytesOut > 0)
+    val before = docs.select("doc_id").as[Long].collect().sorted.toSeq
+    val after = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after == before, "compaction changed the row set")
+  }
+
+  test("compact derives the output count from listed bytes (multi-file when over target)") {
+    val docs = Tables.documents(spark, sf0001)
+    val smallDir = java.nio.file.Files.createTempDirectory("graft_cs2").toString
+    docs.repartition(8).write.mode("overwrite").parquet(smallDir)
+    // absurdly small target: every output file capped at 4 KB of input
+    val outDir = java.nio.file.Files.createTempDirectory("graft_co2").toString
+    val stats = Layout.compact(spark, smallDir, outDir, targetFileBytes = 4096)
+    assert(stats.filesOut > 1 && stats.filesOut <= 8, stats.toString)
+  }
+
+  test("compact refuses an empty directory loudly") {
+    val empty = java.nio.file.Files.createTempDirectory("graft_ce").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ceo").toString
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, empty, out)
+    }
+    assert(e.getMessage.contains("no data files"))
+  }
+
   test("null values in a clustered column land in bucket 0 and do not crash") {
     val df = Seq((Some(1.0), 1.0), (None, 2.0), (Some(3.0), 3.0))
       .toDF("x", "y")

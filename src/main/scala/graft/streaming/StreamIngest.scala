@@ -299,6 +299,35 @@ object StreamIngest {
     q
   }
 
+  /** One catch-up pass over the drop zone — the reference's batch
+    * catch-up scan (enhanced_tasks.py:221,264 rescans the watch root
+    * for files the poll loop missed while the worker was down).
+    * Spark-native form: Trigger.AvailableNow drains every
+    * not-yet-ingested file into `outDir` and self-terminates; the
+    * checkpoint carries the processed-file set across invocations, so
+    * each run ingests exactly the backlog that arrived since the
+    * previous one — downtime loses nothing, restarts duplicate
+    * nothing. `maxFilesPerTrigger` still bounds each micro-batch, so
+    * a month-long backlog drains as bounded batches rather than one
+    * giant one (the difference from Trigger.Once, and why this scales
+    * to a 100k-file catch-up).
+    *
+    * Returns the number of rows ingested by THIS pass.
+    */
+  def backfillOnce(spark: SparkSession, path: String, schema: StructType,
+                   outDir: String, checkpoint: String,
+                   maxFilesPerTrigger: Int = 100): Long = {
+    val q = fileStream(spark, path, schema, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * (small) static dimension with an explicit broadcast — the
     * streaming analogue of the star-join dims, and the way the

@@ -33,6 +33,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("1", "9.99"), ("2", "5.00")))
   }
 
+  test("backfill catch-up: drains the backlog, self-terminates, second run takes only new files") {
+    val drop = Files.createTempDirectory("drop_backfill").toString
+    val out = Files.createTempDirectory("backfill_out").toString
+    val cp = Files.createTempDirectory("backfill_cp").toString
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("v", StringType)))
+    (1 to 3).foreach(i =>
+      Files.writeString(java.nio.file.Paths.get(s"$drop/f$i.csv"),
+        s"id,v\n${i}a,1\n${i}b,2\n"))
+    // maxFilesPerTrigger=1: the 3-file backlog must drain across
+    // multiple micro-batches, not one giant batch
+    val first = StreamIngest.backfillOnce(spark, drop, schema,
+      s"$out/data", s"$cp/c", maxFilesPerTrigger = 1)
+    assert(first == 6L, s"first pass ingested $first rows")
+    assert(spark.read.parquet(s"$out/data").count() == 6)
+    // nothing new: a rerun ingests zero (checkpointed file set)
+    val rerun = StreamIngest.backfillOnce(spark, drop, schema,
+      s"$out/data", s"$cp/c", maxFilesPerTrigger = 1)
+    assert(rerun == 0L, s"rerun ingested $rerun rows")
+    // one late file: only IT is picked up
+    Files.writeString(java.nio.file.Paths.get(s"$drop/f4.csv"), "id,v\n4a,9\n")
+    val second = StreamIngest.backfillOnce(spark, drop, schema,
+      s"$out/data", s"$cp/c", maxFilesPerTrigger = 1)
+    assert(second == 1L, s"second pass ingested $second rows")
+    val ids = spark.read.parquet(s"$out/data")
+      .select("id").as[String].collect().sorted.toSeq
+    assert(ids == Seq("1a", "1b", "2a", "2b", "3a", "3b", "4a"))
+  }
+
   test("gated routed sink: file gates reject junk, rejects land in the log") {
     val drop = Files.createTempDirectory("drop_gated").toString
     val out = Files.createTempDirectory("gated_out").toString

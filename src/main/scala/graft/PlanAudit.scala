@@ -15,7 +15,9 @@ object PlanAudit {
     "etl_ingest_pipeline", "etl_failure_log", "sample_stratified",
     "text_chunk", "ann_bruteforce_batch", "dedup_embedding_lsh_strict",
     "etl_pattern_route", "dedup_resolve", "ann_ivf_indexed",
-    "pack_windows", "mix_token_budget")
+    "pack_windows", "mix_token_budget",
+    "q4_exists", "q17_scalar", "window_range_frame",
+    "freq_ngrams", "text_decontaminate", "text_repetition", "semdedup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

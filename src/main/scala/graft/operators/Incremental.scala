@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance — the warehouse pattern the
+  * reference's append-only loads imply but never implement: a stats
+  * table over an append-only fact should fold in each new batch
+  * without rescanning history (the reference recomputes its
+  * processing-log stats from the full table every call,
+  * tasks_postgres.py:245).
+  *
+  * The state is a PARTIAL-aggregate frame: per group, the
+  * decomposable pieces (count, sum, min, max) every distributive/
+  * algebraic aggregate is built from — the same decomposition Spark's
+  * own partial aggregation uses map-side. Folding a delta is then
+  * one groupBy over (state ∪ delta-partials): cost scales with group
+  * cardinality + delta size, never with history. Averages and other
+  * algebraic finals derive at read time in [[finalizeAgg]].
+  *
+  * At 100 TB: the fact table never re-shuffles — each batch shuffles
+  * its own partials (map-side-combined, so the exchange carries one
+  * row per group per map partition), and the state frame stays at
+  * group cardinality. The merge is associative and commutative
+  * (spec'd), so batches can fold in any order, including out-of-order
+  * replays folded exactly once.
+  */
+object Incremental {
+
+  /** Per-group partials of `valueCol`: (n, sum, min, max). */
+  def partials(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(col(valueCol)).as("agg_n"),
+        sum(col(valueCol)).as("agg_sum"),
+        min(col(valueCol)).as("agg_min"),
+        max(col(valueCol)).as("agg_max"))
+
+  /** Fold delta partials into state partials. Both sides must share
+    * the [[partials]] schema; groups new to either side pass through.
+    */
+  def merge(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val partialCols = Seq("agg_n", "agg_sum", "agg_min", "agg_max")
+    require(partialCols.forall(state.columns.contains) &&
+      partialCols.forall(delta.columns.contains),
+      s"merge needs partials frames (${partialCols.mkString(", ")}); " +
+        "build them with Incremental.partials")
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("agg_n")).cast("long").as("agg_n"),
+        sum(col("agg_sum")).as("agg_sum"),
+        min(col("agg_min")).as("agg_min"),
+        max(col("agg_max")).as("agg_max"))
+  }
+
+  /** Read-time finals from a partials frame: the stored pieces plus
+    * the derived mean. Rounding matches the engine convention
+    * (floor-based 4 dp for the division, 2 dp for the sum).
+    */
+  def finalizeAgg(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ Seq(
+      col("agg_n").as("n_rows"),
+      round(col("agg_sum"), 2).as("total"),
+      round(col("agg_sum") / col("agg_n"), 4).as("mean"),
+      round(col("agg_min"), 2).as("min_val"),
+      round(col("agg_max"), 2).as("max_val")): _*)
+}

@@ -51,6 +51,30 @@ object EtlQueries {
         .otherwise(round(col("value"), 4)).as("v"))
 
   val queries: Map[String, Q] = Map(
+    // Incremental aggregate maintenance: history folds once into
+    // partial-agg state; two successive delta batches merge WITHOUT
+    // rescanning history (the reference recomputes its stats table
+    // from scratch per call, tasks_postgres.py:245). The oracle is
+    // the full recompute — the merge algebra must land on exactly the
+    // same groups. Two chained merges make associativity itself part
+    // of the verified surface.
+    "incr_agg" -> ((s, d) => {
+      import graft.operators.Incremental
+      val orders = Tables.orders(s, d)
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      val history = orders.filter(col("o_orderkey") % 10 =!= 0)
+      val d1 = orders.filter(col("o_orderkey") % 10 === 0 &&
+        col("o_orderkey") % 20 =!= 0)
+      val d2 = orders.filter(col("o_orderkey") % 20 === 0)
+      val state0 = Incremental.partials(history, keys, "o_totalprice")
+      val state1 = Incremental.merge(state0,
+        Incremental.partials(d1, keys, "o_totalprice"), keys)
+      val state2 = Incremental.merge(state1,
+        Incremental.partials(d2, keys, "o_totalprice"), keys)
+      Incremental.finalizeAgg(state2, keys)
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
     // SCD Type-2 dimension merge over customer: keys %10==0 get an
     // update, half of them (%20==0) with a changed balance (close +
     // reopen), half no-op (ignored); keys shifted by 1e6 plant pure
@@ -306,6 +330,16 @@ object EtlQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "incr_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(o_totalprice) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  round(sum(o_totalprice) / count(o_totalprice), 4) AS mean,
+        |  round(min(o_totalprice), 2) AS min_val,
+        |  round(max(o_totalprice), 2) AS max_val
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
     "etl_clean_names" ->
       """SELECT o_orderstatus AS status, count(*) AS n,
         |  max(o_orderkey) AS max_key

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Incremental
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, Double)*): DataFrame =
+    rows.toDF("k", "v")
+
+  private def snap(df: DataFrame): Map[String, (Long, Double, Double, Double)] =
+    df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+  private val keys = Seq("k")
+
+  test("folding deltas equals the full recompute, in any order") {
+    val b1 = batch("a" -> 1.0, "a" -> 2.0, "b" -> 10.0)
+    val b2 = batch("a" -> 3.0, "c" -> 7.0)
+    val b3 = batch("b" -> -5.0, "c" -> 7.5)
+    val all = b1.union(b2).union(b3)
+    val p = Seq(b1, b2, b3).map(Incremental.partials(_, keys, "v"))
+    val forward = Incremental.merge(Incremental.merge(p(0), p(1), keys), p(2), keys)
+    val reverse = Incremental.merge(Incremental.merge(p(2), p(1), keys), p(0), keys)
+    val full = Incremental.partials(all, keys, "v")
+    val expected = snap(Incremental.finalizeAgg(full, keys))
+    assert(snap(Incremental.finalizeAgg(forward, keys)) == expected)
+    assert(snap(Incremental.finalizeAgg(reverse, keys)) == expected)
+  }
+
+  test("empty delta is a no-op; new group passes through") {
+    val state = Incremental.partials(batch("a" -> 1.0), keys, "v")
+    val empty = Incremental.partials(batch("a" -> 1.0).limit(0), keys, "v")
+    assert(snap(Incremental.finalizeAgg(
+      Incremental.merge(state, empty, keys), keys)) ==
+      snap(Incremental.finalizeAgg(state, keys)))
+    val withNew = Incremental.merge(state,
+      Incremental.partials(batch("z" -> 4.0), keys, "v"), keys)
+    val m = snap(Incremental.finalizeAgg(withNew, keys))
+    assert(m.keySet == Set("a", "z"))
+    assert(m("z") == ((1L, 4.0, 4.0, 4.0)))
+  }
+
+  test("merge refuses a frame that is not a partials frame") {
+    val state = Incremental.partials(batch("a" -> 1.0), keys, "v")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.merge(state, batch("a" -> 1.0), keys)
+    }
+    assert(e.getMessage.contains("partials"))
+  }
+
+  test("delta merge does not rescan history: state side is a leaf, one exchange for the union-fold") {
+    val state = Incremental.partials(
+      batch("a" -> 1.0, "b" -> 2.0), keys, "v")
+      .localCheckpoint(true) // stands in for the stored state table
+    val delta = Incremental.partials(batch("a" -> 9.0), keys, "v")
+    val plan = Incremental.merge(state, delta, keys)
+      .queryExecution.optimizedPlan.toString
+    // the fold reads the materialized state (a scan leaf), not the
+    // state's aggregation lineage: exactly one Aggregate pair (the
+    // delta's partials + the fold) sits above the union
+    assert(plan.contains("LogicalRDD"), plan)
+  }
+}

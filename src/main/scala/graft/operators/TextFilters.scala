@@ -63,10 +63,14 @@ object TextFilters {
 
   /** Per-document repetition signals (Gopher-style quality gates):
     * top-word fraction (most frequent word's share of all words) and
-    * duplicate-2gram fraction (1 − distinct/total word bigrams). The
-    * bigram stat is row-local (native shingle kernel); the word-mode
-    * stat needs per-(doc, word) counts — ONE shuffle whose key is
-    * uniform because doc ids dominate the key space.
+    * duplicate-2gram fraction (1 − distinct/total word bigrams).
+    * Entirely ROW-LOCAL: the bigram stat uses the native shingle
+    * kernel and the word mode the native
+    * [[graft.plans.WordTopCount]] expression — both O(words) per doc
+    * inside whole-stage codegen, zero shuffles. (An earlier
+    * formulation exploded words into a per-(doc, word) groupBy: one
+    * exchange the size of the tokenized corpus just to compute a
+    * per-doc statistic — 4.4 s at sf1 vs ~0.5 s row-local.)
     *
     * Output: (idCol, n_words, top_word_n, top_word_frac,
     * dup_2gram_frac, passes) — `passes` is 1 when both signals are
@@ -74,24 +78,21 @@ object TextFilters {
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
       maxTopWordFrac: Double = 0.15, maxDup2Frac: Double = 0.08): DataFrame = {
-    val base = docs
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol),
         TextFunctions.words(col(textCol)).as("w"))
       .select(col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        call_function("graft_top_word_count", col("w")).cast("long")
+          .as("top_word_n"),
         // distinct bigram count; 0 for single-word docs (the native
         // kernel returns the whole text as one shingle when W < n,
         // which is not a bigram)
         when(size(col("w")) >= 2,
           size(TextFunctions.shinglesOfWords(col("w"), 2)))
-          .otherwise(lit(0)).cast("long").as("d2"),
-        explode(col("w")).as("word"))
-    base
-      .groupBy(col(idCol), col("d2"), col("word"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol), col("d2"))
-      .agg(max(col("c")).as("top_word_n"),
-        sum(col("c")).cast("long").as("n_words"))
+          .otherwise(lit(0)).cast("long").as("d2"))
       .select(col(idCol), col("n_words"), col("top_word_n"),
         (floor(col("top_word_n") / col("n_words") * 10000.0 + 0.5) / 10000.0)
           .as("top_word_frac"),

@@ -47,7 +47,10 @@ object GraftExtensions {
         intLit(children(1), "n"))),
     (new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHashSignature(children(0))))
+      (children: Seq[Expression]) => SimHashSignature(children(0))),
+    (new FunctionIdentifier("graft_top_word_count"),
+      new ExpressionInfo(classOf[WordTopCount].getName, "graft_top_word_count"),
+      (children: Seq[Expression]) => WordTopCount(children(0))))
 
   /** Register into an existing session (no-op if already present). */
   def ensureRegistered(spark: SparkSession): Unit = {

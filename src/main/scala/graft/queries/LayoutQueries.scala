@@ -61,7 +61,49 @@ object LayoutQueries {
       })
     }
 
+  /** Hive-partitioned star fixture: orders written PARTITIONED BY
+    * order month, plus a tiny month-dimension parquet (month →
+    * quarter attribute). Built once per (data dir, JVM). The month
+    * count is bounded (dates span 1995-2001), so the partition fan-out
+    * is warehouse-realistic, not pathological.
+    */
+  private val partitionCache = scala.collection.mutable.Map.empty[String, (String, String)]
+  private def partitionedDirs(s: SparkSession, d: String): (String, String) =
+    partitionCache.synchronized {
+      partitionCache.getOrElseUpdate(d, {
+        val factDir = java.nio.file.Files.createTempDirectory("graft_part_fact").toString
+        val withMonth = Tables.orders(s, d)
+          .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+        withMonth.write.mode("overwrite").partitionBy("om").parquet(factDir)
+        val dimDir = java.nio.file.Files.createTempDirectory("graft_part_dim").toString
+        withMonth.select(col("om"),
+            concat(year(col("o_orderdate")), lit("-Q"),
+              quarter(col("o_orderdate"))).as("qtr"))
+          .distinct()
+          .write.mode("overwrite").parquet(dimDir)
+        (factDir, dimDir)
+      })
+    }
+
   val queries: Map[String, Q] = Map(
+    // Dynamic partition pruning: the fact is partitioned on order
+    // month, the filter arrives on the DIMENSION's quarter attribute —
+    // static pruning cannot see it, so Catalyst injects the broadcast
+    // dim's month set as a runtime partition filter and the fact scan
+    // reads 3 of ~80 month directories (PlanSpec asserts the
+    // dynamicpruning expression). THE mechanism that makes a
+    // 1000-executor star join read 1/28th of a date-partitioned fact.
+    "layout_partition_prune" -> ((s, d) => {
+      val (factDir, dimDir) = partitionedDirs(s, d)
+      val dim = s.read.parquet(dimDir).filter(col("qtr") === "1996-Q2")
+      s.read.parquet(factDir)
+        .join(broadcast(dim), Seq("om"))
+        .groupBy(col("om"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("om"))
+    }),
+
     // Conservation check over the compacted copy: per-source counts,
     // char mass and id checksum must equal the original table's.
     "layout_compact" -> ((s, d) => {
@@ -100,6 +142,14 @@ object LayoutQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "layout_partition_prune" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS om,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 2
+        |GROUP BY om ORDER BY om""".stripMargin,
+
     "layout_compact" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT doc_id) AS n_ids,

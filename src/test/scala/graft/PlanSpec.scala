@@ -36,6 +36,15 @@ class PlanSpec extends SparkSpec {
     assert(smj <= 1, s"expected <=1 shuffled join, got $smj:\n$plan")
   }
 
+  test("dimension-filtered star over a partitioned fact uses dynamic partition pruning") {
+    val df = graft.queries.LayoutQueries.queries("layout_partition_prune")(spark, sf0001)
+    val plan = planString(df)
+    // the fact scan's partition filter must be the RUNTIME one fed by
+    // the broadcast dim — a static filter on om would defeat the test
+    assert(plan.contains("dynamicpruning"), s"no DPP filter in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q1 aggregation does partial (map-side) aggregation") {
     val df = RelationalQueries.queries("q1_agg")(spark, sf0001)
     val plan = planString(df)

@@ -120,6 +120,30 @@ object SourceQueries {
         .orderBy(col("target_table"))
     }),
 
+    // Schema EVOLUTION across landing-zone batches: an old batch
+    // without o_orderstatus and a new batch with it, read as one
+    // table via mergeSchema. The old batch's rows surface with a null
+    // status (the `added` group keyed NULL below) — exactly how a
+    // warehouse landing zone behaves when a producer adds a column.
+    // mergeSchema costs a footer read per file, not a data scan; at
+    // 100 TB pin the merged schema in a catalog instead and pass it
+    // explicitly.
+    "src_schema_evolution" -> ((s, d) => {
+      val dir = tmp("graft_evolve")
+      val orders = Tables.orders(s, d)
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/batch=old")
+      orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$dir/batch=new")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    }),
+
     // Binary payload + metadata struct plumbing.
     "mm_ingest" -> ((s, d) => {
       val media = Multimodal.ingest(
@@ -196,6 +220,14 @@ object SourceQueries {
          |      FROM documents)
          |WHERE target_table IS NOT NULL
          |GROUP BY target_table ORDER BY target_table""".stripMargin,
+
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
 
     // n_bytes is the UTF-8 byte length of the payload (Spark casts
     // the text to binary; DuckDB's encode() is the same conversion)

@@ -63,4 +63,40 @@ object Incremental {
       round(col("agg_sum") / col("agg_n"), 4).as("mean"),
       round(col("agg_min"), 2).as("min_val"),
       round(col("agg_max"), 2).as("max_val")): _*)
+
+  /** COUNT DISTINCT cannot be maintained from (n, sum, min, max) —
+    * it is not distributive — but it IS mergeable as an HLL sketch:
+    * the register-wise max of two sketches is exactly the sketch of
+    * the union, so `sketch(history) ∪ sketch(delta)` loses nothing
+    * relative to sketching the full data (spec-asserted). The state
+    * stores one Datasketches HLL blob per group.
+    */
+  def distinctPartials(df: DataFrame, keys: Seq[String],
+                       valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // the sketch hashes int/long/string/binary only; other types go
+    // through their string form (distinctness is preserved — each
+    // distinct value has a distinct canonical rendering)
+    val v = df.schema(valueCol).dataType match {
+      case IntegerType | LongType | StringType | BinaryType => col(valueCol)
+      case _ => col(valueCol).cast("string")
+    }
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(v).as("agg_hll"))
+  }
+
+  /** Fold delta distinct-sketches into state. */
+  def mergeDistinct(state: DataFrame, delta: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    require(state.columns.contains("agg_hll") && delta.columns.contains("agg_hll"),
+      "mergeDistinct needs distinctPartials frames (agg_hll)")
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("agg_hll")).as("agg_hll"))
+  }
+
+  /** Read-time estimate from a distinct-sketch state. */
+  def finalizeDistinct(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) :+
+      hll_sketch_estimate(col("agg_hll")).as("approx_distinct"): _*)
 }

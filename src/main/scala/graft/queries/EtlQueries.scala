@@ -51,6 +51,28 @@ object EtlQueries {
         .otherwise(round(col("value"), 4)).as("v"))
 
   val queries: Map[String, Q] = Map(
+    // Incremental DISTINCT maintenance: count-distinct is not
+    // distributive, but its HLL sketch is losslessly mergeable —
+    // history's sketch state unions with each delta's, never
+    // rescanning history (IncrementalSpec asserts merge == full-data
+    // sketch). Rows-only like agg_approx: the estimate is
+    // engine-specific; the exact column is there for the comparison.
+    "incr_distinct" -> ((s, d) => {
+      import graft.operators.Incremental
+      val events = Tables.events(s, d)
+      val keys = Seq("event_type")
+      val history = events.filter(col("event_id") % 10 =!= 0)
+      val delta = events.filter(col("event_id") % 10 === 0)
+      val state = Incremental.mergeDistinct(
+        Incremental.distinctPartials(history, keys, "user_id"),
+        Incremental.distinctPartials(delta, keys, "user_id"), keys)
+      Incremental.finalizeDistinct(state, keys)
+        .join(events.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct")),
+          keys)
+        .orderBy(col("event_type"))
+    }),
+
     // Incremental aggregate maintenance: history folds once into
     // partial-agg state; two successive delta batches merge WITHOUT
     // rescanning history (the reference recomputes its stats table

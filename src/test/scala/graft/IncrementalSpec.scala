@@ -43,6 +43,30 @@ class IncrementalSpec extends SparkSpec {
     assert(m("z") == ((1L, 4.0, 4.0, 4.0)))
   }
 
+  test("distinct sketches: merged state estimates EXACTLY like a full-data sketch") {
+    val b1 = batch("a" -> 1.0, "a" -> 2.0, "b" -> 10.0)
+    val b2 = batch("a" -> 2.0, "a" -> 3.0, "b" -> 10.0)
+    val merged = Incremental.mergeDistinct(
+      Incremental.distinctPartials(b1, keys, "v"),
+      Incremental.distinctPartials(b2, keys, "v"), keys)
+    val full = Incremental.distinctPartials(b1.union(b2), keys, "v")
+    def est(df: DataFrame) = Incremental.finalizeDistinct(df, keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = est(merged)
+    // union of HLL sketches IS the sketch of the union — identical
+    // registers, identical estimate, not merely "close"
+    assert(m == est(full), s"merged $m vs full ${est(full)}")
+    // and at this cardinality the estimate is exact
+    assert(m == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("distinct sketch estimate tracks exact count within HLL tolerance at 10k") {
+    val big = spark.range(10000).selectExpr("'g' AS k", "CAST(id % 7919 AS DOUBLE) AS v")
+    val st = Incremental.distinctPartials(big, keys, "v")
+    val e = Incremental.finalizeDistinct(st, keys).collect().head.getLong(1)
+    assert(math.abs(e - 7919.0) / 7919.0 < 0.05, s"estimate $e vs 7919")
+  }
+
   test("merge refuses a frame that is not a partials frame") {
     val state = Incremental.partials(batch("a" -> 1.0), keys, "v")
     val e = intercept[IllegalArgumentException] {

@@ -18,6 +18,33 @@ object TemporalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Time-series resample + forward fill: each user's activity on a
+    // dense hourly grid over their own observed span — missing hours
+    // carry the last observed hourly total forward and are flagged.
+    // Grid generation is row-local (sequence over the per-user span),
+    // so the shuffles are the hourly rollup and the fill window, both
+    // on the user key. The standard feature-engineering reshape for
+    // irregular event streams.
+    "resample_ffill" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .filter(col("user_id") <= 10)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(round(sum(col("value")), 2).as("v"), count(lit(1)).as("n"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+            .as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled_v"),
+          col("v").isNull.cast("long").as("was_gap"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+
     // For each purchase event, attach the same user's latest 'view'
     // event at or before it. Single-shuffle union-sort as-of join
     // (see AsOfJoin scaladoc for the cost model).
@@ -126,6 +153,28 @@ object TemporalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "resample_ffill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    round(sum(value), 2) AS v, count(*) AS n
+        |  FROM events WHERE user_id <= 10
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT user_id, min(hour) AS lo, max(hour) AS hi
+        |        FROM hourly GROUP BY user_id)),
+        |j AS (
+        |  SELECT g.user_id, g.hour, h.v, h.n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.user_id = h.user_id AND g.hour = h.hour)
+        |SELECT user_id, hour,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
+        |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+        |FROM j ORDER BY user_id, hour""".stripMargin,
+
     "asof_join" ->
       """SELECT event_id, user_id, last_view_id, last_view_value FROM (
         |  SELECT p.event_id, p.user_id,

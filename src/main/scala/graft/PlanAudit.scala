@@ -17,7 +17,8 @@ object PlanAudit {
     "etl_pattern_route", "dedup_resolve", "ann_ivf_indexed",
     "pack_windows", "mix_token_budget",
     "q4_exists", "q17_scalar", "window_range_frame",
-    "freq_ngrams", "text_decontaminate", "text_repetition", "semdedup")
+    "freq_ngrams", "text_decontaminate", "text_repetition", "semdedup",
+    "layout_partition_prune", "incr_agg", "resample_ffill")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

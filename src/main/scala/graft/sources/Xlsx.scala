@@ -43,10 +43,17 @@ object Xlsx {
     * the read loudly on the first such row (file + widths in the
     * message); the default keeps the truncating behavior for ragged
     * drop zones — audit those with [[truncationLog]].
+    *
+    * `nrows` caps the DATA rows parsed per file (the reference's
+    * preview read, file_access.py:59 `read_excel(nrows=...)`): the
+    * StAX loop short-circuits after header + nrows, so previewing a
+    * huge workbook does not parse it whole.
     */
   def read(spark: SparkSession, path: String,
            sheetName: Option[String] = None,
-           strict: Boolean = false): DataFrame = {
+           strict: Boolean = false,
+           nrows: Option[Int] = None): DataFrame = {
+    nrows.foreach(n => require(n >= 0, s"nrows must be >= 0, got $n"))
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content")
     import spark.implicits._
@@ -68,8 +75,11 @@ object Xlsx {
           "or read with strict=false")
       return spark.emptyDataFrame
     }
+    val maxRows = nrows.map(n => if (n >= Int.MaxValue - 1) Int.MaxValue else n + 1)
+      .getOrElse(Int.MaxValue)
     val rowsDs = files.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
-      parseSheetRows(bytes, sheetName, source = p).drop(1).map(cells => (p, cells))
+      parseSheetRows(bytes, sheetName, maxRows = maxRows, source = p)
+        .drop(1).map(cells => (p, cells))
     }
     val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
     val width = header.length

@@ -32,6 +32,21 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.read(spark, s"$dir/*.xlsx").count() == 3)
   }
 
+  test("nrows preview caps data rows per file without parsing the rest") {
+    val dir = Files.createTempDirectory("xlsx_nrows").toString
+    Xlsx.write(s"$dir/a.xlsx", Seq("k"), (1 to 50).map(i => Seq[Any](i)))
+    Xlsx.write(s"$dir/b.xlsx", Seq("k"), (51 to 60).map(i => Seq[Any](i)))
+    val preview = Xlsx.read(spark, s"$dir/*.xlsx", nrows = Some(3))
+    // 3 from the 50-row file, 3 from the 10-row file
+    assert(preview.count() == 6)
+    assert(Xlsx.read(spark, s"$dir/*.xlsx", nrows = Some(0)).count() == 0)
+    assert(Xlsx.read(spark, s"$dir/*.xlsx").count() == 60)
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.read(spark, s"$dir/*.xlsx", nrows = Some(-1))
+    }
+    assert(e.getMessage.contains("nrows"))
+  }
+
   test("second sheet round-trips by name; default stays the first sheet") {
     val dir = Files.createTempDirectory("xlsx_sheets").toString
     Xlsx.writeSheets(s"$dir/multi.xlsx", Seq(

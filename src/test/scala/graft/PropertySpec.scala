@@ -168,6 +168,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: kept ∪ removed partitions the corpus; kept set is leak-free (random corpora)") {
+    import graft.operators.TextFilters
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(23)
+    val vocab = (1 to 60).map(i => s"w$i")
+    def doc() = Seq.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (1 to 3).foreach { _ =>
+      val benchDocs = Seq.fill(3)(doc())
+      val corpusDocs = (1L to 40L).map(i => (i, doc())) ++
+        benchDocs.zipWithIndex.map { case (t, i) => (100L + i, t) } // planted leaks
+      val corpus = corpusDocs.toDF("doc_id", "text")
+      val bench = benchDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val kept = TextFilters.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+        .select("doc_id").as[Long].collect().toSet
+      // reference model: a doc is clean iff it shares no 5-gram
+      def grams(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 5) Set(t) else w.sliding(5).map(_.mkString(" ")).toSet
+      }
+      val benchGrams = benchDocs.flatMap(grams).toSet
+      val expected = corpusDocs
+        .filter { case (_, t) => grams(t).intersect(benchGrams).isEmpty }
+        .map(_._1).toSet
+      assert(kept == expected, s"kept ${kept.size} expected ${expected.size}")
+      assert(!(100L to 102L).exists(kept), "planted leaks survived")
+    }
+  }
+
+  test("repetition stats match an in-memory reference model on random docs") {
+    import graft.operators.TextFilters
+    val rnd = new Random(37)
+    val vocab = Seq("aa", "bb", "cc", "dd")
+    def doc() = Seq.fill(1 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (1L to 30L).map(i => (i, doc()))
+    val out = TextFilters.repetitionStats(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("top_word_n"),
+          r.getAs[Double]("dup_2gram_frac"))).toMap
+    docs.foreach { case (id, t) =>
+      val w = t.split(" ").toSeq
+      val (n, top, dup) = out(id)
+      assert(n == w.length)
+      assert(top == w.groupBy(identity).values.map(_.size).max)
+      val total2 = math.max(w.length - 1, 1)
+      val d2 = if (w.length < 2) 0 else w.sliding(2).map(_.mkString(" ")).toSet.size
+      val expectedDup = math.floor((1.0 - d2.toDouble / total2) * 10000.0 + 0.5) / 10000.0
+      assert(dup == expectedDup, s"doc $id: $dup vs $expectedDup")
+    }
+  }
+
+  test("incremental partials fold randomly-sized batches to the full recompute") {
+    import graft.operators.Incremental
+    val rnd = new Random(41)
+    val keys = Seq("k")
+    val all = (1 to 500).map(_ =>
+      (s"g${rnd.nextInt(5)}", math.floor(rnd.nextDouble() * 1000) / 10))
+    // random cut points -> 4 batches of random sizes (some possibly empty)
+    val cuts = Seq.fill(3)(rnd.nextInt(all.size + 1)).sorted
+    val batches = (0 +: cuts :+ all.size).sliding(2).map {
+      case Seq(a, b) => all.slice(a, b)
+    }.toSeq
+    val folded = batches.map(b =>
+        Incremental.partials(b.toDF("k", "v"), keys, "v"))
+      .reduce((s, d) => Incremental.merge(s, d, keys))
+    val full = Incremental.partials(all.toDF("k", "v"), keys, "v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Incremental.finalizeAgg(df, keys).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(4), r.getDouble(5))).toMap
+    assert(m(folded) == m(full))
+  }
+
   test("minhash estimate tracks exact jaccard on random docs") {
     val rnd = new Random(11)
     val vocab = ('a' to 'z').map(_.toString)

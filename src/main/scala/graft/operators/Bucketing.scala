@@ -13,15 +13,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted managed table. */
+  /** Write `df` as a bucketed, sorted table — managed by default, or
+    * EXTERNAL at `path` (keeps fixtures/lakes outside the session
+    * warehouse directory).
+    */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    numBuckets: Int = 32): Unit =
-    df.write
+                    numBuckets: Int = 32, path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket keys — planner elides
     * both exchanges when bucket specs line up.

@@ -85,7 +85,49 @@ object LayoutQueries {
       })
     }
 
+  /** Bucketed-table fixture: lineitem and orders written as EXTERNAL
+    * bucketed tables on the order key (16 buckets, sorted), once per
+    * (data dir, JVM). Orders' key is renamed to match — bucketed
+    * joins require identical bucket specs on both sides.
+    */
+  private val bucketCache = scala.collection.mutable.Map.empty[String, (String, String)]
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    bucketCache.synchronized {
+      bucketCache.getOrElseUpdate(d, {
+        val suffix = (d.hashCode & Int.MaxValue).toString
+        val (liT, ordT) = (s"li_bucketed_$suffix", s"ord_bucketed_$suffix")
+        val liDir = java.nio.file.Files.createTempDirectory("graft_bli").toString
+        val ordDir = java.nio.file.Files.createTempDirectory("graft_bord").toString
+        graft.operators.Bucketing.writeBucketed(
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_extendedprice"), col("l_discount")),
+          liT, Seq("l_orderkey"), numBuckets = 16, path = Some(liDir))
+        graft.operators.Bucketing.writeBucketed(
+          Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderstatus")),
+          ordT, Seq("l_orderkey"), numBuckets = 16, path = Some(ordDir))
+        (liT, ordT)
+      })
+    }
+
   val queries: Map[String, Q] = Map(
+    // Exchange-free fact-fact join: both sides pre-bucketed on the
+    // join key, so the sort-merge join reads already-hash-bucketed
+    // files and the ONLY exchange in the query is the final small
+    // aggregation (PlanSpec asserts the elision). At 100 TB this is
+    // the difference between re-shuffling the fact table per join and
+    // never shuffling it at all — the write's one shuffle is
+    // amortized over every downstream join on the key.
+    "layout_bucketed_join" -> ((s, d) => {
+      val (liT, ordT) = bucketedTables(s, d)
+      graft.operators.Bucketing.bucketedJoin(s, liT, ordT, Seq("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Dynamic partition pruning: the fact is partitioned on order
     // month, the filter arrives on the DIMENSION's quarter attribute —
     // static pruning cannot see it, so Catalyst injects the broadcast
@@ -142,6 +184,12 @@ object LayoutQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "layout_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "layout_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS om,
         |  count(*) AS n_orders,

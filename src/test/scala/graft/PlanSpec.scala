@@ -45,6 +45,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bucketed fact-fact join elides both join exchanges; only the agg shuffles") {
+    // disable auto-broadcast: at spec scale the dim side broadcasts,
+    // which would bypass (not prove) the bucketed-join elision the
+    // 100 TB fact-fact case depends on
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.queries.LayoutQueries.queries("layout_bucketed_join")(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // no exchange keyed on the join key anywhere — both sides read
+      // pre-bucketed files; the only shuffles are the agg + order-by
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q1 aggregation does partial (map-side) aggregation") {
     val df = RelationalQueries.queries("q1_agg")(spark, sf0001)
     val plan = planString(df)

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application and keyed copy-on-write upsert.
+  *
+  * The reference only ever appends to its warehouse tables
+  * (dataframe_tasks.py:78 `if_exists='append'`; tasks_postgres.py
+  * loads every cleaned frame the same way), so replayed or corrected
+  * source drops accumulate as duplicate rows. The warehouse-correct
+  * primitives are: collapse an ordered I/U/D change log to the
+  * current snapshot ([[applyLog]]), merge a change batch into an
+  * existing keyed table ([[upsert]]), and do that merge against a
+  * partitioned parquet table touching ONLY the partitions the batch
+  * hits ([[upsertPartitioned]] — the copy-on-write mechanics every
+  * table format (Delta/Iceberg/Hudi) builds on, expressed directly
+  * over parquet + rename).
+  *
+  * Scale shape: [[applyLog]] is one window shuffle on the key.
+  * [[upsert]] is one anti join, broadcast when the batch is small
+  * (the normal CDC case). [[upsertPartitioned]] prunes the target
+  * scan to the touched partitions (partition filter from a bounded
+  * distinct-collect of the batch's partition values — the same
+  * bounded-by-construction class as the IVF centroid collect) and
+  * rewrites only those directories; a 100 TB table with a
+  * 10-partition batch reads and writes 10 partitions, not the table.
+  */
+object Cdc {
+
+  /** Collapse an I/U/D change log to the live snapshot: the latest
+    * change per key wins (ties on the timestamp resolve by op then
+    * payload, so replays are deterministic), and keys whose latest
+    * change is a delete disappear. One window shuffle on the key.
+    *
+    * `opCol` values: 'I' (insert), 'U' (update), 'D' (delete) —
+    * anything non-'D' carries a full payload row.
+    */
+  def applyLog(changes: DataFrame, keyCols: Seq[String], opCol: String,
+               tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols required")
+    val payload = changes.columns.filterNot(c =>
+      keyCols.contains(c) || c == opCol || c == tsCol)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(opCol).desc,
+        struct(payload.map(col).toSeq: _*).desc)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn", opCol, tsCol)
+  }
+
+  /** Merge a keyed change batch into a target frame: rows in
+    * `changes` replace target rows with the same key, unmatched
+    * change rows insert, and (when `deleteCol` is given) change rows
+    * flagged true delete their key instead. Exactly the semantics of
+    * SQL MERGE with matched-update + not-matched-insert (+ matched-
+    * delete). The batch must carry at most one row per key — feed a
+    * raw log through [[applyLog]] first.
+    *
+    * One anti join on the key; Spark broadcasts the batch side when
+    * it is small, which is the normal CDC shape.
+    */
+  def upsert(target: DataFrame, changes: DataFrame, keyCols: Seq[String],
+             deleteCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols required")
+    val keep = target.join(
+      changes.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val applied = deleteCol match {
+      case Some(dc) => changes.filter(!coalesce(col(dc), lit(false))).drop(dc)
+      case None => changes
+    }
+    keep.unionByName(applied.select(target.columns.map(col).toSeq: _*))
+  }
+
+  /** Copy-on-write upsert into a parquet table partitioned by
+    * `partCol`: only the partitions present in the change batch are
+    * read, merged, rewritten to a staging directory, and swapped into
+    * place by rename; every other partition's files are untouched
+    * (CdcSpec asserts this at the file level). New partition values
+    * in the batch create new directories. Returns the touched
+    * partition values.
+    *
+    * This is the table-format COW loop without the table format:
+    * stage-then-rename keeps readers of untouched partitions
+    * consistent, and a crash before the swap leaves the table intact
+    * (staging is simply re-created on retry). Cross-partition key
+    * moves are out of contract — a key's partition value must be
+    * stable (the universal restriction for partition-pruned merges).
+    */
+  def upsertPartitioned(spark: SparkSession, tablePath: String,
+                        changes: DataFrame, keyCols: Seq[String],
+                        partCol: String,
+                        deleteCol: Option[String] = None): Seq[String] = {
+    require(keyCols.nonEmpty, "keyCols required")
+    require(!keyCols.contains(partCol), "partCol cannot be a key column")
+    // bounded by the table's partition count (dates/tenants/buckets),
+    // not by data size — same collect class as the IVF centroids
+    val touched = changes.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return touched
+
+    val target = spark.read.parquet(tablePath)
+      .filter(col(partCol).cast("string").isin(touched: _*))
+    val merged = upsert(target, changes, keyCols, deleteCol)
+
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(tablePath, s"_staging_${java.util.UUID.randomUUID}")
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(staging.toString)
+    try {
+      touched.foreach { v =>
+        val live = new Path(tablePath, s"$partCol=$v")
+        val staged = new Path(staging, s"$partCol=$v")
+        if (fs.exists(live)) fs.delete(live, true)
+        // a partition can vanish entirely (every row deleted): the
+        // staged dir is then absent and the live dir stays deleted
+        if (fs.exists(staged)) fs.rename(staged, live)
+      }
+    } finally fs.delete(staging, true)
+    touched
+  }
+}

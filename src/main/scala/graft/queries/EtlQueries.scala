@@ -121,6 +121,60 @@ object EtlQueries {
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
+    // CDC log application: a planted I/U/D change log over orders
+    // collapses to the live snapshot (latest change per key wins,
+    // deletes drop). One window shuffle on the key — the oracle
+    // re-derives the snapshot with the same generic window SQL, so
+    // the gate verifies the collapse rule itself, not the plant.
+    "cdc_apply" -> ((s, d) => {
+      val base = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          round(col("o_totalprice"), 2).as("price"))
+      val ins = base.select(col("k"), lit("I").as("op"), lit(1L).as("ts"),
+        col("status"), col("price"))
+      val upd = base.filter(col("k") % 3 === 0)
+        .select(col("k"), lit("U").as("op"), lit(2L).as("ts"), col("status"),
+          round(col("price") + 10, 2).as("price"))
+      val del = base.filter(col("k") % 10 === 0)
+        .select(col("k"), lit("D").as("op"), lit(3L).as("ts"),
+          lit(null).cast("string").as("status"),
+          lit(null).cast("double").as("price"))
+      graft.operators.Cdc.applyLog(
+          ins.unionByName(upd).unionByName(del), Seq("k"), "op", "ts")
+        .orderBy(col("k"))
+    }),
+
+    // Copy-on-write keyed merge into a PARTITIONED parquet table:
+    // updates/deletes land only in nations < 5 plus one brand-new
+    // partition (nat=99), so of the 25 nation partitions only 6 are
+    // read or rewritten (CdcSpec asserts untouched files byte-stable
+    // by mtime). The driver verifies the merged table content; the
+    // partition-pruned read + staged rename is the 100 TB mechanism.
+    "batch_upsert" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cow_q").toString
+      val base = Tables.customer(s, d).filter(col("c_custkey") <= 1500)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nat"),
+          col("c_name").as("name"), round(col("c_acctbal"), 2).as("bal"))
+      base.write.mode("overwrite").partitionBy("nat").parquet(dir)
+      val upd = base.filter(col("k") % 10 === 0 && col("k") % 100 =!= 0 &&
+          col("nat") < 5)
+        .select(col("k"), col("nat"), col("name"),
+          round(col("bal") + 50, 2).as("bal"), lit(false).as("del"))
+      val ins = base.filter(col("k") % 250 === 0)
+        .select((col("k") + 1000000).as("k"), lit(99).cast("int").as("nat"),
+          col("name"), col("bal"), lit(false).as("del"))
+      val del = base.filter(col("k") % 100 === 0 && col("nat") < 5)
+        .select(col("k"), col("nat"), col("name"), col("bal"),
+          lit(true).as("del"))
+      graft.operators.Cdc.upsertPartitioned(s, dir,
+        upd.unionByName(ins).unionByName(del), Seq("k"), "nat", Some("del"))
+      s.read.parquet(dir)
+        .select(col("k"), col("nat").cast("long").as("nat"), col("name"),
+          col("bal"))
+        .orderBy(col("k"))
+    }),
+
     // Column-name normalization (dataframe_tasks.py:56).
     "etl_clean_names" -> ((s, d) => {
       CleanOps.cleanColumnNames(dirtyOrders(s, d))
@@ -505,5 +559,39 @@ object EtlQueries {
         |     OR u.c_custkey NOT IN (SELECT c_custkey FROM cur))
         |SELECT * FROM kept UNION ALL SELECT * FROM closed
         |UNION ALL SELECT * FROM newv
-        |ORDER BY c_custkey, valid_from""".stripMargin)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey <= 2000),
+        |log AS (
+        |  SELECT k, 'I' AS op, 1 AS ts, status, price FROM base
+        |  UNION ALL
+        |  SELECT k, 'U', 2, status, round(price + 10, 2)
+        |  FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, 'D', 3, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        |  FROM base WHERE k % 10 = 0),
+        |latest AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY k ORDER BY ts DESC, op DESC) AS rn
+        |  FROM log)
+        |SELECT k, status, price FROM latest
+        |WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin,
+
+    "batch_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
+        |    c_name AS name, round(c_acctbal, 2) AS bal
+        |  FROM customer WHERE c_custkey <= 1500),
+        |merged AS (
+        |  SELECT k, nat, name,
+        |    CASE WHEN k % 10 = 0 AND k % 100 <> 0 AND nat < 5
+        |         THEN round(bal + 50, 2) ELSE bal END AS bal
+        |  FROM base WHERE NOT (k % 100 = 0 AND nat < 5)
+        |  UNION ALL
+        |  SELECT k + 1000000, 99, name, bal FROM base WHERE k % 250 = 0)
+        |SELECT k, nat, name, bal FROM merged ORDER BY k""".stripMargin)
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.Cdc
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val log = Seq(
+    // key 1: I then U — update wins
+    (1L, "I", 10L, "a", 1.0),
+    (1L, "U", 20L, "a", 2.0),
+    // key 2: I then D — gone
+    (2L, "I", 10L, "b", 1.0),
+    (2L, "D", 30L, null.asInstanceOf[String], 0.0),
+    // key 3: plain insert
+    (3L, "I", 10L, "c", 3.0),
+    // key 4: deleted then re-inserted later — alive
+    (4L, "I", 10L, "d", 4.0),
+    (4L, "D", 20L, null.asInstanceOf[String], 0.0),
+    (4L, "I", 30L, "d2", 4.5),
+    // key 5: same-ts tie between U and D — op desc makes U win
+    (5L, "I", 10L, "e", 5.0),
+    (5L, "D", 20L, null.asInstanceOf[String], 0.0),
+    (5L, "U", 20L, "e2", 5.5))
+    .toDF("k", "op", "ts", "name", "v")
+
+  test("applyLog: latest change wins, deletes drop, re-insert revives, ties deterministic") {
+    val out = Cdc.applyLog(log, Seq("k"), "op", "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      (1L, "a", 2.0),
+      (3L, "c", 3.0),
+      (4L, "d2", 4.5),
+      (5L, "e2", 5.5)))
+  }
+
+  test("upsert: matched rows replaced, unmatched insert, delete flag removes") {
+    val target = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "b2", 20.0, false),  // update
+      (4L, "d", 4.0, false),    // insert
+      (3L, null.asInstanceOf[String], 0.0, true)) // delete
+      .toDF("k", "name", "v", "del")
+    val out = Cdc.upsert(target, changes, Seq("k"), Some("del"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, "a", 1.0), (2L, "b2", 20.0), (4L, "d", 4.0)))
+  }
+
+  test("upsert without delete column keeps pure replace semantics") {
+    val target = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val changes = Seq((2L, 20.0), (3L, 3.0)).toDF("k", "v")
+    val out = Cdc.upsert(target, changes, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+  }
+
+  test("upsertPartitioned rewrites only touched partitions at the file level") {
+    val dir = Files.createTempDirectory("graft_cow").toString
+    val target = Seq(
+      (1L, "p0", 1.0), (2L, "p0", 2.0),
+      (3L, "p1", 3.0),
+      (4L, "p2", 4.0), (5L, "p2", 5.0))
+      .toDF("k", "part", "v")
+    target.write.mode("overwrite").partitionBy("part").parquet(dir)
+
+    def partFiles(p: String): Map[String, Long] = {
+      val d = Paths.get(dir, s"part=$p")
+      if (!Files.exists(d)) Map.empty
+      else Files.list(d).iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    }
+    val p1Before = partFiles("p1")
+    assert(p1Before.nonEmpty)
+
+    val changes = Seq(
+      (2L, "p0", 20.0, false),  // update in p0
+      (6L, "p3", 6.0, false),   // insert into NEW partition p3
+      (4L, "p2", 0.0, true),    // delete from p2
+      (5L, "p2", 0.0, true))    // delete the REST of p2 -> partition vanishes
+      .toDF("k", "part", "v", "del")
+    val touched = Cdc.upsertPartitioned(spark, dir, changes, Seq("k"), "part", Some("del"))
+    assert(touched == Seq("p0", "p2", "p3"))
+
+    // untouched partition: identical files, same mtimes
+    assert(partFiles("p1") == p1Before)
+    // fully-deleted partition directory is gone
+    assert(partFiles("p2").isEmpty)
+    // no staging residue
+    assert(!Files.list(Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_staging_")))
+
+    val out = spark.read.parquet(dir)
+      .select(col("k"), col("part").cast("string"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      (1L, "p0", 1.0), (2L, "p0", 20.0),
+      (3L, "p1", 3.0),
+      (6L, "p3", 6.0)))
+  }
+
+  test("upsertPartitioned with an empty batch is a no-op") {
+    val dir = Files.createTempDirectory("graft_cow_empty").toString
+    Seq((1L, "p0", 1.0)).toDF("k", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val empty = Seq.empty[(Long, String, Double, Boolean)]
+      .toDF("k", "part", "v", "del")
+    assert(Cdc.upsertPartitioned(spark, dir, empty, Seq("k"), "part", Some("del")).isEmpty)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+}

@@ -240,7 +240,50 @@ object TextQueries {
           min(col("doc_id")).as("min_id"),
           sum(col("doc_id")).cast("long").as("sum_ids"))
         .orderBy(col("source"))
+    }),
+
+    // BPE merge-table training (operators.Bpe): the corpus collapses
+    // to a word-frequency dictionary in one shuffle, the merge loop
+    // runs on that bounded dictionary. Deterministic (ties break
+    // lexicographically) but iterative — not SQL-expressible, so
+    // rows-only here; BpeSpec pins the merge sequence by hand.
+    "bpe_train" -> ((s, d) => {
+      val m = graft.operators.Bpe.train(
+        Tables.documents(s, d).filter(col("text").isNotNull),
+        "text", numMerges = 200)
+      import s.implicits._
+      m.merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left_sym", "right_sym")
+        .orderBy(col("rank"))
+    }),
+
+    // Row-local BPE encode with the corpus-trained model (cached per
+    // sf dir so the bench separates encode cost from bpe_train's
+    // training cost). Sub-word token counts per source plus a
+    // compression summary vs whitespace tokens.
+    "text_bpe_tokenize" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val m = bpeModel(s, d)
+      graft.operators.Bpe.tokenize(docs, "text", m)
+        .select(col("source"), size(col("tokens")).as("n_bpe"),
+          tokenCount(col("text")).as("n_ws"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).cast("long").as("bpe_tokens"),
+          sum(col("n_ws")).cast("long").as("ws_tokens"))
+        .orderBy(col("source"))
     }))
+
+  /** Per-(sf dir) trained BPE model for text_bpe_tokenize — training
+    * is bpe_train's own benched cost, not the encoder's.
+    */
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Bpe.Model]()
+  private def bpeModel(s: SparkSession, d: String): graft.operators.Bpe.Model =
+    bpeModels.computeIfAbsent(d, dir => graft.operators.Bpe.train(
+      Tables.documents(s, dir).filter(col("text").isNotNull),
+      "text", numMerges = 200))
 
   /** SQL mirror of TextFunctions.normalizeText. */
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"

@@ -98,6 +98,20 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("vec_id"))
     }),
 
+    // Product quantization (the memory-scale ANN path: 64-dim floats
+    // -> 16 shorts per vector): codebooks train in-query like
+    // ann_ivf, encoding is one shuffle-free scan, probe = ADC over
+    // codes then exact re-rank of a 100-wide shortlist only. Rows-
+    // only; PqSpec pins exactness-at-centroids and measures recall.
+    "ann_pq" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val cb = graft.operators.Pq.train(embs, "embedding", m = 16, ksub = 32,
+        iters = 10)
+      val encoded = graft.operators.Pq.encode(embs, "vec_id", "embedding", cb)
+      graft.operators.Pq.searchRefined(encoded, embs, queryVec(s, d),
+        "vec_id", "embedding", cb, k = 10, shortlist = 100)
+    }),
+
     // Approximate k-NN self-join over LSH buckets, summarized. Plane
     // count is auto-derived from the corpus size (bounded expected
     // bucket), and over-full buckets salt-split — the same call scales

@@ -242,6 +242,30 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Bigram-LM quality scoring (operators.LmScore): the corpus
+    // trains its own Laplace-smoothed LM (two vocab-sized count
+    // shuffles -> broadcast tables), every doc scores row-local by
+    // mean bigram log-likelihood. Per-doc scores round to e4 integers
+    // BEFORE the per-source sum so the oracle compare is exact.
+    "text_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = graft.operators.LmScore.train(docs, "text", maxTable = 2000000)
+      graft.operators.LmScore.score(
+          docs.filter(col("text").isNotNull &&
+            length(trim(col("text"))) > 0), "text", m)
+        .filter(col("n_bigrams") > 0)
+        .select(col("source"),
+          floor(col("lm_score") * 10000 + 0.5).cast("long").as("e4"),
+          col("n_bigrams"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("e4")).cast("long").as("sum_score_e4"),
+          min(col("e4")).as("min_score_e4"),
+          max(col("e4")).as("max_score_e4"),
+          sum(col("n_bigrams")).cast("long").as("total_bigrams"))
+        .orderBy(col("source"))
+    }),
+
     // BPE merge-table training (operators.Bpe): the corpus collapses
     // to a word-frequency dictionary in one shuffle, the merge loop
     // runs on that bounded dictionary. Deterministic (ties break
@@ -347,6 +371,35 @@ object TextQueries {
        |      WHERE text IS NOT NULL AND length(trim(text)) > 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" ->
+      s"""WITH base AS (${wordsCte("documents", "doc_id, source")}),
+         |uw AS (SELECT unnest(w) AS g FROM base),
+         |ug AS (SELECT g, count(*) AS c FROM uw GROUP BY 1),
+         |vs AS (SELECT count(*) AS v FROM ug),
+         |db AS (SELECT doc_id, source,
+         |         unnest(CASE WHEN len(w) >= 2 THEN
+         |           [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+         |         ELSE [] END) AS g
+         |       FROM base),
+         |bg AS (SELECT g, count(*) AS c FROM db GROUP BY 1),
+         |sc AS (SELECT d.doc_id, any_value(d.source) AS source,
+         |         count(*) AS n_bigrams,
+         |         sum(ln((coalesce(b.c, 0) + 1.0) /
+         |             (coalesce(u.c, 0) + (SELECT v FROM vs)))) AS s
+         |       FROM db d
+         |       LEFT JOIN bg b ON d.g = b.g
+         |       LEFT JOIN ug u ON string_split(d.g, ' ')[1] = u.g
+         |       GROUP BY d.doc_id),
+         |fr AS (SELECT source,
+         |         CAST(floor(s / n_bigrams * 10000.0 + 0.5) AS BIGINT) AS e4,
+         |         n_bigrams
+         |       FROM sc)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(e4) AS BIGINT) AS sum_score_e4,
+         |  min(e4) AS min_score_e4, max(e4) AS max_score_e4,
+         |  CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
+         |FROM fr GROUP BY source ORDER BY source""".stripMargin,
+
     "freq_ngrams" ->
       s"""WITH base AS (${wordsCte("documents", "doc_id")}),
          |sh AS (SELECT unnest(${shingleListSql(3, "w", "nrm")}) AS shingle

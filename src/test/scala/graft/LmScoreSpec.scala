@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.LmScore
+import org.apache.spark.sql.functions._
+
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "a b a b"),
+    (2L, "a b c")).toDF("id", "text")
+
+  /** Independent reference: same math, hand-rolled from raw maps. */
+  private def refScore(doc: Seq[String], ug: Map[String, Long],
+                       bg: Map[String, Long], v: Long): Double = {
+    val lps = doc.sliding(2).map { case Seq(w1, w2) =>
+      math.log((bg.getOrElse(s"$w1 $w2", 0L) + 1.0) / (ug.getOrElse(w1, 0L) + v))
+    }.toSeq
+    lps.sum / lps.length
+  }
+
+  private val ug = Map("a" -> 3L, "b" -> 3L, "c" -> 1L)
+  private val bg = Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L)
+
+  test("train counts unigrams/bigrams and the exact vocabulary") {
+    val m = LmScore.train(corpus, "text")
+    assert(m.unigrams == ug)
+    assert(m.bigrams == bg)
+    assert(m.vocabSize == 3L)
+  }
+
+  test("score matches the reference model, incl. OOV backoff") {
+    val m = LmScore.train(corpus, "text")
+    val docs = Seq((1L, "a b a b"), (2L, "b c"), (3L, "z q")).toDF("id", "text")
+    val out = LmScore.score(docs, "text", m)
+      .select(col("id"), col("n_bigrams"), col("lm_score"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 3)
+    assert(math.abs(out(1L)._2 - refScore(Seq("a", "b", "a", "b"), ug, bg, 3)) < 1e-12)
+    assert(math.abs(out(2L)._2 - refScore(Seq("b", "c"), ug, bg, 3)) < 1e-12)
+    // fully OOV: every bigram backs off to ln(1/V)
+    assert(math.abs(out(3L)._2 - math.log(1.0 / 3)) < 1e-12)
+  }
+
+  test("short/empty/null docs get null score and 0 bigrams") {
+    val m = LmScore.train(corpus, "text")
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = LmScore.score(docs, "text", m)
+      .select(col("id"), col("n_bigrams"), col("lm_score"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.isNullAt(2))).toMap
+    assert(out(1L) == ((0, true)))
+    assert(out(2L) == ((0, true)))
+    assert(out(3L) == ((0, true)))
+  }
+
+  test("maxTable truncates deterministically; tail grams back off to 0") {
+    val m = LmScore.train(corpus, "text", maxTable = 1)
+    // unigram tie a/b at 3 breaks lexicographically -> keep 'a';
+    // bigram 'a b' (3) is the unique top
+    assert(m.unigrams == Map("a" -> 3L))
+    assert(m.bigrams == Map("a b" -> 3L))
+    assert(m.vocabSize == 3L) // vocab counted before truncation
+    val out = LmScore.score(Seq((1L, "b c")).toDF("id", "text"), "text", m)
+      .select(col("lm_score")).head().getDouble(0)
+    // 'b c' truncated away (c=0) and 'b' truncated away (u=0): ln(1/3)
+    assert(math.abs(out - math.log(1.0 / 3)) < 1e-12)
+  }
+}

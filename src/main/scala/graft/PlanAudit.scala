@@ -18,7 +18,8 @@ object PlanAudit {
     "pack_windows", "mix_token_budget",
     "q4_exists", "q17_scalar", "window_range_frame",
     "freq_ngrams", "text_decontaminate", "text_repetition", "semdedup",
-    "layout_partition_prune", "incr_agg", "resample_ffill")
+    "layout_partition_prune", "incr_agg", "resample_ffill",
+    "cdc_apply", "text_lm_score", "ann_pq")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -114,6 +114,26 @@ object RelationalQueries {
           count(when(col("c_custkey").isNull, 1)).as("order_only"))
     }),
 
+    // Salted skew join (operators.Skew): 70% of events collapse onto
+    // ONE join key — the megacustomer shape where even AQE's split
+    // partitions of a single key stay hot. saltedJoin spreads that
+    // key over 16 reducers (large side salted, small side replicated)
+    // and must return exactly the rows of the plain equi-join, which
+    // is what the oracle computes.
+    "skew_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        when(col("user_id") % 10 < 7, lit(1L))
+          .otherwise(col("user_id")).as("k"),
+        col("value"))
+      val dim = ev.select(col("k")).distinct()
+        .withColumn("w", (col("k") % 100).cast("double"))
+      graft.operators.Skew.saltedJoin(ev, dim, Seq("k"), buckets = 16)
+        .groupBy((col("k") % 5).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") * col("w")), 2).as("wsum"))
+        .orderBy(col("grp"))
+    }),
+
     // row_number per partition: top order per customer, deterministic.
     "window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -380,6 +400,18 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "skew_join" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 10 < 7 THEN 1 ELSE user_id END AS k,
+        |    "value" AS v
+        |  FROM events),
+        |dim AS (SELECT DISTINCT k FROM ev),
+        |dimw AS (SELECT k, CAST(k % 100 AS DOUBLE) AS w FROM dim)
+        |SELECT e.k % 5 AS grp, count(*) AS n,
+        |  round(sum(e.v * d.w), 2) AS wsum
+        |FROM ev e JOIN dimw d ON e.k = d.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_outer" ->
       """SELECT

@@ -57,6 +57,25 @@ object SourceQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // parquet -> ORC -> summary round trip (Sinks.orc/Sources.orc):
+    // the other native columnar format, written partitioned so the
+    // read-back proves partition-column recovery too. Lossless for
+    // these types, so the oracle aggregates the ORIGINAL parquet.
+    "sink_orc" -> ((s, d) => {
+      val dir = tmp("graft_orc")
+      Sinks.orc(Tables.orders(s, d)
+          .filter(col("o_orderkey") < 5000)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("price"), col("o_orderstatus")),
+        dir, ifExists = "replace", partitionBy = Seq("o_orderstatus"))
+      Sources.orc(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price")), 2).as("sum_price"),
+          max(col("o_custkey")).as("max_cust"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // parquet -> jsonl -> summary round trip.
     "src_jsonl" -> ((s, d) => {
       val dir = tmp("graft_jsonl")
@@ -195,6 +214,13 @@ object SourceQueries {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE l_orderkey < 1000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sink_orc" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(round(o_totalprice, 2)), 2) AS sum_price,
+        |  max(o_custkey) AS max_cust
+        |FROM orders WHERE o_orderkey < 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "src_jsonl" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -19,13 +19,36 @@ object Sinks {
     */
   def parquet(df: DataFrame, path: String, ifExists: String = "append",
               partitionBy: Seq[String] = Nil): Unit = {
-    val mode = ifExists match {
-      case "append" => SaveMode.Append
-      case "replace" => SaveMode.Overwrite
-      case _ => SaveMode.ErrorIfExists
-    }
-    val w = df.write.mode(mode)
+    val w = df.write.mode(saveMode(ifExists))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** ORC sink — same contract as [[parquet]]. ORC is the other
+    * columnar lake format Spark reads/writes natively (footer stats,
+    * predicate pushdown, column pruning all apply); warehouses that
+    * standardized on ORC (Hive lineage) get the same routing layout.
+    */
+  def orc(df: DataFrame, path: String, ifExists: String = "append",
+          partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(saveMode(ifExists))
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
+  /** CSV export with header — the reference's drop-zone format going
+    * the OTHER way (feeding downstream consumers that want flat
+    * files). Quoting/escaping is Spark's RFC-4180 writer; one file
+    * per partition, so `coalesce` upstream controls the file count.
+    */
+  def csv(df: DataFrame, path: String, ifExists: String = "append",
+          header: Boolean = true): Unit =
+    df.write.mode(saveMode(ifExists))
+      .option("header", header.toString)
+      .csv(path)
+
+  private def saveMode(ifExists: String): SaveMode = ifExists match {
+    case "append" => SaveMode.Append
+    case "replace" => SaveMode.Overwrite
+    case _ => SaveMode.ErrorIfExists
   }
 
   /** JDBC append with executor-side batching — the direct analogue of

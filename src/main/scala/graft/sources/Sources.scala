@@ -271,6 +271,12 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — Spark-native columnar like parquet (footer stats,
+    * pushdown, pruning); the read mirror of [[Sinks.orc]].
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   private def withSchema(r: DataFrameReader, s: Option[StructType]): DataFrameReader =
     s.fold(r.option("inferSchema", "true"))(r.schema)
 }

@@ -39,7 +39,16 @@ object Cdc {
     * anything non-'D' carries a full payload row.
     */
   def applyLog(changes: DataFrame, keyCols: Seq[String], opCol: String,
-               tsCol: String): DataFrame = {
+               tsCol: String): DataFrame =
+    collapseLog(changes, keyCols, opCol, tsCol)
+      .filter(!col("__del")).drop("__del")
+
+  /** Latest change per key with the delete carried as a `__del` flag
+    * instead of dropped — the form the merge sinks consume (a merge
+    * must SEE deletes; [[applyLog]] is this minus the deleted keys).
+    */
+  def collapseLog(changes: DataFrame, keyCols: Seq[String], opCol: String,
+                  tsCol: String): DataFrame = {
     require(keyCols.nonEmpty, "keyCols required")
     val payload = changes.columns.filterNot(c =>
       keyCols.contains(c) || c == opCol || c == tsCol)
@@ -47,7 +56,8 @@ object Cdc {
       .orderBy(col(tsCol).desc, col(opCol).desc,
         struct(payload.map(col).toSeq: _*).desc)
     changes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .filter(col("__rn") === 1)
+      .withColumn("__del", col(opCol) === "D")
       .drop("__rn", opCol, tsCol)
   }
 
@@ -101,11 +111,18 @@ object Cdc {
       .collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return touched
 
-    val target = spark.read.parquet(tablePath)
-      .filter(col(partCol).cast("string").isin(touched: _*))
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // first contact creates the table: an empty target with the
+    // change schema (minus the delete flag) makes the merge below a
+    // pure insert — the streaming CDC sink relies on this
+    val target =
+      if (fs.exists(new Path(tablePath)))
+        spark.read.parquet(tablePath)
+          .filter(col(partCol).cast("string").isin(touched: _*))
+      else
+        deleteCol.fold(changes)(dc => changes.drop(dc)).filter(lit(false))
     val merged = upsert(target, changes, keyCols, deleteCol)
 
-    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(tablePath, s"_staging_${java.util.UUID.randomUUID}")
     merged.write.mode("overwrite").partitionBy(partCol).parquet(staging.toString)
     try {

@@ -48,6 +48,27 @@ object TemporalQueries {
     // For each purchase event, attach the same user's latest 'view'
     // event at or before it. Single-shuffle union-sort as-of join
     // (see AsOfJoin scaladoc for the cost model).
+    // Trailing-7-day distinct actives per day WITHOUT a range join:
+    // each (user, active-day) row explodes to the ≤7 future days it
+    // contributes to (row-local, constant factor), then one shuffle
+    // counts distinct users per target day. The naive days×events
+    // band join shuffles the corpus per window width; this shape
+    // shuffles it once regardless of width — the sliding-distinct
+    // form that survives 100 TB. Days with no events in the trailing
+    // week simply don't appear (semi join with observed days).
+    "window_sliding_distinct" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = act.select(col("day")).distinct()
+      val contrib = act.select(col("user_id"),
+        explode(sequence(col("day"),
+          date_add(col("day"), 6))).as("day"))
+      contrib.join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("u7"))
+        .orderBy(col("day"))
+    }),
+
     "asof_join" -> ((s, d) => {
       val purchases = Tables.events(s, d)
         .filter(col("event_type") === "purchase" && col("user_id") <= 400)
@@ -174,6 +195,16 @@ object TemporalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
         |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
         |FROM j ORDER BY user_id, hour""".stripMargin,
+
+    "window_sliding_distinct" ->
+      """WITH act AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM act),
+        |x AS (SELECT d.day, a.user_id
+        |      FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day)
+        |SELECT day, count(DISTINCT user_id) AS u7
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "asof_join" ->
       """SELECT event_id, user_id, last_view_id, last_view_value FROM (

@@ -328,6 +328,37 @@ object StreamIngest {
     q.recentProgress.map(_.numInputRows).sum
   }
 
+  /** Streaming lakehouse merge: each micro-batch of I/U/D change rows
+    * collapses to latest-per-key ([[graft.operators.Cdc.collapseLog]])
+    * and merges copy-on-write into a partitioned parquet table
+    * ([[graft.operators.Cdc.upsertPartitioned]]) — per batch, only
+    * the touched partitions are read or rewritten, and the first
+    * batch creates the table. The streaming form of batch_upsert:
+    * a CDC feed continuously maintaining a lake table without a
+    * table-format dependency.
+    *
+    * At-least-once note: foreachBatch can replay a batch after a
+    * crash between merge and checkpoint commit; replaying the SAME
+    * collapsed batch is idempotent here (replaced keys replace to
+    * the same rows, deletes of absent keys are no-ops). Change rows
+    * — including deletes — must carry the partition column (the
+    * stable-partition contract of upsertPartitioned).
+    */
+  def cdcMergeSink(stream: DataFrame, tablePath: String, keyCols: Seq[String],
+                   partCol: String, opCol: String, tsCol: String,
+                   checkpoint: String,
+                   trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val changes = graft.operators.Cdc.collapseLog(
+          batch, keyCols, opCol, tsCol)
+        graft.operators.Cdc.upsertPartitioned(batch.sparkSession, tablePath,
+          changes, keyCols, partCol, deleteCol = Some("__del"))
+        ()
+      }
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * (small) static dimension with an explicit broadcast — the
     * streaming analogue of the star-join dims, and the way the

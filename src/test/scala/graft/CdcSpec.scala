@@ -105,6 +105,48 @@ class CdcSpec extends SparkSpec {
       (6L, "p3", 6.0)))
   }
 
+  test("cdcMergeSink maintains a partitioned lake table across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cdc_stream").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    val in = MemoryStream[(Long, String, Double, String, Long)]
+    val stream = in.toDF().toDF("k", "part", "v", "op", "ts")
+    def drain(): Unit = {
+      val q = graft.streaming.StreamIngest.cdcMergeSink(
+        stream, dir, Seq("k"), "part", "op", "ts", ckpt).start()
+      q.awaitTermination()
+    }
+    // batch 1: inserts across two partitions (first batch CREATES the
+    // table); key 1 gets an insert+update in the same batch — the
+    // collapse must keep only the update
+    in.addData((1L, "p0", 1.0, "I", 10L), (1L, "p0", 1.5, "U", 20L),
+      (2L, "p1", 2.0, "I", 10L))
+    drain()
+    def snapshot(): Set[(Long, String, Double)] =
+      spark.read.parquet(dir)
+        .select(col("k"), col("part").cast("string"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(snapshot() == Set((1L, "p0", 1.5), (2L, "p1", 2.0)))
+    val p1Files = Files.list(Paths.get(dir, "part=p1")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    // batch 2: touches only p0 (update key 1, delete nothing, insert 3)
+    in.addData((1L, "p0", 9.0, "U", 30L), (3L, "p0", 3.0, "I", 30L))
+    drain()
+    assert(snapshot() == Set((1L, "p0", 9.0), (2L, "p1", 2.0), (3L, "p0", 3.0)))
+    // p1 was untouched at the file level by batch 2
+    val p1After = Files.list(Paths.get(dir, "part=p1")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    assert(p1After == p1Files)
+    // batch 3: delete key 2 -> partition p1 vanishes entirely
+    in.addData((2L, "p1", 0.0, "D", 40L))
+    drain()
+    assert(snapshot() == Set((1L, "p0", 9.0), (3L, "p0", 3.0)))
+    assert(!Files.exists(Paths.get(dir, "part=p1")))
+  }
+
   test("upsertPartitioned with an empty batch is a no-op") {
     val dir = Files.createTempDirectory("graft_cow_empty").toString
     Seq((1L, "p0", 1.0)).toDF("k", "part", "v")

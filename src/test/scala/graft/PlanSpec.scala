@@ -45,6 +45,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact scan side") {
+    // Spark injects a bloom-filter runtime filter on the application
+    // (fact) side of a shuffle join when the creation side is
+    // selective — the non-partitioned cousin of DPP, and the knob a
+    // 100 TB deployment relies on for fact×filtered-dim joins that
+    // aren't broadcastable. Size thresholds are tuned for real
+    // clusters, so this session lowers them to make sf0.001 eligible;
+    // broadcast is disabled to force the shuffle-join shape the
+    // filter targets.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.lineitem(s2, sf0001)
+    val sel = Tables.orders(s2, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloomfilter"),
+      s"no runtime bloom filter in:\n$plan")
+  }
+
   test("bucketed fact-fact join elides both join exchanges; only the agg shuffles") {
     // disable auto-broadcast: at spec scale the dim side broadcasts,
     // which would bypass (not prove) the bucketed-join elision the

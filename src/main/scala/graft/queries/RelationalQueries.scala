@@ -114,6 +114,28 @@ object RelationalQueries {
           count(when(col("c_custkey").isNull, 1)).as("order_only"))
     }),
 
+    // TPC-H Q18 shape (large-volume customer): the HAVING aggregate
+    // collapses lineitem to a SMALL qualifying-order set, which then
+    // BROADCASTS into the orders join — the fact table is scanned
+    // once and never shuffled for the join. The anti-pattern this
+    // avoids (shuffling orders against the agg) is what the plain SQL
+    // would do without the selectivity-aware build-side choice.
+    "q18_bigcust" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 200)
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Salted skew join (operators.Skew): 70% of events collapse onto
     // ONE join key — the megacustomer shape where even AQE's split
     // partitions of a single key stay hot. saltedJoin spreads that
@@ -400,6 +422,18 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q18_bigcust" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING round(sum(l_quantity), 2) > 200)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "skew_join" ->
       """WITH ev AS (

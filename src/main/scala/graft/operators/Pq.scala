@@ -138,6 +138,47 @@ object Pq {
       .toDF(idCol, "pq_code")
   }
 
+  /** The per-query ADC distance table:
+    * dist(s, c) = ||q_sub(s) − book(s)(c)||².
+    */
+  private def distanceTable(q: Array[Double], cb: Codebooks): Array[Array[Double]] = {
+    val dsub = cb.dsub
+    Array.tabulate(cb.m) { s =>
+      val qsub = java.util.Arrays.copyOfRange(q, s * dsub, (s + 1) * dsub)
+      cb.books(s).map { cent =>
+        var d = 0.0; var i = 0
+        while (i < qsub.length) { val t = qsub(i) - cent(i); d += t * t; i += 1 }
+        d
+      }
+    }
+  }
+
+  /** ADC distance column over a code column, built from BUILTIN HOF
+    * expressions (aggregate over a literal m × ksub table) — the hot
+    * scan stays inside whole-stage codegen with no typed-map SerDe
+    * boundary; the table rides the plan as a literal (m·ksub doubles,
+    * KBs).
+    */
+  private def adcExpr(table: Array[Array[Double]],
+                      codeCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = typedLit(table.map(_.toSeq).toSeq)
+    aggregate(
+      sequence(lit(0), lit(table.length - 1)),
+      lit(0.0),
+      (acc, s) => acc + element_at(element_at(t, s + 1),
+        element_at(codeCol, s + 1).cast("int") + 1))
+  }
+
+  private def collectOneQuery(query: DataFrame, vecCol: String,
+                              what: String): Array[Double] = {
+    val spark = query.sparkSession
+    import spark.implicits._
+    val qs = query.select(col(vecCol)).as[Array[Float]].take(2)
+    require(qs.length == 1,
+      s"$what expects exactly one query row, got ${qs.length}")
+    l2normalize(qs.head.map(_.toDouble))
+  }
+
   /** ADC top-k: the query builds an m × ksub distance table on the
     * driver (tiny), every encoded row sums m table lookups — no
     * float vectors are read at search time. Returns (idCol, adc)
@@ -146,35 +187,155 @@ object Pq {
     */
   def search(encoded: DataFrame, query: DataFrame, idCol: String,
              vecCol: String, cb: Codebooks, k: Int): DataFrame = {
-    val spark = encoded.sparkSession
-    import spark.implicits._
-    val qs = query.select(col(vecCol)).as[Array[Float]].take(2)
-    require(qs.length == 1,
-      s"Pq.search expects exactly one query row, got ${qs.length}")
-    val q = l2normalize(qs.head.map(_.toDouble))
-    val dsub = cb.dsub
-    // distance table: dist(s, c) = ||q_sub(s) - book(s)(c)||²
-    val table: Array[Array[Double]] = Array.tabulate(cb.m) { s =>
-      val qsub = java.util.Arrays.copyOfRange(q, s * dsub, (s + 1) * dsub)
-      cb.books(s).map { cent =>
-        var d = 0.0; var i = 0
-        while (i < qsub.length) { val t = qsub(i) - cent(i); d += t * t; i += 1 }
-        d
-      }
-    }
-    val bc = spark.sparkContext.broadcast(table)
-    encoded.select(col(idCol).cast("long"), col("pq_code"))
-      .as[(Long, Array[Short])]
-      .map { case (id, code) =>
-        val t = bc.value
-        var d = 0.0; var s = 0
-        while (s < code.length) { d += t(s)(code(s)); s += 1 }
-        (id, math.rint(d * 1e6) / 1e6)
-      }
-      .toDF(idCol, "adc")
+    val q = collectOneQuery(query, vecCol, "Pq.search")
+    encoded
+      .select(col(idCol).cast("long").as(idCol),
+        round(adcExpr(distanceTable(q, cb), col("pq_code")), 6).as("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(k)
   }
+
+  /** Build a stored IVF+PQ index — the composed 100 TB ANN shape
+    * (FAISS's IVFPQ): vectors encode to m-short codes AND assign to
+    * an IVF list in ONE scan (no join), and the codes write to
+    * parquet PARTITIONED BY list_id; codebooks + centroids persist in
+    * index metadata so a probe needs only the path (mismatched
+    * quantizers would return wrong neighbors silently). A probe then
+    * (a) prunes the file listing to nprobe/nlist of the CODE table
+    * and (b) scans 2·m bytes per row instead of 4·d — both reductions
+    * compound: 64-dim floats at nlist=1024, nprobe=8, m=16 touch
+    * ~1/1000 of the bytes a brute-force scan reads.
+    *
+    * `nlist = 0` skips IVF: a flat code table, every probe scans all
+    * codes (still the 8× byte shrink).
+    */
+  def buildPqIndex(embs: DataFrame, idCol: String, vecCol: String,
+                   path: String, m: Int, ksub: Int, nlist: Int = 0,
+                   iters: Int = 10, sampleLimit: Int = 100000): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cb = train(embs, vecCol, m, ksub, iters, sampleLimit)
+    val cents: Option[Array[Array[Double]]] =
+      if (nlist > 0) Some(Ann.trainCentroids(embs, vecCol, nlist, iters, sampleLimit))
+      else None
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val dsub = cb.dsub
+    val coded = embs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val books = bcCb.value.books
+        val n = l2normalize(v.map(_.toDouble))
+        val code = new Array[Short](books.length)
+        var s = 0
+        while (s < books.length) {
+          val sub = java.util.Arrays.copyOfRange(n, s * dsub, (s + 1) * dsub)
+          code(s) = nearestSub(sub, books(s)).toShort
+          s += 1
+        }
+        val list = bcCents.value.fold(0)(c => nearestFullD(n, c))
+        (id, code, list)
+      }
+      .toDF(idCol, "pq_code", "list_id")
+    val w = coded.write.mode("overwrite")
+    (if (nlist > 0) w.partitionBy("list_id") else w).parquet(path)
+
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val centsJson = cents.fold("null")(om.writeValueAsString)
+    val meta = s"""{"books":${om.writeValueAsString(cb.books)},"centroids":$centsJson}"""
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_pq_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Codebooks (+ optional IVF centroids) a [[buildPqIndex]] index
+    * was built with.
+    */
+  private def readIndexMeta(spark: SparkSession,
+                            path: String): (Codebooks, Option[Array[Array[Double]]]) = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_pq_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"$path has no _graft_pq_meta.json — not a buildPqIndex index")
+    val in = fs.open(metaPath)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def mat3(n: com.fasterxml.jackson.databind.JsonNode): Array[Array[Array[Double]]] =
+      Array.tabulate(n.size()) { s =>
+        val b = n.get(s)
+        Array.tabulate(b.size()) { c =>
+          val row = b.get(c)
+          Array.tabulate(row.size())(i => row.get(i).asDouble())
+        }
+      }
+    val books = tree.get("books")
+    require(books != null && books.isArray && books.size() > 0,
+      s"malformed PQ index metadata: $json")
+    val cents = tree.get("centroids")
+    val centsOpt =
+      if (cents == null || cents.isNull) None
+      else Some(Array.tabulate(cents.size()) { c =>
+        val row = cents.get(c)
+        Array.tabulate(row.size())(i => row.get(i).asDouble())
+      })
+    (Codebooks(mat3(books)), centsOpt)
+  }
+
+  /** Probe a [[buildPqIndex]] index: nearest `nprobe` lists prune the
+    * scan at the file listing (when the index is IVF-partitioned),
+    * codegen'd ADC over the code column produces a `shortlist`, and
+    * exact cosine over ONLY those ids (semi-joined against the
+    * original vector table) orders the final k.
+    */
+  def pqIndexTopK(spark: SparkSession, indexPath: String, embs: DataFrame,
+                  query: DataFrame, idCol: String, vecCol: String, k: Int,
+                  nprobe: Int = 4, shortlist: Int = 100): DataFrame = {
+    val (cb, centsOpt) = readIndexMeta(spark, indexPath)
+    val q = collectOneQuery(query, vecCol, "Pq.pqIndexTopK")
+    val idx = spark.read.parquet(indexPath)
+    val pruned = centsOpt.fold(idx) { cents =>
+      idx.filter(col("list_id").isin(nearestListsD(q, cents, nprobe): _*))
+    }
+    val cand = pruned
+      .select(col(idCol), adcExpr(distanceTable(q, cb), col("pq_code")).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val joined = embs.join(broadcast(cand), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(Seq(q.map(_.toFloat)).toDF("q_vec")))
+    joined
+      .select(col(idCol),
+        round(expr(s"graft_cosine(`$vecCol`, q_vec)"), 6).as("cos"))
+      .filter(!isnan(col("cos")))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Nearest centroid to a normalized query by dot product. */
+  private def nearestFullD(q: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0; var i = 0
+      while (i < q.length) { dot += q(i) * cent(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestListsD(q: Array[Double], cents: Array[Array[Double]],
+                            nprobe: Int): Seq[Int] =
+    cents.indices.map { c =>
+      val cent = cents(c)
+      var dot = 0.0; var i = 0
+      while (i < q.length) { dot += q(i) * cent(i); i += 1 }
+      c -> dot
+    }.sortBy(-_._2).take(nprobe).map(_._1)
 
   /** ADC shortlist + exact re-rank (the standard PQ deployment:
     * Jégou 2011 §V): [[search]] produces a `shortlist`-sized

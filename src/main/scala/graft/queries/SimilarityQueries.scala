@@ -44,6 +44,17 @@ object SimilarityQueries {
         dir
       })
     }
+  private val pqIndexCache = scala.collection.mutable.Map.empty[String, String]
+  private def pqIndexDir(s: SparkSession, d: String): String =
+    pqIndexCache.synchronized {
+      pqIndexCache.getOrElseUpdate(d, {
+        val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+        graft.operators.Pq.buildPqIndex(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", dir, m = 16, ksub = 32, nlist = 8, iters = 5)
+        dir
+      })
+    }
 
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> ((s, d) => {
@@ -110,6 +121,17 @@ object SimilarityQueries {
       val encoded = graft.operators.Pq.encode(embs, "vec_id", "embedding", cb)
       graft.operators.Pq.searchRefined(encoded, embs, queryVec(s, d),
         "vec_id", "embedding", cb, k = 10, shortlist = 100)
+    }),
+
+    // Stored IVF+PQ index (the composed FAISS-style 100 TB shape):
+    // probe prunes the file listing to nprobe/8 lists AND scans
+    // 2-byte-per-subspace codes instead of float vectors; exact
+    // re-rank touches only the 100-wide shortlist. PqSpec asserts
+    // the partition pruning and recall vs brute force.
+    "ann_pq_indexed" -> ((s, d) => {
+      graft.operators.Pq.pqIndexTopK(s, pqIndexDir(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0), queryVec(s, d),
+        "vec_id", "embedding", k = 10, nprobe = 4, shortlist = 100)
     }),
 
     // Approximate k-NN self-join over LSH buckets, summarized. Plane

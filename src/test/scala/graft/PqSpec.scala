@@ -63,6 +63,48 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.9, s"refined recall $recall below 0.9 (got $refined vs $exact)")
   }
 
+  test("stored IVF+PQ index: partition-pruned probe matches refined search quality") {
+    val embs = Tables.embeddings(spark, sf0001).filter(col("vec_id") =!= 0)
+    val q = Tables.embeddings(spark, sf0001).filter(col("vec_id") === 0)
+      .select(col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Pq.buildPqIndex(embs, "vec_id", "embedding", dir,
+      m = 16, ksub = 32, nlist = 8, iters = 5)
+    // probing all lists must equal the flat refined search's recall
+    val exact = graft.operators.Similarity.bruteForceTopK(
+        embs, q, "vec_id", "embedding", k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val allProbe = Pq.pqIndexTopK(spark, dir, embs, q, "vec_id", "embedding",
+        k = 10, nprobe = 8, shortlist = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & allProbe).size >= 9,
+      s"all-list probe lost recall: $allProbe vs $exact")
+    // nprobe=3: the list filter must land as PARTITION pruning on the
+    // code scan (inside the refine join's broadcast subtree)
+    val probed = Pq.pqIndexTopK(spark, dir, embs, q, "vec_id", "embedding",
+      k = 10, nprobe = 3, shortlist = 50)
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [list_id"),
+      s"list probe not pushed to partition pruning:\n$scan")
+    assert(probed.count() == 10)
+    // a non-index path fails with the actionable message
+    val e = intercept[IllegalArgumentException] {
+      Pq.pqIndexTopK(spark, dir + "/nope", embs, q, "vec_id", "embedding", k = 5)
+    }
+    assert(e.getMessage.contains("not a buildPqIndex index"))
+  }
+
+  test("flat (nlist=0) PQ index probes without list pruning") {
+    val embs = Tables.embeddings(spark, sf0001).filter(col("vec_id") =!= 0)
+    val q = Tables.embeddings(spark, sf0001).filter(col("vec_id") === 0)
+      .select(col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_flat").toString
+    Pq.buildPqIndex(embs, "vec_id", "embedding", dir, m = 8, ksub = 16)
+    val out = Pq.pqIndexTopK(spark, dir, embs, q, "vec_id", "embedding",
+      k = 10, shortlist = 100)
+    assert(out.count() == 10)
+  }
+
   test("multi-row query frame is rejected loudly") {
     val embs = Tables.embeddings(spark, sf0001)
     val cb = Pq.train(embs, "embedding", m = 8, ksub = 16, iters = 3)

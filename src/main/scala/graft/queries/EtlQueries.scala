@@ -175,6 +175,27 @@ object EtlQueries {
         .orderBy(col("k"))
     }),
 
+    // Statistical outlier detection per group (the data-quality gate
+    // the reference's null-count checks can't express): per-type
+    // mean/σ computed in one partial-aggregated shuffle, broadcast
+    // back, rows flagged row-locally at |z| > 3. At 100 TB the stats
+    // frame is groups-sized (tiny) — the corpus is scanned twice but
+    // never shuffled whole.
+    "quality_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"),
+          stddev_pop(col("value")).as("sigma"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"),
+          abs((col("value") - col("mu")) / col("sigma")).as("az"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("az") > 3, 1)).as("n_outliers"),
+          round(max(col("az")), 4).as("max_z"))
+        .orderBy(col("event_type"))
+    }),
+
     // Column-name normalization (dataframe_tasks.py:56).
     "etl_clean_names" -> ((s, d) => {
       CleanOps.cleanColumnNames(dirtyOrders(s, d))
@@ -560,6 +581,17 @@ object EtlQueries {
         |SELECT * FROM kept UNION ALL SELECT * FROM closed
         |UNION ALL SELECT * FROM newv
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "quality_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type, avg("value") AS mu, stddev_pop("value") AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  count(CASE WHEN abs(("value" - mu) / sigma) > 3 THEN 1 END)
+        |    AS n_outliers,
+        |  round(max(abs(("value" - mu) / sigma)), 4) AS max_z
+        |FROM events e JOIN stats USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_apply" ->
       """WITH base AS (

@@ -156,6 +156,25 @@ object RelationalQueries {
         .orderBy(col("grp"))
     }),
 
+    // Decile assignment per status partition (ntile): the ranking
+    // shuffle is the only exchange; deterministic tie-break keeps the
+    // decile boundaries identical across engines.
+    "window_ntile" -> ((s, d) => {
+      // rank on the ROUNDED price (what the output carries) so the
+      // decile boundaries are engine-independent at ties
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(round(col("o_totalprice"), 2), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"),
+          ntile(10).over(w).as("decile"))
+        .groupBy(col("o_orderstatus"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("price")), 2).as("lo"),
+          round(max(col("price")), 2).as("hi"))
+        .orderBy(col("o_orderstatus"), col("decile"))
+    }),
+
     // row_number per partition: top order per customer, deterministic.
     "window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -422,6 +441,17 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "window_ntile" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus, round(o_totalprice, 2) AS price,
+        |    ntile(10) OVER (PARTITION BY o_orderstatus
+        |                    ORDER BY round(o_totalprice, 2), o_orderkey)
+        |      AS decile
+        |  FROM orders)
+        |SELECT o_orderstatus, decile, count(*) AS n,
+        |  round(min(price), 2) AS lo, round(max(price), 2) AS hi
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q18_bigcust" ->
       """WITH big AS (

@@ -196,6 +196,18 @@ object EtlQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Column profiler (Quality.profile): nulls/exact-distincts/
+    // extremes for five orders columns in ONE aggregation pass, long
+    // output. Doubles are excluded from the profile set because the
+    // two engines render them differently as strings; the operator
+    // itself is type-agnostic.
+    "etl_profile" -> ((s, d) => {
+      Quality.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_orderpriority"))
+        .orderBy(col("column"))
+    }),
+
     // Column-name normalization (dataframe_tasks.py:56).
     "etl_clean_names" -> ((s, d) => {
       CleanOps.cleanColumnNames(dirtyOrders(s, d))
@@ -581,6 +593,21 @@ object EtlQueries {
         |SELECT * FROM kept UNION ALL SELECT * FROM closed
         |UNION ALL SELECT * FROM newv
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "etl_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority")
+      val pieces = cols.map { c =>
+        s"""SELECT '$c' AS "column", (SELECT count(*) FROM orders) AS n_rows,
+           |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }
+      pieces.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY \"column\"")
+    },
 
     "quality_outliers" ->
       """WITH stats AS (

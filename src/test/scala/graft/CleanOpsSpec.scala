@@ -77,4 +77,29 @@ class CleanOpsSpec extends SparkSpec {
     assert(out.select("source_name", "processing_batch").first().toSeq ==
       Seq("s.csv", "b1"))
   }
+
+  test("Quality.profile: one-pass long-form column profile") {
+    val df = Seq(
+      (1L, Option("a"), Option(2.5)),
+      (2L, None, Option(1.0)),
+      (3L, Option("a"), None))
+      .toDF("id", "s", "v")
+    val out = graft.operators.Quality.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(out("id") == ((3L, 0L, 3L, "1", "3")))
+    assert(out("s") == ((3L, 1L, 1L, "a", "a")))
+    assert(out("v") == ((3L, 1L, 2L, "1.0", "2.5")))
+    // the whole profile is ONE pass: a single source relation in the
+    // plan, never one scan per column
+    val plan = graft.operators.Quality.profile(df, Seq("id", "s", "v"))
+      .queryExecution.optimizedPlan.toString
+    assert("(?i)relation".r.findAllIn(plan).length <= 1,
+      s"profile should scan the source once:\n$plan")
+    // approx variant (HLL distinct) still reports exact-enough counts
+    // on tiny input
+    val approx = graft.operators.Quality.profile(df, Seq("id"), approxDistinct = true)
+      .collect()
+    assert(approx.head.getLong(3) == 3L)
+  }
 }

@@ -139,6 +139,41 @@ object Bpe {
     syms.toSeq
   }
 
+  /** Persist a trained model next to the data it will tokenize (a
+    * tokenizer trained once is an ARTIFACT — retraining on every job
+    * both wastes the count shuffle and silently changes token ids
+    * when the corpus moved). JSON: `{"merges":[["e","s"],...]}`,
+    * rank = position.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+           path: String): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = model.merges.map(p => Array(p._1, p._2)).toArray
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"merges":${om.writeValueAsString(arr)}}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a [[save]]d model; fails loudly on anything else. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$path does not exist — not a saved BPE model")
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val merges = tree.get("merges")
+    require(merges != null && merges.isArray,
+      s"$path is not a saved BPE model (no merges array)")
+    Model(Vector.tabulate(merges.size()) { i =>
+      val pr = merges.get(i)
+      require(pr.isArray && pr.size() == 2, s"malformed merge at rank $i")
+      (pr.get(0).asText(), pr.get(1).asText())
+    })
+  }
+
   /** Row-local tokenization: adds `tokens` (array<string>) for the
     * normalized words of `textCol`. The merge table rides the task
     * closure; a bounded per-executor cache short-circuits repeated

@@ -93,4 +93,43 @@ object Sampling {
       .filter(hashPrefix(col(keyCol), salt) < thr)
       .drop("__rate")
   }
+
+  /** TEMPERATURE mixing (the multilingual-training recipe): given
+    * per-source token shares p_s, the target mix is q_s ∝ p_s^α —
+    * α = 1 keeps natural proportions, α → 0 flattens toward uniform,
+    * up-weighting scarce sources RELATIVE to dominant ones. Since
+    * sampling can only down-weight, keep rates are
+    * r_s = p_s^(α−1) / max_j p_j^(α−1): the scarcest source keeps
+    * everything and the rest scale down to match the tempered
+    * distribution in expectation.
+    *
+    * Same scale shape as [[mixByTokenBudget]]: one partial-aggregated
+    * groupBy computes shares, the tiny per-source rate frame
+    * broadcasts back, and the keep decision is the row-local
+    * md5-threshold predicate. Rates round to 6 decimals before the
+    * threshold scaling so the DuckDB oracle's pow() (which may differ
+    * from the JVM's in the last ulp) lands on the identical
+    * threshold.
+    */
+  def mixByTemperature(df: DataFrame, sourceCol: String, keyCol: String,
+                       tokenCol: Column, alpha: Double,
+                       salt: String = "graft"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCol).cast("double").as("__t"))
+      .filter(col("__t") > 0.0)
+    val grand = totals.agg(sum(col("__t")).as("__grand"))
+    val weights = totals.crossJoin(broadcast(grand))
+      .select(col(sourceCol),
+        pow(col("__t") / col("__grand"), lit(alpha - 1.0)).as("__w"))
+    val wMax = weights.agg(max(col("__w")).as("__wmax"))
+    val rates = weights.crossJoin(broadcast(wMax))
+      .select(col(sourceCol),
+        round(col("__w") / col("__wmax"), 6).as("__rate"))
+    val thr = when(col("__rate") >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex((col("__rate") * lit(4294967296.0)).cast("long"))), 8, "0"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashPrefix(col(keyCol), salt) < thr)
+      .drop("__rate")
+  }
 }

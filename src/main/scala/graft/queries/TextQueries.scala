@@ -242,6 +242,26 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // TEMPERATURE source mixing (operators.Sampling): keep rates
+    // derived IN-plan from tempered token shares (α = 0.5 flattens
+    // the mix toward uniform; the scarcest source keeps all), same
+    // md5-threshold row-local keep decision — the oracle replicates
+    // the share→pow→rate→threshold arithmetic exactly.
+    "mix_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.mixByTemperature(docs, "source", "doc_id",
+          col("n_tokens"), alpha = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).cast("long").as("kept_tokens"),
+          min(col("doc_id")).as("min_id"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("source"))
+    }),
+
     // Bigram-LM quality scoring (operators.LmScore): the corpus
     // trains its own Laplace-smoothed LM (two vocab-sized count
     // shuffles -> broadcast tables), every doc scores row-local by
@@ -607,6 +627,31 @@ object TextQueries {
     // Same floor-vs-round cast gotcha for the rate-to-threshold
     // scaling; DuckDB's to_hex is lowercase minimal-width, matching
     // Spark's lower(hex(...)) after the lpad.
+    "mix_temperature" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, $tokSql AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |tot AS (
+         |  SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS total
+         |  FROM tok GROUP BY source HAVING sum(n_tokens) > 0),
+         |g AS (SELECT sum(total) AS grand FROM tot),
+         |w AS (SELECT source, pow(total / (SELECT grand FROM g), -0.5) AS wt
+         |      FROM tot),
+         |mx AS (SELECT max(wt) AS wmax FROM w),
+         |rates AS (SELECT source, round(wt / (SELECT wmax FROM mx), 6) AS rate
+         |          FROM w),
+         |kept AS (
+         |  SELECT t.source, t.doc_id, t.n_tokens
+         |  FROM tok t JOIN rates r ON t.source = r.source
+         |  WHERE substr(md5('graft' || CAST(t.doc_id AS VARCHAR)), 1, 8) <
+         |    CASE WHEN r.rate >= 1.0 THEN 'g'
+         |         ELSE lpad(lower(to_hex(CAST(floor(r.rate * 4294967296) AS BIGINT))), 8, '0')
+         |    END)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+         |  min(doc_id) AS min_id, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
     "mix_token_budget" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source, $tokSql AS n_tokens

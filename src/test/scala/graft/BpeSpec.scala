@@ -64,6 +64,24 @@ class BpeSpec extends SparkSpec {
     assert(m.merges == Vector(("e", "s"), ("e", "w"), ("es", "t")))
   }
 
+  test("save/load round-trips the model; load fails loudly on junk") {
+    val m = Bpe.train(corpus, "text", numMerges = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString +
+      "/model.json"
+    Bpe.save(spark, m, path)
+    val loaded = Bpe.load(spark, path)
+    assert(loaded.merges == m.merges)
+    // loaded model tokenizes identically
+    val docs = Seq((1L, "lowest")).toDF("id", "text")
+    val a = Bpe.tokenize(docs, "text", m).select("tokens").head.getSeq[String](0)
+    val b = Bpe.tokenize(docs, "text", loaded).select("tokens").head.getSeq[String](0)
+    assert(a == b)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.load(spark, path + ".nope")
+    }
+    assert(e.getMessage.contains("not a saved BPE model"))
+  }
+
   test("merge loop stops early when no pairs remain") {
     val tiny = Seq((1L, "ab")).toDF("id", "text")
     // a,b,</w> admits only 2 merges before the word is one symbol

@@ -19,7 +19,10 @@ object PlanAudit {
     "q4_exists", "q17_scalar", "window_range_frame",
     "freq_ngrams", "text_decontaminate", "text_repetition", "semdedup",
     "layout_partition_prune", "incr_agg", "resample_ffill",
-    "cdc_apply", "text_lm_score", "ann_pq")
+    "cdc_apply", "text_lm_score", "ann_pq",
+    "skew_join", "q18_bigcust", "window_ntile", "quality_outliers",
+    "etl_profile", "window_sliding_distinct", "mix_temperature",
+    "ann_pq_indexed")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -359,6 +359,37 @@ object StreamIngest {
         ()
       }
 
+  /** Batch-trained quality gate on a document stream: each
+    * micro-batch scores row-locally against the BROADCAST bigram-LM
+    * tables trained offline ([[graft.operators.LmScore]] — train on
+    * yesterday's corpus, gate today's stream), passing docs append to
+    * `outDir`, rejects (score below `minScore`, or unscorable short/
+    * empty text) to `rejectDir` with the score attached for audit.
+    * Stateless: the model is a batch artifact riding the closure;
+    * nothing outlives a batch, so at-least-once replays just
+    * overwrite the same appends idempotently at the file level (same
+    * input files → same rows; dedupe downstream by doc id if exact-
+    * once matters).
+    */
+  def qualityGatedSink(stream: DataFrame, textCol: String,
+                       model: graft.operators.LmScore.Model,
+                       minScore: Double, outDir: String, rejectDir: String,
+                       checkpoint: String,
+                       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = graft.operators.LmScore.score(batch, textCol, model)
+        val pass = scored.filter(col("lm_score").isNotNull &&
+          col("lm_score") >= minScore)
+        val reject = scored.filter(col("lm_score").isNull ||
+          col("lm_score") < minScore)
+        pass.write.mode("append").parquet(outDir)
+        reject.write.mode("append").parquet(rejectDir)
+        ()
+      }
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * (small) static dimension with an explicit broadcast — the
     * streaming analogue of the star-join dims, and the way the

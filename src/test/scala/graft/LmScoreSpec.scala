@@ -54,6 +54,34 @@ class LmScoreSpec extends SparkSpec {
     assert(out(3L) == ((0, true)))
   }
 
+  test("streaming quality gate: batch-trained LM scores and routes a doc stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = LmScore.train(corpus, "text")
+    // in-corpus text scores ln(4/6)-ish; fully-OOV gibberish scores
+    // ln(1/3); a threshold between them separates deterministically
+    val fluentScore = LmScore.score(Seq((0L, "a b a b")).toDF("id", "text"),
+      "text", m).select("lm_score").head.getDouble(0)
+    val junkScore = math.log(1.0 / 3)
+    val thr = (fluentScore + junkScore) / 2
+    assert(fluentScore > thr && junkScore < thr)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_qgate").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamIngest.qualityGatedSink(
+      in.toDF().toDF("id", "text"), "text", m, thr,
+      s"$dir/pass", s"$dir/reject", s"$dir/ckpt").start()
+    in.addData((1L, "a b a b"), (2L, "zz qq xx"), (3L, ""))
+    q.processAllAvailable(); q.stop()
+
+    val pass = spark.read.parquet(s"$dir/pass").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val reject = spark.read.parquet(s"$dir/reject").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pass == Set(1L))
+    assert(reject == Set(2L, 3L)) // gibberish below thr; empty unscorable
+  }
+
   test("maxTable truncates deterministically; tail grams back off to 0") {
     val m = LmScore.train(corpus, "text", maxTable = 1)
     // unigram tie a/b at 3 breaks lexicographically -> keep 'a';

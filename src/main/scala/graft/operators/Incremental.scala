@@ -64,6 +64,44 @@ object Incremental {
       round(col("agg_min"), 2).as("min_val"),
       round(col("agg_max"), 2).as("max_val")): _*)
 
+  /** Incremental TOP-K maintenance: per-group item counts are
+    * distributive (sum-mergeable), so the state is the keyed count
+    * frame and each delta folds in one groupBy; the top-k itself is
+    * a READ-time rank over the state, never part of the fold (a
+    * stored top-k is not mergeable — an item k+1th in every batch
+    * can be 1st overall). State size is item-cardinality-bound, not
+    * history-bound; at 100 TB cardinality beyond memory is the cue
+    * to move to a space-saving sketch and accept bounded error.
+    */
+  def countPartials(df: DataFrame, keys: Seq[String],
+                    itemCol: String): DataFrame =
+    df.groupBy((keys :+ itemCol).map(col): _*)
+      .agg(count(lit(1)).cast("long").as("item_n"))
+
+  /** Fold delta item counts into state. */
+  def mergeCounts(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                  itemCol: String): DataFrame = {
+    require(state.columns.contains("item_n") && delta.columns.contains("item_n"),
+      "mergeCounts needs countPartials frames")
+    state.unionByName(delta)
+      .groupBy((keys :+ itemCol).map(col): _*)
+      .agg(sum(col("item_n")).cast("long").as("item_n"))
+  }
+
+  /** Read-time top-k per group from a counts state (rank-limited
+    * window — map-side group limit keeps the shuffle at k rows per
+    * group per map partition); ties break on the item for
+    * engine-independent output.
+    */
+  def topK(state: DataFrame, keys: Seq[String], itemCol: String,
+           k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("item_n").desc, col(itemCol))
+    state.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** COUNT DISTINCT cannot be maintained from (n, sum, min, max) —
     * it is not distributive — but it IS mergeable as an HLL sketch:
     * the register-wise max of two sketches is exactly the sketch of

@@ -97,6 +97,27 @@ object EtlQueries {
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // Incremental TOP-K: keyed item counts fold across three
+    // batches (sum-mergeable state), top-3 customers per priority
+    // ranked at READ time — a stored top-k would not be mergeable.
+    // Oracle recomputes from the full table.
+    "incr_topk" -> ((s, d) => {
+      import graft.operators.Incremental
+      val orders = Tables.orders(s, d)
+      val keys = Seq("o_orderpriority")
+      val history = orders.filter(col("o_orderkey") % 10 =!= 0)
+      val d1 = orders.filter(col("o_orderkey") % 10 === 0 &&
+        col("o_orderkey") % 20 =!= 0)
+      val d2 = orders.filter(col("o_orderkey") % 20 === 0)
+      val state = Incremental.mergeCounts(
+        Incremental.mergeCounts(
+          Incremental.countPartials(history, keys, "o_custkey"),
+          Incremental.countPartials(d1, keys, "o_custkey"), keys, "o_custkey"),
+        Incremental.countPartials(d2, keys, "o_custkey"), keys, "o_custkey")
+      Incremental.topK(state, keys, "o_custkey", k = 3)
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
     // SCD Type-2 dimension merge over customer: keys %10==0 get an
     // update, half of them (%20==0) with a changed balance (close +
     // reopen), half no-op (ignored); keys shifted by 1e6 plant pure
@@ -608,6 +629,19 @@ object EtlQueries {
       pieces.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY \"column\"")
     },
+
+    "incr_topk" ->
+      """WITH cnt AS (
+        |  SELECT o_orderpriority, o_custkey, count(*) AS item_n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderpriority, o_custkey, item_n,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY item_n DESC, o_custkey) AS rank
+        |  FROM cnt)
+        |SELECT o_orderpriority, o_custkey, item_n, rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
 
     "quality_outliers" ->
       """WITH stats AS (

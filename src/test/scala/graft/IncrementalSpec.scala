@@ -30,6 +30,26 @@ class IncrementalSpec extends SparkSpec {
     assert(snap(Incremental.finalizeAgg(reverse, keys)) == expected)
   }
 
+  test("top-k counts: folded state ranks identically to full recompute, any fold order") {
+    val b1 = Seq(("p1", 7L), ("p1", 7L), ("p1", 8L), ("p2", 1L)).toDF("k", "item")
+    val b2 = Seq(("p1", 8L), ("p1", 9L), ("p2", 1L), ("p2", 2L)).toDF("k", "item")
+    val b3 = Seq(("p1", 8L), ("p1", 7L)).toDF("k", "item")
+    def tops(state: DataFrame) =
+      Incremental.topK(state, Seq("k"), "item", 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val p = Seq(b1, b2, b3).map(Incremental.countPartials(_, Seq("k"), "item"))
+    val forward = Incremental.mergeCounts(
+      Incremental.mergeCounts(p(0), p(1), Seq("k"), "item"), p(2), Seq("k"), "item")
+    val reverse = Incremental.mergeCounts(
+      Incremental.mergeCounts(p(2), p(0), Seq("k"), "item"), p(1), Seq("k"), "item")
+    val full = Incremental.countPartials(b1.union(b2).union(b3), Seq("k"), "item")
+    val expected = tops(full)
+    // item 7 and 8 tie at 3 in p1 -> tie-break on item keeps output stable
+    assert(expected == Set(("p1", 7L, 3L, 1), ("p1", 8L, 3L, 2), ("p2", 1L, 2L, 1), ("p2", 2L, 1L, 2)))
+    assert(tops(forward) == expected)
+    assert(tops(reverse) == expected)
+  }
+
   test("empty delta is a no-op; new group passes through") {
     val state = Incremental.partials(batch("a" -> 1.0), keys, "v")
     val empty = Incremental.partials(batch("a" -> 1.0).limit(0), keys, "v")

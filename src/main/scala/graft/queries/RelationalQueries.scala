@@ -156,6 +156,20 @@ object RelationalQueries {
         .orderBy(col("grp"))
     }),
 
+    // Equi-width histogram of order totals: bin assignment is a
+    // row-local floor-divide (no windowing), so the only shuffle is
+    // the final tiny per-bin count — the profile-at-scale shape for
+    // a distribution sketch over 100 TB.
+    "agg_histogram" -> ((s, d) => {
+      val width = 25000.0
+      Tables.orders(s, d)
+        .select((floor(col("o_totalprice") / width) * width).cast("long")
+          .as("bin_lo"))
+        .groupBy(col("bin_lo"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bin_lo"))
+    }),
+
     // Decile assignment per status partition (ntile): the ranking
     // shuffle is the only exchange; deterministic tie-break keeps the
     // decile boundaries identical across engines.
@@ -441,6 +455,12 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) * 25000.0 AS BIGINT)
+        |    AS bin_lo,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "window_ntile" ->
       """WITH t AS (

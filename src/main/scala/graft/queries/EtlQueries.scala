@@ -430,7 +430,7 @@ object EtlQueries {
     * construction leaked temp dirs and put driver file I/O inside the
     * bench's timed window.
     */
-  private lazy val gateFixtureDir: String = {
+  private[queries] lazy val gateFixtureDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_gate")
     def put(name: String, content: String): Unit =
       java.nio.file.Files.write(dir.resolve(name), content.getBytes("UTF-8"))

@@ -36,6 +36,22 @@ object SourceQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // File-level quality gates as their own component (the reject
+    // side also feeds etl_failure_log): each file in the
+    // deterministic drop-zone fixture lands exactly once as
+    // accepted or rejected-with-reason. Gate cost is metadata-only
+    // (one stat + <=8KB head per file), the same order as listing —
+    // the shape that holds when the drop zone has a million files.
+    "src_file_gate" -> ((s, d) => {
+      val (accepted, rejects) = Sources.fileGate(s, EtlQueries.gateFixtureDir,
+        EtlQueries.routeConfig.quality.copy(maxFileSizeMb = Some(0.0001)))
+      import s.implicits._
+      val rows =
+        accepted.map(p => (new java.io.File(p).getName, "accepted", "ok")) ++
+          rejects.map { case (name, reason) => (name, "rejected", reason) }
+      rows.toDF("file_name", "verdict", "reason").orderBy(col("file_name"))
+    }),
+
     // parquet -> csv -> parquet round trip with explicit schema on
     // the read side (schema inference at scale = an extra full scan).
     "src_csv" -> ((s, d) => {
@@ -208,6 +224,16 @@ object SourceQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Fixture bytes are fixed (EtlQueries.gateFixtureDir), so the
+    // gate verdicts are literal rows.
+    "src_file_gate" ->
+      """SELECT * FROM (VALUES
+        |  ('empty.csv', 'rejected', 'empty_file'),
+        |  ('good.csv', 'accepted', 'ok'),
+        |  ('headerless.csv', 'rejected', 'missing_header'),
+        |  ('oversized.csv', 'rejected', 'file_too_large'))
+        |AS t(file_name, verdict, reason) ORDER BY file_name""".stripMargin,
+
     "src_csv" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,

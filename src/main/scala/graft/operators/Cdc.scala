@@ -1,9 +1,12 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ListBuffer
 
 /** Change-data-capture application and keyed copy-on-write upsert.
   *
@@ -98,43 +101,126 @@ object Cdc {
     * (staging is simply re-created on retry). Cross-partition key
     * moves are out of contract — a key's partition value must be
     * stable (the universal restriction for partition-pruned merges).
+    *
+    * The swap never holds a partition's ONLY copy in a deletable
+    * place: each live dir is renamed to a backup, the staged dir
+    * renamed into place, and the backup deleted only after every
+    * swap succeeded. A failure mid-loop rolls back — staged copies
+    * already swapped in are removed and every backup is renamed back
+    * — so the table is byte-identical to its pre-call state; if even
+    * the rollback fails, the backups stay on disk under
+    * `_backup_<uuid>/` (underscore-prefixed, invisible to readers)
+    * for manual recovery, never deleted.
+    *
+    * Partition directory names are built with the same Hive escaping
+    * Spark uses when writing (`ExternalCatalogUtils`), so values with
+    * '%', ':', '=', '/', and null/empty values (the
+    * `__HIVE_DEFAULT_PARTITION__` dir) swap correctly instead of
+    * missing the dir Spark actually wrote.
     */
   def upsertPartitioned(spark: SparkSession, tablePath: String,
                         changes: DataFrame, keyCols: Seq[String],
                         partCol: String,
-                        deleteCol: Option[String] = None): Seq[String] = {
+                        deleteCol: Option[String] = None): Seq[String] =
+    upsertPartitioned(spark, tablePath, changes, keyCols, partCol, deleteCol,
+      SwapHooks.none)
+
+  /** Test seam: `hooks` fires inside the swap loop so a spec can
+    * inject a fault at an exact point and assert full rollback.
+    */
+  private[graft] def upsertPartitioned(spark: SparkSession, tablePath: String,
+                                       changes: DataFrame, keyCols: Seq[String],
+                                       partCol: String,
+                                       deleteCol: Option[String],
+                                       hooks: SwapHooks): Seq[String] = {
     require(keyCols.nonEmpty, "keyCols required")
     require(!keyCols.contains(partCol), "partCol cannot be a key column")
     // bounded by the table's partition count (dates/tenants/buckets),
     // not by data size — same collect class as the IVF centroids
     val touched = changes.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .collect().map(_.getString(0)).toSeq.sortBy(Option(_))
     if (touched.isEmpty) return touched
 
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // null and "" both land in __HIVE_DEFAULT_PARTITION__ and read
+    // back as null — the scan filter must ask for null, not ""
+    val nonDefault = touched.filter(v => v != null && v.nonEmpty)
+    val scanFilter = {
+      val base = col(partCol).cast("string").isin(nonDefault: _*)
+      if (nonDefault.size < touched.size) base || col(partCol).isNull else base
+    }
     // first contact creates the table: an empty target with the
     // change schema (minus the delete flag) makes the merge below a
     // pure insert — the streaming CDC sink relies on this
     val target =
       if (fs.exists(new Path(tablePath)))
-        spark.read.parquet(tablePath)
-          .filter(col(partCol).cast("string").isin(touched: _*))
+        spark.read.parquet(tablePath).filter(scanFilter)
       else
         deleteCol.fold(changes)(dc => changes.drop(dc)).filter(lit(false))
     val merged = upsert(target, changes, keyCols, deleteCol)
 
-    val staging = new Path(tablePath, s"_staging_${java.util.UUID.randomUUID}")
+    val swapId = java.util.UUID.randomUUID.toString
+    val staging = new Path(tablePath, s"_staging_$swapId")
     merged.write.mode("overwrite").partitionBy(partCol).parquet(staging.toString)
+
+    // escaped dir names, deduped (null and "" collapse to one dir)
+    val dirNames = touched
+      .map(v => ExternalCatalogUtils.getPartitionPathString(partCol, v)).distinct
+    val backupRoot = new Path(tablePath, s"_backup_$swapId")
+    fs.mkdirs(backupRoot)
+    val backedUp = ListBuffer.empty[String]  // live -> backup done
+    val swappedIn = ListBuffer.empty[String] // staged -> live done
     try {
-      touched.foreach { v =>
-        val live = new Path(tablePath, s"$partCol=$v")
-        val staged = new Path(staging, s"$partCol=$v")
-        if (fs.exists(live)) fs.delete(live, true)
+      dirNames.foreach { d =>
+        val live = new Path(tablePath, d)
+        val staged = new Path(staging, d)
+        hooks.beforeSwap(d)
+        if (fs.exists(live)) {
+          mustRename(fs, live, new Path(backupRoot, d))
+          backedUp += d
+        }
+        hooks.afterBackup(d)
         // a partition can vanish entirely (every row deleted): the
-        // staged dir is then absent and the live dir stays deleted
-        if (fs.exists(staged)) fs.rename(staged, live)
+        // staged dir is then absent and the live dir stays backed up
+        if (fs.exists(staged)) {
+          mustRename(fs, staged, live)
+          swappedIn += d
+        }
       }
-    } finally fs.delete(staging, true)
+      // every swap landed — only now is it safe to drop the old copies
+      fs.delete(backupRoot, true)
+      fs.delete(staging, true)
+    } catch {
+      case e: Throwable =>
+        try {
+          swappedIn.foreach(d => fs.delete(new Path(tablePath, d), true))
+          backedUp.foreach(d =>
+            mustRename(fs, new Path(backupRoot, d), new Path(tablePath, d)))
+          fs.delete(backupRoot, true)
+          fs.delete(staging, true)
+        } catch {
+          // rollback itself failed: leave backups + staging on disk
+          // for manual recovery rather than deleting anything
+          case r: Throwable => e.addSuppressed(r)
+        }
+        throw e
+    }
     touched
   }
+
+  private def mustRename(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+}
+
+/** Fault-injection points inside [[Cdc.upsertPartitioned]]'s swap
+  * loop; production passes [[SwapHooks.none]].
+  */
+private[graft] trait SwapHooks {
+  def beforeSwap(dirName: String): Unit = ()
+  def afterBackup(dirName: String): Unit = ()
+}
+
+private[graft] object SwapHooks {
+  val none: SwapHooks = new SwapHooks {}
 }

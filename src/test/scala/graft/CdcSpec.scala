@@ -147,6 +147,109 @@ class CdcSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir, "part=p1")))
   }
 
+  test("upsertPartitioned rolls back completely when a rename fails mid-swap") {
+    val dir = Files.createTempDirectory("graft_cow_fault").toString
+    val target = Seq(
+      (1L, "p0", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0))
+      .toDF("k", "part", "v")
+    target.write.mode("overwrite").partitionBy("part").parquet(dir)
+
+    def allFiles(): Map[String, Long] =
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    val before = allFiles()
+    val snapBefore = spark.read.parquet(dir)
+      .select(col("k"), col("part").cast("string"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+    val changes = Seq(
+      (1L, "p0", 10.0, false), (2L, "p1", 20.0, false), (3L, "p2", 30.0, false))
+      .toDF("k", "part", "v", "del")
+
+    // fault AFTER the first partition fully swapped (its old copy is
+    // only in the backup dir) and the second is backed up but not yet
+    // swapped — the two states the old delete-first loop destroyed
+    val faults = Seq(
+      new graft.operators.SwapHooks {
+        private var n = 0
+        override def beforeSwap(d: String): Unit = {
+          n += 1; if (n == 2) throw new java.io.IOException("injected beforeSwap")
+        }
+      },
+      new graft.operators.SwapHooks {
+        private var n = 0
+        override def afterBackup(d: String): Unit = {
+          n += 1; if (n == 2) throw new java.io.IOException("injected afterBackup")
+        }
+      })
+    for (hooks <- faults) {
+      val e = intercept[java.io.IOException] {
+        Cdc.upsertPartitioned(spark, dir, changes, Seq("k"), "part", Some("del"), hooks)
+      }
+      assert(e.getMessage.startsWith("injected"))
+      // byte-identical pre-call state: same files, same mtimes, no residue
+      assert(allFiles() == before)
+      assert(!Files.list(Paths.get(dir)).iterator().asScala.exists { f =>
+        val n = f.getFileName.toString
+        n.startsWith("_staging_") || n.startsWith("_backup_")
+      })
+      val snapAfter = spark.read.parquet(dir)
+        .select(col("k"), col("part").cast("string"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(snapAfter == snapBefore)
+    }
+    // and a clean retry after the fault succeeds
+    val touched = Cdc.upsertPartitioned(spark, dir, changes, Seq("k"), "part", Some("del"))
+    assert(touched == Seq("p0", "p1", "p2"))
+    val out = spark.read.parquet(dir)
+      .select(col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+  }
+
+  test("upsertPartitioned handles hive-escaped and null partition values") {
+    val dir = Files.createTempDirectory("graft_cow_esc").toString
+    val target = Seq(
+      (1L, "a:b", 1.0), (2L, "x=y", 2.0), (3L, "p%1", 3.0),
+      (4L, null.asInstanceOf[String], 4.0), (5L, "plain", 5.0))
+      .toDF("k", "part", "v")
+    target.write.mode("overwrite").partitionBy("part").parquet(dir)
+
+    val plainBefore = Files.list(Paths.get(dir, "part=plain")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+
+    val changes = Seq(
+      (1L, "a:b", 10.0, false),                      // update escaped ':'
+      (2L, "x=y", 0.0, true),                        // delete whole '=' partition
+      (6L, "p%1", 6.0, false),                       // insert into escaped '%'
+      (4L, null.asInstanceOf[String], 40.0, false))  // update null partition
+      .toDF("k", "part", "v", "del")
+    val touched = Cdc.upsertPartitioned(spark, dir, changes, Seq("k"), "part", Some("del"))
+    assert(touched == Seq(null, "a:b", "p%1", "x=y"))
+
+    // untouched partition untouched at the file level
+    val plainAfter = Files.list(Paths.get(dir, "part=plain")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    assert(plainAfter == plainBefore)
+    // fully-deleted escaped partition dir is gone (Spark writes 'x=y'
+    // as part=x%3Dy)
+    assert(!Files.exists(Paths.get(dir, "part=x%3Dy")))
+    assert(!Files.list(Paths.get(dir)).iterator().asScala.exists { f =>
+      val n = f.getFileName.toString
+      n.startsWith("_staging_") || n.startsWith("_backup_")
+    })
+
+    val out = spark.read.parquet(dir)
+      .select(col("k"), col("part").cast("string"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      (1L, "a:b", 10.0), (3L, "p%1", 3.0), (6L, "p%1", 6.0),
+      (4L, null, 40.0), (5L, "plain", 5.0)))
+  }
+
   test("upsertPartitioned with an empty batch is a no-op") {
     val dir = Files.createTempDirectory("graft_cow_empty").toString
     Seq((1L, "p0", 1.0)).toDF("k", "part", "v")

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.operators.PatternRouter
-import graft.sources.{Sinks, Sources, Xlsx}
+import graft.sources.{Sinks, Sources, Xls, Xlsx}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -138,6 +138,29 @@ object SourceQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // nation -> legacy .xls (OLE2/BIFF8 fixture writer) -> the same
+    // Xlsx.read entry point (magic-number dispatch) -> summary. The
+    // double column exercises NUMBER records; ints land as RK/MULRK.
+    "src_xls" -> ((s, d) => {
+      val dir = tmp("graft_xls")
+      val rows = Tables.nation(s, d)
+        .orderBy(col("n_nationkey"))
+        .collect()
+        .map(r => Seq[Any](r.getInt(0), r.getString(1), r.getInt(2),
+          r.getInt(0) + 0.25))
+        .toSeq
+      Xls.write(s"$dir/nation.xls",
+        Seq("n_nationkey", "n_name", "n_regionkey", "key_frac"), rows)
+      Xlsx.read(s, s"$dir/nation.xls")
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"),
+          col("key_frac").cast("double").as("key_frac"))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"),
+          round(sum(col("key_frac")), 2).as("sum_frac"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // Routed partitioned parquet sink: write docs partitioned by
     // routed target table, read back, summarize (shared fixture with
     // etl_pattern_route so the mappings can't drift apart).
@@ -262,6 +285,13 @@ object SourceQueries {
 
     "src_excel" ->
       """SELECT n_regionkey, count(*) AS n, max(n_name) AS max_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    // the .xls round trip is lossless for these types (0.25 is an
+    // exact binary fraction), so the oracle aggregates the original
+    "src_xls" ->
+      """SELECT n_regionkey, count(*) AS n, max(n_name) AS max_name,
+        |  CAST(round(sum(n_nationkey + 0.25), 2) AS DOUBLE) AS sum_frac
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "sink_parquet" ->

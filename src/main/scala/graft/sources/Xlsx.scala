@@ -15,9 +15,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * enhanced_tasks.py:52). No external deps: OOXML is a zip of XML
   * parts, parsed here with JDK StAX. XLSM is the same container with
   * a macro part we ignore, so it reads transparently. Legacy `.xls`
-  * (OLE2/BIFF binary) is NOT OOXML — it is detected by magic number
-  * and rejected with an actionable error instead of silently reading
-  * nothing.
+  * (OLE2/BIFF8 binary) is NOT OOXML — it is detected by magic number
+  * and dispatched to the [[Xls]] reader, so all four reference
+  * extensions read through this one entry point; pre-BIFF8 files are
+  * rejected there with an actionable error.
   *
   * Reader supports shared strings, inline strings, and numeric cells,
   * with A1-reference gap handling and sheet selection by name (the
@@ -132,6 +133,7 @@ object Xlsx {
     */
   def sheetNames(bytes: Array[Byte], source: String = "<bytes>"): Seq[String] = {
     require(bytes.length >= 4, s"$source: truncated workbook (${bytes.length} bytes)")
+    if (Xls.isOle2(bytes)) return Xls.sheetNames(bytes, source)
     require(bytes(0) == 'P' && bytes(1) == 'K',
       s"$source is not an OOXML workbook (missing zip magic)")
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
@@ -165,17 +167,16 @@ object Xlsx {
   }
 
   /** Iterate rows of one sheet as cell-string sequences (A1 gaps ->
-    * null). Rejects OLE2 (.xls) and non-zip payloads loudly.
+    * null). OLE2 payloads dispatch to the BIFF8 [[Xls]] reader (so
+    * `.xls` drops read transparently alongside `.xlsx/.xlsm`);
+    * non-workbook payloads fail loudly.
     */
   def parseSheetRows(bytes: Array[Byte], sheetName: Option[String] = None,
                      maxRows: Int = Int.MaxValue,
                      source: String = "<bytes>"): Iterator[Seq[String]] = {
     require(bytes.length >= 4, s"$source: truncated workbook (${bytes.length} bytes)")
-    if ((bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
-        (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0)
-      throw new UnsupportedOperationException(
-        s"$source is a legacy OLE2/BIFF .xls workbook; this reader handles " +
-          "OOXML (.xlsx/.xlsm) only — re-save it as .xlsx (or export CSV)")
+    if (Xls.isOle2(bytes))
+      return Xls.parseSheetRows(bytes, sheetName, maxRows, source)
     require(bytes(0) == 'P' && bytes(1) == 'K',
       s"$source is not an OOXML workbook (missing zip magic)")
     // Load the XML parts we may need in one sequential pass (zip

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * compose with [[Dedup.minhashPairs]] when first-char typos matter.
   *
   * Giant blocks (e.g. every value starting "the ") would still pair
-  * quadratically, so blocks above `maxBlock` values are dropped with
-  * a loud count in the result rather than silently exploding — a
-  * prefix that common is a stopword problem, not a typo problem.
+  * quadratically, so blocks above `maxBlock` values are excluded
+  * from pairing rather than exploding — a prefix that common is a
+  * stopword problem, not a typo problem. [[pairs]] itself stays a
+  * pure pair stream; audit what was dropped with [[droppedBlocks]]
+  * (one row per hot block with its occupancy) so exclusion is never
+  * silent.
   */
 object FuzzyMatch {
 
@@ -67,6 +70,26 @@ object FuzzyMatch {
       .filter(col("distance") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"), col("distance"))
   }
+
+  /** Audit of the blocks [[pairs]] drops for exceeding `maxBlock`:
+    * one row per over-full block (block key, occupancy), computed
+    * with the same normalization so the two can't drift. Failure-log
+    * shaped (status='warning') so it unions straight into a
+    * pipeline's audit trail. Costs one aggregation over the
+    * normalized values — run it when block drops matter, not on
+    * every match.
+    */
+  def droppedBlocks(df: DataFrame, idCol: String, valueCol: String,
+                    blockLen: Int = 3, maxBlock: Int = 1000): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(norm(col(valueCol)).as("__v"))
+      .filter(length(col("__v")) > 0)
+      .select(substring(col("__v"), 1, blockLen).as("block"))
+      .groupBy(col("block")).agg(count(lit(1)).as("n_values"))
+      .filter(col("n_values") > maxBlock)
+      .select(lit("warning").as("status"),
+        lit("fuzzy_block_dropped").as("error_message"),
+        col("block"), col("n_values"))
 
   /** Pairs → canonical mapping: each id maps to the lowest id in its
     * connected match group ([[Dedup.components]] propagation), with

@@ -166,6 +166,24 @@ object DedupQueries {
         .orderBy(col("list_id"))
     }),
 
+    // Fuzzy entity canonicalization (blocked Levenshtein ->
+    // connected components -> lowest-id canonical) over a fixed
+    // dirty-dimension fixture — the accumulated-variant mess the
+    // reference's blind dim appends create (dataframe_tasks.py:78).
+    // Fixture values are literals, so the oracle is the literal
+    // expected mapping (same convention as src_file_gate).
+    "fuzzy_canonicalize" -> ((s, d) => {
+      import s.implicits._
+      val dirty = Seq(
+        (1L, "Acme Corp"), (2L, "acme  CORP."), (3L, "Acme Cor"),
+        (4L, "Beta LLC"), (5L, "Beta LC"), (6L, "Gamma Industries"),
+        (7L, "delta co"), (8L, "Delta Co."))
+        .toDF("id", "name")
+      graft.operators.FuzzyMatch.canonicalize(dirty, "id", "name", maxDistance = 1)
+        .select(col("id"), col("canonical_id"))
+        .orderBy(col("id"))
+    }),
+
     // Scale path: banded SRP-LSH candidates + exact cosine verify —
     // no driver collect, one shuffle on (table, bucket). Approximate
     // (recall target 0.98; measured 0.983 on sf0.01 in DedupSpec), so
@@ -178,6 +196,12 @@ object DedupQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "fuzzy_canonicalize" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 1),
+        |  (4, 4), (5, 4), (6, 6), (7, 7), (8, 7))
+        |AS t(id, canonical_id) ORDER BY id""".stripMargin,
+
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

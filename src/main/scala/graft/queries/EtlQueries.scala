@@ -324,7 +324,7 @@ object EtlQueries {
         sourceName = "orders_drop.csv", batchId = "batch_0001",
         emptyCheckCols = Seq("Order-Date", "Total Price ($)"))
       val (_, rejects) = graft.sources.Sources.fileGate(s, gateFixtureDir,
-        routeConfig.quality.copy(maxFileSizeMb = Some(0.0001)))
+        routeConfig.quality.copy(maxFileSizeMb = Some(gateTestCapMb)))
       import s.implicits._
       val fileLog = rejects.toDF("source_name", "error_message")
         .select(lit(null).cast("long").as("order_key"),
@@ -440,6 +440,14 @@ object EtlQueries {
     put("good.csv", "a,b,c\n1,2,3\n")
     dir.toString
   }
+
+  /** Test-scale size cap paired with [[gateFixtureDir]]: between
+    * good.csv (~12 B) and oversized.csv (~366 B), so exactly the
+    * oversized fixture trips `file_too_large`. One constant shared by
+    * etl_failure_log and src_file_gate so the two oracles cannot
+    * drift from each other or the fixture.
+    */
+  private[queries] val gateTestCapMb: Double = 0.0001
 
   /** DuckDB CASE mirroring [[PatternRouter.routeExpr]] over a
     * lowercase forward-slash path SQL expression.

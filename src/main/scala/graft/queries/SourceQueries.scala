@@ -44,10 +44,13 @@ object SourceQueries {
     // the shape that holds when the drop zone has a million files.
     "src_file_gate" -> ((s, d) => {
       val (accepted, rejects) = Sources.fileGate(s, EtlQueries.gateFixtureDir,
-        EtlQueries.routeConfig.quality.copy(maxFileSizeMb = Some(0.0001)))
+        EtlQueries.routeConfig.quality.copy(maxFileSizeMb = Some(EtlQueries.gateTestCapMb)))
       import s.implicits._
+      // hadoop Path.getName on both sides: accepted paths may come
+      // back scheme-qualified, and reject names are already derived
+      // this way inside gateFiles
       val rows =
-        accepted.map(p => (new java.io.File(p).getName, "accepted", "ok")) ++
+        accepted.map(p => (new org.apache.hadoop.fs.Path(p).getName, "accepted", "ok")) ++
           rejects.map { case (name, reason) => (name, "rejected", reason) }
       rows.toDF("file_name", "verdict", "reason").orderBy(col("file_name"))
     }),

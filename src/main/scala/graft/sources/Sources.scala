@@ -221,6 +221,103 @@ object Sources {
     gateFiles(spark, files.map(_.toString), gates)
   }
 
+  /** [[fileGate]] plus a WRITE-STABILITY window (the reference's
+    * in-flight-file skip: pattern_based_watcher.py:282-289 re-stats
+    * after a delay and defers files whose mtime moved). Files whose
+    * (size, mtime) change across `stableMillis` — or that vanish, a
+    * producer's rename-away — are returned as `deferred`: neither
+    * accepted nor rejected, so the NEXT pass ingests them complete.
+    * A partial CSV being written in place never reaches the read.
+    *
+    * Returns (accepted, rejected(name, reason), deferred paths). Cost
+    * is one extra stat per file plus ONE sleep per pass (not per
+    * file), the same order as the listing itself. `onWindow` is a
+    * test seam: it runs inside the stability window so specs can
+    * grow a file deterministically instead of racing a timer.
+    */
+  def fileGateStable(spark: SparkSession, path: String, gates: graft.QualityGates,
+                     extensions: Seq[String] = Seq(".csv"),
+                     stableMillis: Long = 2000,
+                     onWindow: () => Unit = () => ())
+      : (Seq[String], Seq[(String, String)], Seq[String]) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listFiles(fs, path)
+      .filter(p => extensions.exists(e => p.getName.toLowerCase.endsWith(e)))
+      .map(_.toString)
+    val (stable, deferred) = partitionByStability(spark, files, stableMillis, onWindow)
+    val (accepted, rejected) = gateFiles(spark, stable, gates)
+    (accepted, rejected, deferred)
+  }
+
+  /** Stability core: stat every file, wait out the window, stat
+    * again; a file is stable iff (size, mtime) held and it still
+    * exists. Shared by [[fileGateStable]] and [[stableStagingPass]].
+    */
+  private[graft] def partitionByStability(spark: SparkSession, files: Seq[String],
+                                          stableMillis: Long,
+                                          onWindow: () => Unit = () => ())
+      : (Seq[String], Seq[String]) = {
+    def stat(f: String): Option[(Long, Long)] = {
+      val p = new Path(f)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        val st = fs.getFileStatus(p)
+        Some((st.getLen, st.getModificationTime))
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
+    val before = files.map(f => f -> stat(f)).toMap
+    if (stableMillis > 0) Thread.sleep(stableMillis)
+    onWindow()
+    files.partition(f => before(f).isDefined && stat(f) == Some(before(f).get))
+  }
+
+  /** Pre-source staging pass: rename write-STABLE files from a
+    * landing directory into the directory a file stream actually
+    * watches, deferring in-flight ones to a later pass. Returns
+    * (staged new paths, deferred landing paths).
+    *
+    * This is the streaming form of the reference's stability skip,
+    * and it must run BEFORE the source: Structured Streaming's file
+    * source checkpoints a file the moment it lists it, so a file
+    * admitted mid-write would have its partial content committed and
+    * never be re-read — no foreachBatch-side check can undo the
+    * admission. Gating the rename into the watched directory keeps
+    * the checkpoint clean: the stream only ever lists complete files,
+    * and a deferred file arrives whole on a later pass (spec:
+    * StreamingSpec "write-stability staging").
+    *
+    * Rename is a metadata op on HDFS-like stores. On object stores
+    * (S3) rename is a copy — there, prefer producer-side
+    * write-temp-then-rename into the watched prefix; this pass is
+    * for drop zones where the producer can't be changed (the
+    * reference's exact situation).
+    */
+  def stableStagingPass(spark: SparkSession, landingDir: String, stageDir: String,
+                        extensions: Seq[String] = Seq(".csv"),
+                        stableMillis: Long = 2000,
+                        onWindow: () => Unit = () => ())
+      : (Seq[String], Seq[String]) = {
+    val landing = new Path(landingDir)
+    val fs = landing.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listFiles(fs, landingDir)
+      .filter(p => extensions.exists(e => p.getName.toLowerCase.endsWith(e)))
+      .map(_.toString)
+    val (stable, unstable) = partitionByStability(spark, files, stableMillis, onWindow)
+    val stage = new Path(stageDir)
+    fs.mkdirs(stage)
+    val deferred = scala.collection.mutable.ListBuffer.empty[String]
+    deferred ++= unstable
+    val staged = stable.flatMap { f =>
+      val src = new Path(f)
+      val dst = new Path(stage, src.getName)
+      // a same-named file already staged and not yet ingested: defer
+      // rather than clobber a file the stream may be mid-read on
+      if (fs.exists(dst) || !fs.rename(src, dst)) { deferred += f; None }
+      else Some(dst.toString)
+    }
+    (staged, deferred.toSeq)
+  }
+
   /** Gate a concrete file list — shared by [[fileGate]] (batch
     * listing) and the streaming sinks (which gate each micro-batch's
     * source files). See [[fileGate]] for semantics.

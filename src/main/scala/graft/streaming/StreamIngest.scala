@@ -106,6 +106,14 @@ object StreamIngest {
     * file lands in the audit trail instead of sailing into the
     * warehouse. Routing uses the config's schema-qualified targets
     * (partition column `target` = schema.table).
+    *
+    * WRITE-STABILITY is a pre-source concern, not a gate here: the
+    * file source checkpoints a file the moment it lists it, so an
+    * in-flight file admitted to a batch can never be re-read — a
+    * foreachBatch-side skip would lose it. Producers that write in
+    * place must be fronted by [[graft.sources.Sources.stableStagingPass]]
+    * (landing dir -> stability window -> rename into the watched
+    * dir), the streaming form of the reference's mtime re-check.
     */
   def gatedRoutedSink(stream: DataFrame, outDir: String, checkpoint: String,
                       config: graft.PipelineConfig, rejectDir: String,
@@ -125,25 +133,34 @@ object StreamIngest {
         // authoritative record of every file it admitted to this
         // batch, zero-row ones included. Compacted log batches carry
         // history, hence the batchId filter. Log-read failure
-        // degrades to row-derived gating rather than failing the sink.
-        val sourceFiles: Seq[String] =
+        // degrades to row-derived gating rather than failing the
+        // sink — but LOUDLY: a status='warning' audit row lands in
+        // the reject log, because a silently degraded gate never
+        // fires empty_file again and nobody notices.
+        val sourceFiles: Either[String, Seq[String]] =
           try {
             import org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog
             val log = new FileStreamSourceLog(FileStreamSourceLog.VERSION,
               spark, s"$checkpoint/sources/0")
-            log.get(batchId).map(_.filter(_.batchId == batchId).map(_.path).toSeq)
-              .getOrElse(Seq.empty)
-          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
-        val files = (rowFiles ++ sourceFiles).distinct
+            Right(log.get(batchId).map(_.filter(_.batchId == batchId).map(_.path).toSeq)
+              .getOrElse(Seq.empty))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Left(s"source_log_unavailable: zero-row file gates degraded " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+          }
+        val files = (rowFiles ++ sourceFiles.getOrElse(Seq.empty)).distinct
         val (ok, rejects) = graft.sources.Sources.gateFiles(spark, files, config.quality)
-        if (rejects.nonEmpty) {
+        val audit = rejects.map { case (name, reason) => ("error", reason, name) } ++
+          sourceFiles.left.toSeq.map(msg => ("warning", msg, "<file source log>"))
+        if (audit.nonEmpty) {
           // per-batch overwrite dir, like the routed output below: a
           // replayed foreachBatch (crash between write and checkpoint
           // commit) clobbers its own partial audit rows instead of
           // appending duplicates
-          rejects.toDF("source_name", "error_message")
-            .select(lit("error").as("status"), col("error_message"),
-              col("source_name"), lit(s"stream_batch_$batchId").as("processing_batch"))
+          audit.toDF("status", "error_message", "source_name")
+            .select(col("status"), col("error_message"), col("source_name"),
+              lit(s"stream_batch_$batchId").as("processing_batch"))
             .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
         }
         val clean =
@@ -362,14 +379,15 @@ object StreamIngest {
   /** Batch-trained quality gate on a document stream: each
     * micro-batch scores row-locally against the BROADCAST bigram-LM
     * tables trained offline ([[graft.operators.LmScore]] — train on
-    * yesterday's corpus, gate today's stream), passing docs append to
-    * `outDir`, rejects (score below `minScore`, or unscorable short/
-    * empty text) to `rejectDir` with the score attached for audit.
-    * Stateless: the model is a batch artifact riding the closure;
-    * nothing outlives a batch, so at-least-once replays just
-    * overwrite the same appends idempotently at the file level (same
-    * input files → same rows; dedupe downstream by doc id if exact-
-    * once matters).
+    * yesterday's corpus, gate today's stream). Passing docs land
+    * under `outDir/batch=<id>`, rejects (score below `minScore`, or
+    * unscorable short/empty text) under `rejectDir/batch=<id>` with
+    * the score attached for audit. The per-batch OVERWRITE dirs make
+    * at-least-once replays idempotent — a batch replayed after a
+    * crash between write and checkpoint commit clobbers its own
+    * partial output instead of appending duplicate rows (the same
+    * contract as [[routedSink]]/[[minhashDedupSink]]); readers see
+    * `batch` as just another partition column.
     */
   def qualityGatedSink(stream: DataFrame, textCol: String,
                        model: graft.operators.LmScore.Model,
@@ -379,14 +397,14 @@ object StreamIngest {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val scored = graft.operators.LmScore.score(batch, textCol, model)
         val pass = scored.filter(col("lm_score").isNotNull &&
           col("lm_score") >= minScore)
         val reject = scored.filter(col("lm_score").isNull ||
           col("lm_score") < minScore)
-        pass.write.mode("append").parquet(outDir)
-        reject.write.mode("append").parquet(rejectDir)
+        pass.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        reject.write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
         ()
       }
 

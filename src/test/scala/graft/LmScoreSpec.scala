@@ -80,6 +80,20 @@ class LmScoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(pass == Set(1L))
     assert(reject == Set(2L, 3L)) // gibberish below thr; empty unscorable
+
+    // at-least-once REPLAY of the same batch (fresh checkpoint, same
+    // data -> same batch id): the per-batch overwrite dirs must
+    // clobber, not duplicate
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamIngest.qualityGatedSink(
+      in2.toDF().toDF("id", "text"), "text", m, thr,
+      s"$dir/pass", s"$dir/reject", s"$dir/ckpt_replay").start()
+    in2.addData((1L, "a b a b"), (2L, "zz qq xx"), (3L, ""))
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir/pass").count() == 1,
+      "replayed batch must not duplicate passing rows")
+    assert(spark.read.parquet(s"$dir/reject").count() == 2,
+      "replayed batch must not duplicate rejected rows")
   }
 
   test("maxTable truncates deterministically; tail grams back off to 0") {

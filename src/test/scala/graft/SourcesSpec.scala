@@ -77,4 +77,62 @@ class SourcesSpec extends SparkSpec {
     assert(report("c.csv") == "windows-1252")
     assert(report("d.csv") == "UTF-8")
   }
+
+  test("fileGateStable defers in-flight files instead of rejecting them") {
+    val dir = Files.createTempDirectory("graft_stable_gate")
+    Files.writeString(dir.resolve("complete.csv"), "a,b\n1,2\n")
+    Files.writeString(dir.resolve("empty.csv"), "")
+    val growing = dir.resolve("inflight.csv")
+    Files.writeString(growing, "a,b\n1,2\n")
+    val gates = graft.QualityGates(maxFileSizeMb = None,
+      skipEmptyFiles = true, requireHeaders = true)
+    // the onWindow seam grows the file INSIDE the stability window —
+    // deterministic, no timer race
+    val (accepted, rejected, deferred) = Sources.fileGateStable(
+      spark, dir.toString, gates, stableMillis = 1,
+      onWindow = () => Files.writeString(growing, "3,4\n",
+        java.nio.file.StandardOpenOption.APPEND))
+    assert(accepted.map(p => new org.apache.hadoop.fs.Path(p).getName) ==
+      Seq("complete.csv"))
+    assert(rejected == Seq("empty.csv" -> "empty_file"))
+    assert(deferred.map(p => new org.apache.hadoop.fs.Path(p).getName) ==
+      Seq("inflight.csv"))
+    // next pass, writer finished: the file gates normally
+    val (accepted2, _, deferred2) = Sources.fileGateStable(
+      spark, dir.toString, gates, stableMillis = 1)
+    assert(deferred2.isEmpty)
+    assert(accepted2.map(p => new org.apache.hadoop.fs.Path(p).getName).sorted ==
+      Seq("complete.csv", "inflight.csv"))
+    // a file deleted inside the window (producer renamed it away) defers
+    val vanishing = dir.resolve("vanish.csv")
+    Files.writeString(vanishing, "a,b\n9,9\n")
+    val (_, _, deferred3) = Sources.fileGateStable(
+      spark, dir.toString, gates, stableMillis = 1,
+      onWindow = () => Files.delete(vanishing))
+    assert(deferred3.map(p => new org.apache.hadoop.fs.Path(p).getName) ==
+      Seq("vanish.csv"))
+  }
+
+  test("stableStagingPass moves only stable files into the watched dir") {
+    val landing = Files.createTempDirectory("graft_landing")
+    val stage = Files.createTempDirectory("graft_stage").resolve("watched")
+    Files.writeString(landing.resolve("done.csv"), "a\n1\n")
+    val growing = landing.resolve("writing.csv")
+    Files.writeString(growing, "a\n1\n")
+    val (staged, deferred) = Sources.stableStagingPass(
+      spark, landing.toString, stage.toString, stableMillis = 1,
+      onWindow = () => Files.writeString(growing, "2\n",
+        java.nio.file.StandardOpenOption.APPEND))
+    assert(staged.map(p => new org.apache.hadoop.fs.Path(p).getName) == Seq("done.csv"))
+    assert(deferred.map(p => new org.apache.hadoop.fs.Path(p).getName) == Seq("writing.csv"))
+    // the stable file MOVED (rename, not copy): gone from landing
+    assert(!Files.exists(landing.resolve("done.csv")))
+    assert(Files.exists(stage.resolve("done.csv")))
+    // second pass: the writer has finished, the file stages complete
+    val (staged2, deferred2) = Sources.stableStagingPass(
+      spark, landing.toString, stage.toString, stableMillis = 1)
+    assert(staged2.map(p => new org.apache.hadoop.fs.Path(p).getName) == Seq("writing.csv"))
+    assert(deferred2.isEmpty)
+    assert(Files.readString(stage.resolve("writing.csv")) == "a\n1\n2\n")
+  }
 }

@@ -102,6 +102,79 @@ class StreamingSpec extends SparkSpec {
       ("empty.csv", "empty_file", "error")))
   }
 
+  test("write-stability staging: partial files never reach the stream, complete ones do") {
+    val landing = Files.createTempDirectory("drop_landing").toString
+    val stage = Files.createTempDirectory("drop_stage").toString + "/watched"
+    val out = Files.createTempDirectory("stable_out").toString
+    val cp = Files.createTempDirectory("stable_cp").toString
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("v", StringType)))
+    Files.writeString(java.nio.file.Paths.get(s"$landing/done.csv"),
+      "id,v\n1,a\n2,b\n")
+    // a producer writing in place: the file is mid-write during pass 1
+    val growing = java.nio.file.Paths.get(s"$landing/slow.csv")
+    Files.writeString(growing, "id,v\n3,partial")
+    def drain(): Unit = {
+      val q = StreamIngest.fileStream(spark, stage, schema)
+        .select(col("id"), col("v")).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // pass 1: the growing file stays in landing; the stream ingests
+    // only the complete file — no partial row is ever committed
+    graft.sources.Sources.stableStagingPass(spark, landing, stage,
+      stableMillis = 1,
+      onWindow = () => Files.writeString(growing, "_resumed,x\n",
+        java.nio.file.StandardOpenOption.APPEND))
+    drain()
+    val afterPass1 = spark.read.parquet(out).select("id").as[String]
+      .collect().sorted.toSeq
+    assert(afterPass1 == Seq("1", "2"), s"partial rows leaked: $afterPass1")
+    // the producer finishes; the next trigger ingests the file COMPLETE
+    Files.writeString(growing, "4,c\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    graft.sources.Sources.stableStagingPass(spark, landing, stage, stableMillis = 1)
+    drain()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("1", "a"), ("2", "b"), ("3", "partial_resumed"), ("4", "c")),
+      s"expected the slow file whole on the second trigger: $rows")
+  }
+
+  test("gated routed sink logs a warning row when the source log degrades") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = Files.createTempDirectory("degraded_out").toString
+    val cp = Files.createTempDirectory("degraded_cp").toString
+    val rejectDir = s"$out/rejects"
+    // a real readable file so the row-derived gate path still works
+    val drop = Files.createTempDirectory("degraded_drop").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$drop/src2"))
+    Files.writeString(java.nio.file.Paths.get(s"$drop/src2/good.csv"), "a,b\n1,2\n")
+    // corrupt the file-source metadata log BEFORE the run: reading it
+    // throws, the gate degrades to row-derived files, and the sink
+    // must say so in the reject log instead of staying silent
+    Files.createDirectories(java.nio.file.Paths.get(s"$cp/sources/0"))
+    Files.writeString(java.nio.file.Paths.get(s"$cp/sources/0/0"), "not a metadata log")
+    val cfg = PipelineConfig.parseYaml(graft.queries.EtlQueries.configYaml)
+    val in = MemoryStream[String]
+    in.addData(s"file:$drop/src2/good.csv")
+    val stream = in.toDF().toDF("__source_file")
+      .withColumn("order_key", lit("1"))
+    StreamIngest.runOnce(StreamIngest.gatedRoutedSink(
+      stream, s"$out/routed", cp, cfg, rejectDir))
+    val audit = spark.read.parquet(rejectDir)
+      .select("status", "error_message", "source_name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(audit.exists { case (st, msg, src) =>
+      st == "warning" && msg.startsWith("source_log_unavailable") &&
+        src == "<file source log>"
+    }, s"degradation must land in the reject log, got: $audit")
+    // the batch itself still routed (degraded, not failed)
+    assert(spark.read.parquet(s"$out/routed").count() == 1)
+  }
+
   test("watermarked tumbling window counts per type") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]

@@ -56,20 +56,97 @@ object Sources {
     val files = listFiles(fs, path)
     require(files.nonEmpty, s"no files match $path")
     val groups = files.groupBy(f => detectCharset(fs, f))
-    groups.map { case (charset, ps) =>
-      // Spark 4 whitelists CSV charsets (no windows-1252), so the
-      // cp1252 group is decoded as latin1 — byte-identical except
-      // 0x80-0x9F — and those 27 codepoints are fixed up post-read
-      val readCharset = if (charset == "windows-1252") "ISO-8859-1" else charset
-      val df = withSchema(spark.read
+    groups.map {
+      case ("UTF-16", ps) =>
+        // BOM'd UTF-16: decoded losslessly through the rescue reader
+        // (java's "UTF-16" charset consumes the BOM); Spark's file
+        // CSV path splits lines on single \n BYTES, which lands
+        // mid-codepoint in UTF-16
+        rescueCsv(spark, fs, ps, schema, delimiter,
+          java.nio.charset.StandardCharsets.UTF_16)
+      case (LossyCharset, ps) =>
+        // LAST-RESORT lossy load (the reference's final fallback,
+        // pattern_based_cleaner_watcher.py:178 errors='ignore'): a
+        // file that no detected charset decodes — binary-ish,
+        // BOM-less UTF-16, UTF-32 — lands as UTF-8 with U+FFFD
+        // replacement marks instead of failing the batch or silently
+        // mojibaking through cp1252. Audit with [[lossyDecodeLog]].
+        rescueCsv(spark, fs, ps, schema, delimiter,
+          java.nio.charset.StandardCharsets.UTF_8)
+      case (charset, ps) =>
+        // Spark 4 whitelists CSV charsets (no windows-1252), so the
+        // cp1252 group is decoded as latin1 — byte-identical except
+        // 0x80-0x9F — and those 27 codepoints are fixed up post-read
+        val readCharset = if (charset == "windows-1252") "ISO-8859-1" else charset
+        val df = withSchema(spark.read
+            .option("header", "true")
+            .option("charset", readCharset)
+            .option("sep", delimiter)
+            .option("mode", "PERMISSIVE"), schema)
+          .csv(ps.map(_.toString): _*)
+        val decoded = if (charset == "windows-1252") transcodeCp1252(df) else df
+        stripBomHeader(decoded)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Decode files driver-side with REPLACE-on-malformed semantics and
+    * parse the decoded lines with the same CSV options as the file
+    * path (per file, so each file's header row stays a header). The
+    * escape hatch for encodings Spark's file reader can't split or
+    * decode; files here are drop-zone sized by nature and this group
+    * is the rare tail of a drop, not the bulk path.
+    */
+  private def rescueCsv(spark: SparkSession, fs: FileSystem, files: Seq[Path],
+                        schema: Option[StructType], delimiter: String,
+                        charset: java.nio.charset.Charset): DataFrame = {
+    import spark.implicits._
+    files.map { f =>
+      val text = decodeReplacing(readFully(fs, f), charset)
+      val lines = text.split("\r\n|\r|\n", -1).toIndexedSeq
+        .filter(_.nonEmpty)
+      withSchema(spark.read
           .option("header", "true")
-          .option("charset", readCharset)
           .option("sep", delimiter)
           .option("mode", "PERMISSIVE"), schema)
-        .csv(ps.map(_.toString): _*)
-      val decoded = if (charset == "windows-1252") transcodeCp1252(df) else df
-      stripBomHeader(decoded)
-    }.reduce(_.unionByName(_))
+        .csv(spark.createDataset(lines))
+    }.map(stripBomHeader).reduce(_.unionByName(_))
+  }
+
+  /** Audit of the files [[csvAutoCharset]] loads through the lossy
+    * last-resort decode: one failure-log-shaped row per such file
+    * (status='warning', reason lossy_decode) with the number of
+    * replacement characters the decode produced — the rows landed,
+    * this is the record of what was mangled. Costs one extra decode
+    * of the affected files only.
+    */
+  def lossyDecodeLog(spark: SparkSession, path: String,
+                     batchId: String = ""): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listFiles(fs, path)
+      .filter(f => detectCharset(fs, f) == LossyCharset)
+      .map { f =>
+        val text = decodeReplacing(readFully(fs, f),
+          java.nio.charset.StandardCharsets.UTF_8)
+        ("warning", "lossy_decode", f.getName, batchId,
+          text.count(_ == '�').toLong)
+      }
+      .toDF("status", "error_message", "source_name", "processing_batch",
+        "n_replacements")
+  }
+
+  private def readFully(fs: FileSystem, f: Path): Array[Byte] = {
+    val in = fs.open(f)
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def decodeReplacing(bytes: Array[Byte],
+                              charset: java.nio.charset.Charset): String = {
+    import java.nio.charset.CodingErrorAction
+    charset.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+      .decode(java.nio.ByteBuffer.wrap(bytes)).toString
   }
 
   /** Per-file charset decisions [[csvAutoCharset]] would make, as an
@@ -99,13 +176,26 @@ object Sources {
     }
   }
 
+  /** Detection verdict for files no detected charset decodes: loaded
+    * through the UTF-8-with-replacement last resort.
+    */
+  private[sources] val LossyCharset = "utf-8-lossy"
+
   /** BOM sniff + strict UTF-8 validation over bounded head AND tail
     * windows. Sampling both ends (rather than the head alone) closes
     * the common miss of a file whose first 64 KB happens to be pure
     * ASCII while legacy-encoded bytes appear later; a file whose ONLY
     * high bytes sit in the unsampled middle can still slip through —
     * the price of not scanning every byte of every file at listing
-    * time. Returns the charset Spark should decode the file with.
+    * time. Returns the charset to decode the file with: "UTF-8",
+    * "windows-1252", "UTF-16" (BOM'd, either endianness), or
+    * [[LossyCharset]] for content that is not plausibly single-byte
+    * text either (NUL/C0-control dense: BOM-less UTF-16/32, binary) —
+    * those land through the lossy last resort rather than silently
+    * mojibaking through cp1252. Multibyte legacy encodings without
+    * NULs (Shift-JIS, Big5) are indistinguishable from cp1252 in a
+    * byte sample and still mojibake — the same limit as the
+    * reference's fallback chain, which decoded them as latin1.
     */
   private[sources] def detectCharset(fs: FileSystem, file: Path): String = {
     val window = 65536
@@ -125,8 +215,28 @@ object Sources {
       } finally in.close()
     }
     val (head, nHead) = readAt(0, window)
+    // NUL or C0 control bytes (tab/newlines aside) in the sample:
+    // no single-byte TEXT encoding produces them, so past a small
+    // tolerance the file is not cp1252-decodable text
+    def binaryish(buf: Array[Byte], n: Int): Boolean = {
+      var bad = 0; var i = 0
+      while (i < n) {
+        val b = buf(i) & 0xff
+        if (b == 0x00 || (b < 0x20 && b != '\t' && b != '\n' && b != '\r')) bad += 1
+        i += 1
+      }
+      n > 0 && bad.toDouble / n > 0.02
+    }
     if (nHead >= 3 && (head(0) & 0xff) == 0xef && (head(1) & 0xff) == 0xbb &&
         (head(2) & 0xff) == 0xbf) "UTF-8" // BOM; stripBomHeader cleans up
+    else if (nHead >= 2 &&
+        (((head(0) & 0xff) == 0xff && (head(1) & 0xff) == 0xfe) ||
+          ((head(0) & 0xff) == 0xfe && (head(1) & 0xff) == 0xff)))
+      "UTF-16" // BOM'd; java's UTF-16 decoder resolves the endianness
+    // binaryish FIRST: NUL is a VALID UTF-8 code point, so a BOM-less
+    // UTF-16 file passes strict UTF-8 validation and would silently
+    // load as NUL-riddled "UTF-8" if this check came second
+    else if (binaryish(head, nHead)) LossyCharset
     else if (!isValidUtf8(head, nHead)) "windows-1252"
     else if (len > window) {
       // tail window; skip the first byte — the seek may have landed
@@ -134,7 +244,8 @@ object Sources {
       val (tail, nTail) = readAt(len - window, window)
       var start = 0
       while (start < nTail && (tail(start) & 0xc0) == 0x80) start += 1
-      if (isValidUtf8(tail.slice(start, nTail), nTail - start)) "UTF-8"
+      if (binaryish(tail, nTail)) LossyCharset
+      else if (isValidUtf8(tail.slice(start, nTail), nTail - start)) "UTF-8"
       else "windows-1252"
     } else "UTF-8"
   }

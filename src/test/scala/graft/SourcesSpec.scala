@@ -78,6 +78,54 @@ class SourcesSpec extends SparkSpec {
     assert(report("d.csv") == "UTF-8")
   }
 
+  test("BOM'd UTF-16 decodes losslessly through the rescue reader") {
+    val dir = Files.createTempDirectory("graft_utf16")
+    // java's "UTF-16" encoder emits a BOM; the file reader must split
+    // lines correctly despite \n being two bytes here
+    Files.write(dir.resolve("wide.csv"),
+      "id,name\n1,Zürich\n2,naïve\n".getBytes("UTF-16"))
+    Files.writeString(dir.resolve("plain.csv"), "id,name\n3,ascii\n")
+    val report = Sources.charsetReport(spark, dir.toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(report("wide.csv") == "UTF-16", report.toString)
+    val rows = Sources.csvAutoCharset(spark, dir.toString)
+      .selectExpr("cast(id as string) AS id", "name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("1", "Zürich"), ("2", "naïve"), ("3", "ascii")))
+  }
+
+  test("undecodable files land through the lossy last resort with an audit row") {
+    val dir = Files.createTempDirectory("graft_lossy")
+    Files.writeString(dir.resolve("clean.csv"), "id,name\n1,ok\n")
+    // mixed garbage: valid CSV structure, but NUL-dense with invalid
+    // UTF-8 bytes — no detected charset decodes this as text
+    val junk = "id,name\n2,".getBytes("UTF-8") ++
+      Array[Byte](0, 0, 0, 0xff.toByte, 0xfe.toByte, 0, 0) ++
+      "end\n3,fine\n".getBytes("UTF-8")
+    Files.write(dir.resolve("garbage.csv"), junk)
+    val report = Sources.charsetReport(spark, dir.toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(report("garbage.csv") == "utf-8-lossy", report.toString)
+    // the batch is not poisoned: every row of every file lands; the
+    // mangled value carries U+FFFD replacement marks
+    val got = Sources.csvAutoCharset(spark, dir.toString)
+      .selectExpr("cast(id as string) AS id", "name")
+    assert(got.count() == 3, got.collect().mkString(", "))
+    val ids = got.collect().map(_.getString(0)).toSet
+    assert(ids == Set("1", "2", "3"))
+    val mangled = got.collect().map(_.getString(1)).filter(_ != null)
+      .find(_.contains('�'))
+    assert(mangled.isDefined, "replacement marks must surface in the data")
+    // and the audit row records the file + how much was replaced
+    val log = Sources.lossyDecodeLog(spark, dir.toString, batchId = "b9")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(log.length == 1)
+    val (st, reason, name, batch, nRepl) = log.head
+    assert(st == "warning" && reason == "lossy_decode" &&
+      name == "garbage.csv" && batch == "b9" && nRepl > 0, log.toString)
+  }
+
   test("fileGateStable defers in-flight files instead of rejecting them") {
     val dir = Files.createTempDirectory("graft_stable_gate")
     Files.writeString(dir.resolve("complete.csv"), "a,b\n1,2\n")

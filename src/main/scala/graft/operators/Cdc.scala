@@ -106,11 +106,24 @@ object Cdc {
     * place: each live dir is renamed to a backup, the staged dir
     * renamed into place, and the backup deleted only after every
     * swap succeeded. A failure mid-loop rolls back — staged copies
-    * already swapped in are removed and every backup is renamed back
-    * — so the table is byte-identical to its pre-call state; if even
-    * the rollback fails, the backups stay on disk under
-    * `_backup_<uuid>/` (underscore-prefixed, invisible to readers)
-    * for manual recovery, never deleted.
+    * already swapped in are renamed BACK into staging (never
+    * deleted) and every backup is renamed back — so the table is
+    * byte-identical to its pre-call state; if even the rollback
+    * fails, the backups stay on disk under `_backup_<uuid>/`
+    * (underscore-prefixed, invisible to readers) for manual
+    * recovery, never deleted. Once every swap has landed the merge
+    * is COMMITTED: the trailing backup/staging deletes are pure
+    * cleanup, so a failure there is logged and left on disk — it
+    * must never trigger the rollback (rolling back a committed swap
+    * would delete the only live copy).
+    *
+    * Rename atomicity: this loop is correct on HDFS-like stores
+    * where directory rename is a single atomic metadata operation.
+    * On S3-class object stores rename is copy+delete and NON-atomic
+    * — a reader can observe a partition mid-copy and a crash can
+    * leave a half-copied dir. Plug a store-native commit (manifest
+    * or multi-object atomic commit) via [[SwapCommitter]] instead of
+    * pointing this at an object-store path.
     *
     * Partition directory names are built with the same Hive escaping
     * Spark uses when writing (`ExternalCatalogUtils`), so values with
@@ -121,9 +134,10 @@ object Cdc {
   def upsertPartitioned(spark: SparkSession, tablePath: String,
                         changes: DataFrame, keyCols: Seq[String],
                         partCol: String,
-                        deleteCol: Option[String] = None): Seq[String] =
+                        deleteCol: Option[String] = None,
+                        committer: SwapCommitter = SwapCommitter.hadoop): Seq[String] =
     upsertPartitioned(spark, tablePath, changes, keyCols, partCol, deleteCol,
-      SwapHooks.none)
+      SwapHooks.none, committer)
 
   /** Test seam: `hooks` fires inside the swap loop so a spec can
     * inject a fault at an exact point and assert full rollback.
@@ -132,7 +146,8 @@ object Cdc {
                                        changes: DataFrame, keyCols: Seq[String],
                                        partCol: String,
                                        deleteCol: Option[String],
-                                       hooks: SwapHooks): Seq[String] = {
+                                       hooks: SwapHooks,
+                                       committer: SwapCommitter): Seq[String] = {
     require(keyCols.nonEmpty, "keyCols required")
     require(!keyCols.contains(partCol), "partCol cannot be a key column")
     // bounded by the table's partition count (dates/tenants/buckets),
@@ -170,34 +185,41 @@ object Cdc {
     fs.mkdirs(backupRoot)
     val backedUp = ListBuffer.empty[String]  // live -> backup done
     val swappedIn = ListBuffer.empty[String] // staged -> live done
+    // the try covers ONLY the swap loop: once it exits, the merge is
+    // committed and the trailing deletes are cleanup that must never
+    // trigger the rollback (it would delete the only live copies)
     try {
       dirNames.foreach { d =>
         val live = new Path(tablePath, d)
         val staged = new Path(staging, d)
         hooks.beforeSwap(d)
         if (fs.exists(live)) {
-          mustRename(fs, live, new Path(backupRoot, d))
+          committer.rename(fs, live, new Path(backupRoot, d))
           backedUp += d
         }
         hooks.afterBackup(d)
         // a partition can vanish entirely (every row deleted): the
         // staged dir is then absent and the live dir stays backed up
         if (fs.exists(staged)) {
-          mustRename(fs, staged, live)
+          committer.rename(fs, staged, live)
           swappedIn += d
         }
       }
-      // every swap landed — only now is it safe to drop the old copies
-      fs.delete(backupRoot, true)
-      fs.delete(staging, true)
     } catch {
       case e: Throwable =>
         try {
-          swappedIn.foreach(d => fs.delete(new Path(tablePath, d), true))
+          // undo renames in reverse, deleting NOTHING until every
+          // backup is restored: swapped-in staged dirs go back into
+          // staging (not deleted — a delete here plus a failed
+          // restore below would leave no copy at all), then every
+          // backup returns to its live path
+          swappedIn.foreach(d =>
+            committer.rename(fs, new Path(tablePath, d), new Path(staging, d)))
           backedUp.foreach(d =>
-            mustRename(fs, new Path(backupRoot, d), new Path(tablePath, d)))
-          fs.delete(backupRoot, true)
-          fs.delete(staging, true)
+            committer.rename(fs, new Path(backupRoot, d), new Path(tablePath, d)))
+          // all copies are back in place — residue is safe to drop
+          committer.delete(fs, backupRoot)
+          committer.delete(fs, staging)
         } catch {
           // rollback itself failed: leave backups + staging on disk
           // for manual recovery rather than deleting anything
@@ -205,12 +227,47 @@ object Cdc {
         }
         throw e
     }
+    // committed: every swap landed. Cleanup is best-effort — a
+    // failure here leaves _backup_/_staging_ residue (underscore
+    // dirs, invisible to readers) but the merge stands.
+    try {
+      committer.delete(fs, backupRoot)
+      committer.delete(fs, staging)
+    } catch {
+      case c: Throwable =>
+        System.err.println(
+          s"[cdc] post-commit cleanup failed (merge is committed; " +
+          s"stale $backupRoot / $staging left for manual removal): ${c.getMessage}")
+    }
     touched
   }
+}
 
-  private def mustRename(fs: FileSystem, src: Path, dst: Path): Unit =
-    if (!fs.rename(src, dst))
-      throw new java.io.IOException(s"rename failed: $src -> $dst")
+/** The filesystem commit primitives [[Cdc.upsertPartitioned]] swaps
+  * with. The default delegates to Hadoop `rename`/`delete`, which is
+  * a single atomic metadata operation on HDFS-like stores. On
+  * S3-class object stores rename is copy+delete and NON-atomic:
+  * implement this seam with the store's native commit mechanism
+  * (a manifest commit, S3 multi-object atomic ops, a table-format
+  * committer) — the merge logic above never needs to change.
+  */
+trait SwapCommitter {
+  /** Move `src` to `dst`; must throw if the move did not happen. */
+  def rename(fs: FileSystem, src: Path, dst: Path): Unit
+  /** Recursively remove `path`; must throw on failure. */
+  def delete(fs: FileSystem, path: Path): Unit
+}
+
+object SwapCommitter {
+  /** Plain Hadoop FileSystem ops — atomic rename on HDFS-like stores. */
+  val hadoop: SwapCommitter = new SwapCommitter {
+    def rename(fs: FileSystem, src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename failed: $src -> $dst")
+    def delete(fs: FileSystem, path: Path): Unit =
+      if (!fs.delete(path, true) && fs.exists(path))
+        throw new java.io.IOException(s"delete failed: $path")
+  }
 }
 
 /** Fault-injection points inside [[Cdc.upsertPartitioned]]'s swap

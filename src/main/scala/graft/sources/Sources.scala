@@ -51,7 +51,8 @@ object Sources {
     */
   def csvAutoCharset(spark: SparkSession, path: String,
                      schema: Option[StructType] = None,
-                     delimiter: String = ","): DataFrame = {
+                     delimiter: String = ",",
+                     maxRescueBytes: Long = DefaultRescueCapBytes): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = listFiles(fs, path)
     require(files.nonEmpty, s"no files match $path")
@@ -62,8 +63,15 @@ object Sources {
         // (java's "UTF-16" charset consumes the BOM); Spark's file
         // CSV path splits lines on single \n BYTES, which lands
         // mid-codepoint in UTF-16
+        requireRescueSized(fs, ps, maxRescueBytes)
         rescueCsv(spark, fs, ps, schema, delimiter,
           java.nio.charset.StandardCharsets.UTF_16)
+      case ("UTF-32", ps) =>
+        // BOM'd UTF-32, same treatment (java's "UTF-32" charset also
+        // resolves endianness from the BOM and consumes it)
+        requireRescueSized(fs, ps, maxRescueBytes)
+        rescueCsv(spark, fs, ps, schema, delimiter,
+          java.nio.charset.Charset.forName("UTF-32"))
       case (LossyCharset, ps) =>
         // LAST-RESORT lossy load (the reference's final fallback,
         // pattern_based_cleaner_watcher.py:178 errors='ignore'): a
@@ -71,6 +79,7 @@ object Sources {
         // BOM-less UTF-16, UTF-32 — lands as UTF-8 with U+FFFD
         // replacement marks instead of failing the batch or silently
         // mojibaking through cp1252. Audit with [[lossyDecodeLog]].
+        requireRescueSized(fs, ps, maxRescueBytes)
         rescueCsv(spark, fs, ps, schema, delimiter,
           java.nio.charset.StandardCharsets.UTF_8)
       case (charset, ps) =>
@@ -120,19 +129,48 @@ object Sources {
     * of the affected files only.
     */
   def lossyDecodeLog(spark: SparkSession, path: String,
-                     batchId: String = ""): DataFrame = {
+                     batchId: String = "",
+                     maxRescueBytes: Long = DefaultRescueCapBytes): DataFrame = {
     import spark.implicits._
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     listFiles(fs, path)
       .filter(f => detectCharset(fs, f) == LossyCharset)
       .map { f =>
-        val text = decodeReplacing(readFully(fs, f),
-          java.nio.charset.StandardCharsets.UTF_8)
-        ("warning", "lossy_decode", f.getName, batchId,
-          text.count(_ == '�').toLong)
+        // over-cap files are never buffered: the audit row carries the
+        // gate reason instead of a replacement count
+        if (fs.getFileStatus(f).getLen > maxRescueBytes)
+          ("warning", "file_too_large_for_rescue", f.getName, batchId,
+            None: Option[Long])
+        else {
+          val text = decodeReplacing(readFully(fs, f),
+            java.nio.charset.StandardCharsets.UTF_8)
+          ("warning", "lossy_decode", f.getName, batchId,
+            Some(text.count(_ == '�').toLong))
+        }
       }
       .toDF("status", "error_message", "source_name", "processing_batch",
         "n_replacements")
+  }
+
+  /** Cap on what the rescue paths ([[rescueCsv]], [[lossyDecodeLog]],
+    * the Excel readers) may buffer WHOLE in one JVM's memory. These
+    * paths exist for drop-zone-sized files — the same files the
+    * reference buffers whole through pandas — but a mis-dropped 10 GB
+    * file must fail loudly (`file_too_large_for_rescue`), not OOM the
+    * driver. Mirrors the reference's max-file-size gate
+    * (pattern_config.yaml data_quality); pipelines using
+    * [[fileGate]] with `maxFileSizeMb` reject such files before ever
+    * reaching a rescue decode.
+    */
+  val DefaultRescueCapBytes: Long = 512L * 1024 * 1024
+
+  private def requireRescueSized(fs: FileSystem, ps: Seq[Path], cap: Long): Unit = {
+    val over = ps.map(p => p -> fs.getFileStatus(p).getLen).filter(_._2 > cap)
+    if (over.nonEmpty) throw new java.io.IOException(
+      "file_too_large_for_rescue: " +
+        over.map { case (p, len) => s"${p.getName} ($len bytes)" }.mkString(", ") +
+        s" exceed the $cap-byte driver rescue-decode cap; reject oversize " +
+        "files upstream (fileGate maxFileSizeMb) or raise maxRescueBytes")
   }
 
   private def readFully(fs: FileSystem, f: Path): Array[Byte] = {
@@ -188,7 +226,9 @@ object Sources {
     * high bytes sit in the unsampled middle can still slip through —
     * the price of not scanning every byte of every file at listing
     * time. Returns the charset to decode the file with: "UTF-8",
-    * "windows-1252", "UTF-16" (BOM'd, either endianness), or
+    * "windows-1252", "UTF-16" / "UTF-32" (BOM'd, either endianness —
+    * the 4-byte UTF-32 BOMs are checked first, since the UTF-32LE BOM
+    * starts with the UTF-16LE one), or
     * [[LossyCharset]] for content that is not plausibly single-byte
     * text either (NUL/C0-control dense: BOM-less UTF-16/32, binary) —
     * those land through the lossy last resort rather than silently
@@ -229,6 +269,15 @@ object Sources {
     }
     if (nHead >= 3 && (head(0) & 0xff) == 0xef && (head(1) & 0xff) == 0xbb &&
         (head(2) & 0xff) == 0xbf) "UTF-8" // BOM; stripBomHeader cleans up
+    // UTF-32 BOMs BEFORE UTF-16: the UTF-32LE BOM (FF FE 00 00) has
+    // the UTF-16LE BOM as a prefix, so the 2-byte check would claim
+    // it and decode NUL-riddled UTF-16 rows
+    else if (nHead >= 4 &&
+        (((head(0) & 0xff) == 0xff && (head(1) & 0xff) == 0xfe &&
+          (head(2) & 0xff) == 0x00 && (head(3) & 0xff) == 0x00) ||
+          ((head(0) & 0xff) == 0x00 && (head(1) & 0xff) == 0x00 &&
+            (head(2) & 0xff) == 0xfe && (head(3) & 0xff) == 0xff)))
+      "UTF-32" // BOM'd; java's UTF-32 decoder resolves the endianness
     else if (nHead >= 2 &&
         (((head(0) & 0xff) == 0xff && (head(1) & 0xff) == 0xfe) ||
           ((head(0) & 0xff) == 0xfe && (head(1) & 0xff) == 0xff)))
@@ -385,7 +434,11 @@ object Sources {
   /** Pre-source staging pass: rename write-STABLE files from a
     * landing directory into the directory a file stream actually
     * watches, deferring in-flight ones to a later pass. Returns
-    * (staged new paths, deferred landing paths).
+    * (staged new paths, deferred landing paths). A landing file whose
+    * name already exists in the staged dir (a recurring daily drop)
+    * is staged under a uuid-suffixed name rather than deferred — the
+    * old behavior deferred it on EVERY pass, silently starving a
+    * recurring feed.
     *
     * This is the streaming form of the reference's stability skip,
     * and it must run BEFORE the source: Structured Streaming's file
@@ -420,10 +473,26 @@ object Sources {
     deferred ++= unstable
     val staged = stable.flatMap { f =>
       val src = new Path(f)
-      val dst = new Path(stage, src.getName)
-      // a same-named file already staged and not yet ingested: defer
-      // rather than clobber a file the stream may be mid-read on
-      if (fs.exists(dst) || !fs.rename(src, dst)) { deferred += f; None }
+      val plain = new Path(stage, src.getName)
+      // a same-named file already staged (a recurring drop — daily
+      // orders.csv — or one the stream hasn't archived yet): NEVER
+      // clobber it, and never defer forever either — the stream has
+      // checkpointed the old name, so a deferral would starve the new
+      // data on every subsequent pass. Stage under a collision-proof
+      // name instead (uuid before the extension); file streams key on
+      // path, so the renamed file is a brand-new input.
+      val dst =
+        if (!fs.exists(plain)) plain
+        else {
+          val name = src.getName
+          val (stem, ext) = name.lastIndexOf('.') match {
+            case -1 => (name, "")
+            case i  => (name.substring(0, i), name.substring(i))
+          }
+          new Path(stage,
+            s"$stem-${java.util.UUID.randomUUID.toString.take(8)}$ext")
+        }
+      if (!fs.rename(src, dst)) { deferred += f; None }
       else Some(dst.toString)
     }
     (staged, deferred.toSeq)

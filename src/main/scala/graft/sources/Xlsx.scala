@@ -53,10 +53,10 @@ object Xlsx {
   def read(spark: SparkSession, path: String,
            sheetName: Option[String] = None,
            strict: Boolean = false,
-           nrows: Option[Int] = None): DataFrame = {
+           nrows: Option[Int] = None,
+           maxFileBytes: Long = Sources.DefaultRescueCapBytes): DataFrame = {
     nrows.foreach(n => require(n >= 0, s"nrows must be >= 0, got $n"))
-    val files = spark.read.format("binaryFile").load(path)
-      .select("path", "content")
+    val files = sizedWorkbooks(spark, path, maxFileBytes)
     import spark.implicits._
     // header: first row of the lexicographically first file; only
     // that one row is parsed (maxRows short-circuits the StAX loop)
@@ -103,10 +103,10 @@ object Xlsx {
     */
   def truncationLog(spark: SparkSession, path: String,
                     sheetName: Option[String] = None,
-                    batchId: String = ""): DataFrame = {
+                    batchId: String = "",
+                    maxFileBytes: Long = Sources.DefaultRescueCapBytes): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(path)
-      .select("path", "content")
+    val files = sizedWorkbooks(spark, path, maxFileBytes)
     val header = files.orderBy("path")
       .as[(String, Array[Byte])].take(1).toSeq
       .flatMap { case (p, bytes) =>
@@ -157,13 +157,40 @@ object Xlsx {
     names.toSeq
   }
 
-  /** [[sheetNames]] for a file path (local or Hadoop-visible). */
+  /** [[sheetNames]] for a file path (local or Hadoop-visible). Capped
+    * at [[Sources.DefaultRescueCapBytes]] — a larger workbook must be
+    * read via the bytes overload by a caller that accepts the buffer.
+    */
   def sheetNames(spark: SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    if (len > Sources.DefaultRescueCapBytes) throw new java.io.IOException(
+      s"file_too_large_for_rescue: $path ($len bytes) exceeds the " +
+        s"${Sources.DefaultRescueCapBytes}-byte workbook buffering cap")
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
     sheetNames(bytes, source = path)
+  }
+
+  /** Workbook (path, content) frame with the size gate applied BEFORE
+    * any content is materialized: a mis-dropped multi-GB workbook
+    * fails loudly with `file_too_large_for_rescue` instead of being
+    * buffered whole in a task (and, for the header file, the driver).
+    * The check reads only binaryFile's metadata columns.
+    */
+  private def sizedWorkbooks(spark: SparkSession, path: String,
+                             maxFileBytes: Long): DataFrame = {
+    val meta = spark.read.format("binaryFile").load(path)
+    import spark.implicits._
+    val over = meta.select("path", "length").as[(String, Long)]
+      .filter(_._2 > maxFileBytes).take(20)
+    if (over.nonEmpty) throw new java.io.IOException(
+      "file_too_large_for_rescue: " +
+        over.map { case (p, len) => s"$p ($len bytes)" }.mkString(", ") +
+        s" exceed the $maxFileBytes-byte workbook buffering cap; reject " +
+        "oversize files upstream (fileGate maxFileSizeMb) or raise maxFileBytes")
+    meta.select("path", "content")
   }
 
   /** Iterate rows of one sheet as cell-string sequences (A1 gaps ->

@@ -388,12 +388,23 @@ object StreamIngest {
     * partial output instead of appending duplicate rows (the same
     * contract as [[routedSink]]/[[minhashDedupSink]]); readers see
     * `batch` as just another partition column.
+    *
+    * Layout note: this sink writes `batch=<id>` PARTITION dirs. An
+    * output dir from the pre-r5 flat-append layout (root-level
+    * parquet files) cannot be upgraded in place — Spark's partition
+    * discovery rejects the mix as "conflicting directory structures"
+    * — so the sink fails fast here if either dir holds root-level
+    * parquet files: start a fresh outDir/rejectDir with the fresh
+    * checkpoint (a new checkpoint is required for replay-idempotence
+    * anyway; the old flat dir stays readable on its own).
     */
   def qualityGatedSink(stream: DataFrame, textCol: String,
                        model: graft.operators.LmScore.Model,
                        minScore: Double, outDir: String, rejectDir: String,
                        checkpoint: String,
-                       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+                       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireBatchPartitionedLayout(stream.sparkSession, outDir)
+    requireBatchPartitionedLayout(stream.sparkSession, rejectDir)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -407,6 +418,26 @@ object StreamIngest {
         reject.write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
         ()
       }
+  }
+
+  /** Fail fast when `dir` holds root-level parquet files: mixing them
+    * with the `batch=<id>` partition dirs this sink writes makes
+    * Spark's partition discovery reject the whole directory, breaking
+    * readers of the EXISTING data. See [[qualityGatedSink]].
+    */
+  private def requireBatchPartitionedLayout(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val flat = fs.listStatus(p).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      if (flat.nonEmpty) throw new IllegalStateException(
+        s"$dir holds ${flat.length} root-level parquet file(s) (flat-append " +
+          "layout); this sink writes batch=<id> partition dirs and the mix " +
+          "is unreadable to Spark's partition discovery. Point the sink at " +
+          "a fresh directory (the fresh checkpoint implies one).")
+    }
+  }
 
   /** Stream-static enrichment join: each micro-batch joins against a
     * (small) static dimension with an explicit broadcast — the

@@ -185,7 +185,8 @@ class CdcSpec extends SparkSpec {
       })
     for (hooks <- faults) {
       val e = intercept[java.io.IOException] {
-        Cdc.upsertPartitioned(spark, dir, changes, Seq("k"), "part", Some("del"), hooks)
+        Cdc.upsertPartitioned(spark, dir, changes, Seq("k"), "part", Some("del"),
+          hooks, graft.operators.SwapCommitter.hadoop)
       }
       assert(e.getMessage.startsWith("injected"))
       // byte-identical pre-call state: same files, same mtimes, no residue
@@ -206,6 +207,49 @@ class CdcSpec extends SparkSpec {
       .select(col("k"), col("v"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(out == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+  }
+
+  test("post-commit cleanup failure never rolls back a committed swap") {
+    val dir = Files.createTempDirectory("graft_cow_cleanup").toString
+    Seq((1L, "p0", 1.0), (2L, "p1", 2.0)).toDF("k", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val changes = Seq((1L, "p0", 10.0, false), (2L, "p1", 20.0, false))
+      .toDF("k", "part", "v", "del")
+
+    // committer whose deletes always fail: the swap loop itself
+    // succeeds, so the merge must stand (cleanup is best-effort) —
+    // the old code routed this failure into the rollback, which
+    // deleted every swapped-in live dir and then died on the
+    // already-half-gone backups
+    val noDelete = new graft.operators.SwapCommitter {
+      def rename(fs: org.apache.hadoop.fs.FileSystem,
+                 src: org.apache.hadoop.fs.Path,
+                 dst: org.apache.hadoop.fs.Path): Unit =
+        graft.operators.SwapCommitter.hadoop.rename(fs, src, dst)
+      def delete(fs: org.apache.hadoop.fs.FileSystem,
+                 path: org.apache.hadoop.fs.Path): Unit =
+        throw new java.io.IOException(s"injected delete failure: $path")
+    }
+    val touched = Cdc.upsertPartitioned(spark, dir, changes, Seq("k"), "part",
+      Some("del"), graft.operators.SwapHooks.none, noDelete)
+    assert(touched == Seq("p0", "p1"))
+
+    // merged data is live — underscore residue is invisible to readers
+    val out = spark.read.parquet(dir)
+      .select(col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((1L, 10.0), (2L, 20.0)))
+    // cleanup residue stays on disk (deletes failed), never the only copy
+    assert(Files.list(Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_backup_")))
+
+    // a later merge with a working committer still lands cleanly
+    val more = Seq((3L, "p0", 3.0, false)).toDF("k", "part", "v", "del")
+    Cdc.upsertPartitioned(spark, dir, more, Seq("k"), "part", Some("del"))
+    val out2 = spark.read.parquet(dir)
+      .select(col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out2 == Set((1L, 10.0), (2L, 20.0), (3L, 3.0)))
   }
 
   test("upsertPartitioned handles hive-escaped and null partition values") {

@@ -96,6 +96,24 @@ class LmScoreSpec extends SparkSpec {
       "replayed batch must not duplicate rejected rows")
   }
 
+  test("quality gate fails fast on a flat-append legacy output dir") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = LmScore.train(corpus, "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qgate_flat").toString
+    // a pre-r5 flat-append layout: root-level parquet files in outDir
+    Seq((9L, "old")).toDF("id", "text").write.parquet(s"$dir/pass")
+    val in = MemoryStream[(Long, String)]
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamIngest.qualityGatedSink(
+        in.toDF().toDF("id", "text"), "text", m, 0.0,
+        s"$dir/pass", s"$dir/reject", s"$dir/ckpt")
+    }
+    assert(e.getMessage.contains("flat-append"), e.getMessage)
+    // the existing data was not touched
+    assert(spark.read.parquet(s"$dir/pass").count() == 1)
+  }
+
   test("maxTable truncates deterministically; tail grams back off to 0") {
     val m = LmScore.train(corpus, "text", maxTable = 1)
     // unigram tie a/b at 3 breaks lexicographically -> keep 'a';

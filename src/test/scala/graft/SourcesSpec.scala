@@ -126,6 +126,70 @@ class SourcesSpec extends SparkSpec {
       name == "garbage.csv" && batch == "b9" && nRepl > 0, log.toString)
   }
 
+  test("BOM'd UTF-32 routes through the rescue reader, not the UTF-16 branch") {
+    val dir = Files.createTempDirectory("graft_utf32")
+    // UTF-32LE BOM (FF FE 00 00) has the UTF-16LE BOM as its prefix —
+    // the regression ADVICE r5 flagged: the 2-byte check claimed it
+    // and produced NUL-riddled rows
+    val text = "id,name\n1,Zürich\n2,naïve\n"
+    Files.write(dir.resolve("le.csv"),
+      Array[Byte](0xff.toByte, 0xfe.toByte, 0, 0) ++ text.getBytes("UTF-32LE"))
+    Files.write(dir.resolve("be.csv"),
+      Array[Byte](0, 0, 0xfe.toByte, 0xff.toByte) ++
+        "id,name\n3,Genève\n".getBytes("UTF-32BE"))
+    Files.writeString(dir.resolve("plain.csv"), "id,name\n4,ascii\n")
+    val report = Sources.charsetReport(spark, dir.toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(report("le.csv") == "UTF-32", report.toString)
+    assert(report("be.csv") == "UTF-32", report.toString)
+    val rows = Sources.csvAutoCharset(spark, dir.toString)
+      .selectExpr("cast(id as string) AS id", "name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("1", "Zürich"), ("2", "naïve"),
+      ("3", "Genève"), ("4", "ascii")))
+    // lossless: no replacement marks anywhere
+    assert(!rows.exists(r => r._2 != null && r._2.contains('�')))
+  }
+
+  test("oversized rescue files reject loudly instead of buffering on the driver") {
+    val dir = Files.createTempDirectory("graft_rescue_cap")
+    Files.write(dir.resolve("wide.csv"),
+      "id,name\n1,Zürich\n".getBytes("UTF-16"))
+    Files.writeString(dir.resolve("plain.csv"), "id,name\n2,ascii\n")
+    // cap below the UTF-16 file's size: the read must fail with the
+    // gate reason BEFORE any whole-file buffering
+    val e = intercept[java.io.IOException] {
+      Sources.csvAutoCharset(spark, dir.toString, maxRescueBytes = 8)
+    }
+    assert(e.getMessage.startsWith("file_too_large_for_rescue"), e.getMessage)
+    assert(e.getMessage.contains("wide.csv"), e.getMessage)
+    // a real cap admits the same drop
+    assert(Sources.csvAutoCharset(spark, dir.toString).count() == 2)
+
+    // lossyDecodeLog: an over-cap lossy file gets the gate reason as
+    // its audit row (null replacement count — it was never decoded)
+    val junk = "id,name\n9,".getBytes("UTF-8") ++
+      Array[Byte](0, 0, 0, 0xff.toByte, 0xfe.toByte, 0, 0) ++
+      "end\n".getBytes("UTF-8")
+    Files.write(dir.resolve("garbage.csv"), junk)
+    val log = Sources.lossyDecodeLog(spark, dir.toString, batchId = "b1",
+        maxRescueBytes = 4)
+      .collect().map(r => (r.getString(1), r.getString(2), r.isNullAt(4))).toSeq
+    assert(log == Seq(("file_too_large_for_rescue", "garbage.csv", true)))
+  }
+
+  test("Excel readers reject oversized workbooks before materializing them") {
+    val dir = Files.createTempDirectory("graft_xlsx_cap")
+    graft.sources.Xlsx.write(dir.resolve("t.xlsx").toString,
+      Seq("id", "name"), Seq(Seq("1", "a")))
+    val e = intercept[java.io.IOException] {
+      graft.sources.Xlsx.read(spark, s"$dir/t.xlsx", maxFileBytes = 16).count()
+    }
+    assert(e.getMessage.startsWith("file_too_large_for_rescue"), e.getMessage)
+    // default cap admits the drop-zone-sized workbook
+    assert(graft.sources.Xlsx.read(spark, s"$dir/t.xlsx").count() == 1)
+  }
+
   test("fileGateStable defers in-flight files instead of rejecting them") {
     val dir = Files.createTempDirectory("graft_stable_gate")
     Files.writeString(dir.resolve("complete.csv"), "a,b\n1,2\n")
@@ -182,5 +246,31 @@ class SourcesSpec extends SparkSpec {
     assert(staged2.map(p => new org.apache.hadoop.fs.Path(p).getName) == Seq("writing.csv"))
     assert(deferred2.isEmpty)
     assert(Files.readString(stage.resolve("writing.csv")) == "a\n1\n2\n")
+  }
+
+  test("stableStagingPass stages a recurring same-named drop under a fresh name") {
+    val landing = Files.createTempDirectory("graft_landing_rec")
+    val stage = Files.createTempDirectory("graft_stage_rec").resolve("watched")
+    // day 1: orders.csv stages under its own name
+    Files.writeString(landing.resolve("orders.csv"), "a\n1\n")
+    val (staged1, _) = Sources.stableStagingPass(
+      spark, landing.toString, stage.toString, stableMillis = 1)
+    assert(staged1.map(p => new org.apache.hadoop.fs.Path(p).getName) ==
+      Seq("orders.csv"))
+    // day 2: a NEW orders.csv lands while the staged one is still
+    // there — the old behavior deferred it forever (ADVICE r5);
+    // it must stage under a collision-proof name instead
+    Files.writeString(landing.resolve("orders.csv"), "a\n2\n")
+    val (staged2, deferred2) = Sources.stableStagingPass(
+      spark, landing.toString, stage.toString, stableMillis = 1)
+    assert(deferred2.isEmpty, s"recurring drop starved: $deferred2")
+    assert(staged2.size == 1)
+    val newName = new org.apache.hadoop.fs.Path(staged2.head).getName
+    assert(newName != "orders.csv" && newName.startsWith("orders-") &&
+      newName.endsWith(".csv"), newName)
+    // both generations are complete in the watched dir; landing empty
+    assert(Files.readString(stage.resolve("orders.csv")) == "a\n1\n")
+    assert(Files.readString(stage.resolve(newName)) == "a\n2\n")
+    assert(!Files.exists(landing.resolve("orders.csv")))
   }
 }

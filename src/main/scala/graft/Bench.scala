@@ -21,7 +21,17 @@ object Bench {
     // time-to-crash is not an execution time).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional subset (comma-separated names) for scaling-ladder side
+    // runs; the per-round driver run leaves this unset = all queries
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { qs =>
+      val unknown = qs -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(", ")}")
+    }
+    val selected = subset.fold(SparkEntry.queries)(qs =>
+      SparkEntry.queries.view.filterKeys(qs).toMap)
+    val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -22,7 +22,47 @@ object PlanAudit {
     "cdc_apply", "text_lm_score", "ann_pq",
     "skew_join", "q18_bigcust", "window_ntile", "quality_outliers",
     "etl_profile", "window_sliding_distinct", "mix_temperature",
-    "ann_pq_indexed")
+    "ann_pq_indexed", "fuzzy_canonicalize", "src_xls", "batch_upsert")
+
+  /** Prose audit argument printed above a query's explain output —
+    * the why-this-plan-survives-100x note for queries whose cost is
+    * not obvious from the operator tree alone.
+    */
+  val notes: Map[String, String] = Map(
+    "fuzzy_canonicalize" -> (
+      "One shuffle on the 3-char prefix block key; within a block the " +
+        "built-in `levenshtein` (codegen'd) runs behind a length " +
+        "pre-filter, so the quadratic term is bounded by the occupancy " +
+        "cap (over-cap blocks are dropped and AUDITED via " +
+        "droppedBlocks, never silently exploded). The trailing " +
+        "components loop is the same large-star/small-star machinery " +
+        "as dedup_components: one action per round over edges that " +
+        "number at most cap-squared per block. At 100x: a hot prefix " +
+        "degrades to a logged drop, not a straggler task."),
+    "src_xls" -> (
+      "The .xls fixture is written and parsed DRIVER-side (OLE2/BIFF8 " +
+        "is a drop-zone compatibility format; nation is a bounded " +
+        "dim), so the plan below is just the summary agg over the " +
+        "parsed rows: one exchange for the groupBy, nothing pushed " +
+        "because the source is an in-memory localtable. Scale does " +
+        "not flow through this reader — big data arrives as " +
+        "CSV/parquet; the reader exists so legacy drops don't poison " +
+        "a zone. Oversized workbooks reject via the " +
+        "file_too_large_for_rescue gate before any buffering."),
+    "batch_upsert" -> (
+      "Copy-on-write merge: the target scan is PRUNED to the touched " +
+        "partitions (partition filter from a bounded distinct-collect " +
+        "of the batch's partition values — visible as PartitionFilters " +
+        "on the scan), the batch side broadcasts for the anti join, " +
+        "and only touched directories are rewritten + swapped by " +
+        "rename (constant metadata ops per partition, rollback-safe, " +
+        "object-store caveat documented on SwapCommitter). A 100 TB " +
+        "table with a 10-partition batch reads and writes 10 " +
+        "partitions. The merge itself runs eagerly inside the query " +
+        "body, so the plan below is the post-merge verification scan " +
+        "of the table; the pruned merge-read plan is asserted in " +
+        "CdcSpec at the file level (untouched partitions keep their " +
+        "mtimes)."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -35,7 +75,9 @@ object PlanAudit {
       "# Physical plans (explain formatted) — audit snapshot, sf0.001\n\n" +
         "Regenerate with `tools/runmain.sh graft.PlanAudit` (after `sbt compile`).\n")
     names.foreach { n =>
-      sb.append(s"\n## $n\n\n```\n")
+      sb.append(s"\n## $n\n\n")
+      notes.get(n).foreach(note => sb.append(note + "\n\n"))
+      sb.append("```\n")
       sb.append(SparkEntry.queries(n)(spark, d).queryExecution
         .explainString(FormattedMode).take(4000))
       sb.append("\n```\n")

@@ -42,6 +42,13 @@ object Bench {
       val median =
         if (times.contains(-1.0)) -1.0
         else times.sorted.apply(times.length / 2)
+      // drop this query's persisted frames before the next query
+      // starts: operators persist() intermediates and leave them to
+      // LRU, so without this a long bench run accumulates caches and
+      // LATER queries pay eviction/spill for EARLIER queries' frames
+      // (r6 ladder: dedup_minhash 38.5s inside the full run vs 18.6s
+      // isolated at sf10). Within-query iterations still share.
+      spark.catalog.clearCache()
       name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -119,26 +119,37 @@ object Dedup {
                    perms: Int = 64, bands: Int = 16,
                    shingleSize: Int = 3): DataFrame = {
     val rows = perms / bands
-    // persist: the a/b sides of the bucket self-join are otherwise two
-    // full scan→shingle→signature pipelines (no exchange sits between
-    // the row-local signature computation and the join, so Spark has
-    // nothing to reuse). Small frame: one sig array + band structs per
-    // doc; MEMORY_AND_DISK evicts under pressure.
+    // persist: consumed three times (band explode + the two sig
+    // lookups below) and each consumer would otherwise re-run the
+    // full scan→shingle→signature pipeline. Small frame: one sig
+    // array per doc; MEMORY_AND_DISK evicts under pressure.
     val sigs = minhashSignatures(docs, idCol, textCol, perms, shingleSize)
-      .withColumn("banded", H.minhashBands(col("sig"), bands, rows))
       .persist()
-    val exploded = sigs.select(col("id"), col("sig"),
-        explode(col("banded")).as("b"))
-      .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
-    val a = exploded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = exploded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    // The bucket self-join moves SKINNY (band, bucket, id) rows only.
+    // Carrying the 64-long signature through it (the pre-r6 shape)
+    // shuffled every sig `bands` times on BOTH join sides — 32x the
+    // signature bytes — which held flat to ~sf3 and then fell off the
+    // memory cliff into shuffle spill at sf10 (scaling ladder, r6:
+    // 2.3s -> 18.6s for 3.3x data). Ids shuffle at ~1/20th the
+    // volume; signatures are attached afterwards, once, to the far
+    // smaller DISTINCT candidate set (collisions collapse first, so
+    // a pair colliding in 8 bands computes its estimate once, not 8
+    // times). Same pair set, same estimates, linear shuffle volume.
+    val exploded = sigs
+      .select(col("id"),
+        explode(H.minhashBands(col("sig"), bands, rows)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bucket"))
+    val cand = exploded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(exploded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         H.minhashEstimate(col("sig_a"), col("sig_b"), perms).as("est_jaccard"))
-      .distinct()
   }
 
   /** 64-bit SimHash signatures via the native one-pass

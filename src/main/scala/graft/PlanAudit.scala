@@ -22,7 +22,8 @@ object PlanAudit {
     "cdc_apply", "text_lm_score", "ann_pq",
     "skew_join", "q18_bigcust", "window_ntile", "quality_outliers",
     "etl_profile", "window_sliding_distinct", "mix_temperature",
-    "ann_pq_indexed", "fuzzy_canonicalize", "src_xls", "batch_upsert")
+    "ann_pq_indexed", "fuzzy_canonicalize", "src_xls", "batch_upsert",
+    "mm_image_features")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -62,7 +63,19 @@ object PlanAudit {
         "body, so the plan below is the post-merge verification scan " +
         "of the table; the pruned merge-read plan is asserted in " +
         "CdcSpec at the file level (untouched partitions keep their " +
-        "mtimes)."))
+        "mtimes)."),
+    "mm_image_features" -> (
+      "Row-local end to end: PNG fixture encode, real javax.imageio " +
+        "decode, and perceptual-hash extraction all run inside two " +
+        "back-to-back mapPartitions over the documents scan — ZERO " +
+        "exchanges before the final presentation sort. Decode " +
+        "parallelism therefore equals scan parallelism: at 100 TB the " +
+        "work is embarrassingly parallel and bounded per-task by " +
+        "maxPartitionBytes. Corrupt payloads yield decoded=false rows " +
+        "(audit, not task failure), so one bad file cannot kill a " +
+        "stage. On a real corpus the fixture-encode map disappears " +
+        "and the scan reads image bytes directly from parquet binary " +
+        "columns with metadata-only pushdown for width/type filters."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

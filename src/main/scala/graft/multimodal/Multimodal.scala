@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs per-partition over the typed Dataset so a
   * real decoder plugs in without touching the plumbing.
   *
-  * The actual image/audio decode is STUBBED (this container has no
-  * media libraries): `FakeDecoder` derives deterministic pseudo-
-  * features from the bytes. Everything around it — schema, encoders,
+  * The IMAGE modality has a REAL decoder: [[Images]] (JDK
+  * `javax.imageio` — PNG/JPEG/BMP/GIF decode, perceptual hashes,
+  * box-average resize; no external libraries). The generic/audio
+  * decode here remains a deterministic stand-in (`FakeDecoder`
+  * derives pseudo-features from the bytes — this container has no
+  * audio libraries). Everything around it — schema, encoders,
   * partition-wise batching, feature schema — is real and tested.
   * At scale the binary payload stays columnar in parquet, the
   * metadata struct supports predicate pushdown (e.g. filter on

@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{Images, Multimodal}
 import graft.operators.PatternRouter
 import graft.sources.{Sinks, Sources, Xls, Xlsx}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -246,6 +246,42 @@ object SourceQueries {
         .select(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
           col("checksum"),
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL image decode (JDK javax.imageio, no external libs): each
+    // document yields a deterministic 8x8 PNG fixture from md5(text)
+    // (a real corpus brings its own image bytes); every 7th payload
+    // is left as raw text bytes so the corrupt-file fallback
+    // (decoded=false audit rows, not task failures) is part of the
+    // measured path. Row-local encode+decode+hash, no shuffle —
+    // decode parallelism is scan parallelism at any scale. Rows-only
+    // oracle (SQL engines can't decode PNG); ImagesSpec pins exact
+    // aHash/dHash/mean values on hand-built fixtures.
+    "mm_image_features" -> ((s, d) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val seed = Option(text).getOrElse("").getBytes("UTF-8")
+            val bytes =
+              if (id % 7 == 0) seed // deliberately not a PNG
+              else Images.deterministicPng(seed)
+            (id, bytes)
+          }
+        }
+        .toDF("doc_id", "payload")
+      val media = Multimodal.ingest(
+        payloads.withColumn("mt", lit("image/png")),
+        "doc_id", "payload", "mt")
+      Images.imageFeatures(s, media).toDF()
+        .select(col("mediaId").as("media_id"), col("decoded"),
+          col("width"), col("height"),
+          round(col("meanLuma"), 4).as("mean_luma"),
+          format_string("%016x", col("aHash")).as("ahash_hex"),
+          format_string("%016x", col("dHash")).as("dhash_hex"))
         .orderBy(col("media_id"))
     }))
 

@@ -1,0 +1,105 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import graft.multimodal.{Images, Multimodal}
+import org.apache.spark.sql.functions._
+
+class ImagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rgb(r: Int, g: Int, b: Int): Int = (r << 16) | (g << 8) | b
+
+  private def fill(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    img
+  }
+
+  test("png encode -> decode roundtrip preserves pixels exactly") {
+    val img = fill(5, 3)((x, y) => rgb(x * 40, y * 80, (x + y) * 20))
+    val back = Images.decode(Images.encodePng(img)).get
+    assert(back.getWidth == 5 && back.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert((back.getRGB(x, y) & 0xFFFFFF) == (img.getRGB(x, y) & 0xFFFFFF))
+  }
+
+  test("jpeg decodes with correct dimensions") {
+    val img = fill(12, 7)((_, _) => rgb(120, 60, 200))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val back = Images.decode(out.toByteArray)
+    assert(back.exists(i => i.getWidth == 12 && i.getHeight == 7))
+  }
+
+  test("corrupt / non-image bytes decode to None") {
+    assert(Images.decode("not a png".getBytes).isEmpty)
+    assert(Images.decode(Array.emptyByteArray).isEmpty)
+    assert(Images.decode(null).isEmpty)
+    // a truncated PNG (valid magic, cut body) must not throw
+    val png = Images.encodePng(fill(8, 8)((_, _) => rgb(1, 2, 3)))
+    assert(Images.decode(png.take(20)).isEmpty)
+  }
+
+  test("grayGrid(1,1) is the exact whole-image mean luma") {
+    val uniform = fill(10, 10)((_, _) => rgb(100, 100, 100))
+    // luma of gray(100) = 100 * (0.299 + 0.587 + 0.114) = 100
+    assert(math.abs(Images.grayGrid(uniform, 1, 1)(0) - 100.0) < 1e-9)
+  }
+
+  test("aHash of a half-black/half-white image is the right-half bit pattern") {
+    val img = fill(16, 16)((x, _) => if (x < 8) 0 else rgb(255, 255, 255))
+    // cells 4-7 of each 8-cell row are >= mean -> byte 0xF0 per row
+    assert(Images.aHash(img) == 0xF0F0F0F0F0F0F0F0L)
+  }
+
+  test("dHash of a strict left-to-right gradient sets every bit") {
+    val img = fill(18, 8)((x, _) => rgb(x * 14, x * 14, x * 14))
+    assert(Images.dHash(img) == -1L) // all 64 comparisons brighter to the right
+  }
+
+  test("dHash is invariant to global brightness shift") {
+    val base = fill(16, 8)((x, y) => rgb(x * 10, x * 10 + y, x * 10))
+    val brighter = fill(16, 8)((x, y) =>
+      rgb(x * 10 + 40, x * 10 + y + 40, x * 10 + 40))
+    assert(Images.dHash(base) == Images.dHash(brighter))
+  }
+
+  test("resizePng box-averages to the target grid") {
+    val img = fill(16, 16)((x, _) => if (x < 8) 0 else rgb(255, 255, 255))
+    val resized = Images.resizePng(Images.encodePng(img), 4, 4).get
+    val back = Images.decode(resized).get
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val expected = if (x < 2) 0 else 0xFFFFFF
+      assert((back.getRGB(x, y) & 0xFFFFFF) == expected)
+    }
+    assert(Images.resizePng("garbage".getBytes, 4, 4).isEmpty)
+  }
+
+  test("deterministicPng: equal seeds give identical bytes, different seeds differ") {
+    val a1 = Images.deterministicPng("seed-a".getBytes)
+    val a2 = Images.deterministicPng("seed-a".getBytes)
+    val b = Images.deterministicPng("seed-b".getBytes)
+    assert(a1.sameElements(a2))
+    assert(!a1.sameElements(b))
+    assert(Images.decode(a1).exists(i => i.getWidth == 8 && i.getHeight == 8))
+  }
+
+  test("imageFeatures: real decode for images, decoded=false fallback for junk") {
+    val img = fill(16, 16)((x, _) => if (x < 8) 0 else rgb(255, 255, 255))
+    val media = Multimodal.ingest(
+      Seq((1L, Images.encodePng(img), "image/png"),
+          (2L, "definitely not an image".getBytes, "image/png"))
+        .toDF("id", "payload", "mt"),
+      "id", "payload", "mt")
+    val feats = Images.imageFeatures(spark, media).collect().sortBy(_.mediaId)
+    assert(feats.length == 2)
+    val ok = feats(0)
+    assert(ok.decoded && ok.width == 16 && ok.height == 16)
+    assert(ok.aHash == 0xF0F0F0F0F0F0F0F0L)
+    assert(math.abs(ok.meanLuma - 127.5) < 1e-9)
+    val bad = feats(1)
+    assert(!bad.decoded && bad.width == 0 && bad.aHash == 0L)
+  }
+}

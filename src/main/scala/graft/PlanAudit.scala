@@ -23,7 +23,7 @@ object PlanAudit {
     "skew_join", "q18_bigcust", "window_ntile", "quality_outliers",
     "etl_profile", "window_sliding_distinct", "mix_temperature",
     "ann_pq_indexed", "fuzzy_canonicalize", "src_xls", "batch_upsert",
-    "mm_image_features")
+    "mm_image_features", "mm_phash_dedup")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -75,7 +75,19 @@ object PlanAudit {
         "(audit, not task failure), so one bad file cannot kill a " +
         "stage. On a real corpus the fixture-encode map disappears " +
         "and the scan reads image bytes directly from parquet binary " +
-        "columns with metadata-only pushdown for width/type filters."))
+        "columns with metadata-only pushdown for width/type filters."),
+    "mm_phash_dedup" -> (
+      "Image near-dup with the SimHash scale shape: decode runs ONCE " +
+        "into a persisted skinny (id, dHash) frame (8 bytes of " +
+        "payload per row from there on); the 4x16-bit band bucket " +
+        "self-join shuffles only (band, bucket, id) rows — the " +
+        "skinny-join rule from the r6 minhash fix, applied from day " +
+        "one — then the distinct'd candidate pairs fetch two 8-byte " +
+        "hashes for the exact Hamming verify. Pair work is bounded by " +
+        "bucket occupancy exactly as simhashPairs; image bytes never " +
+        "enter any exchange. At 100 TB: decode cost is scan-parallel " +
+        "and the dedup cost is the SimHash family's, independent of " +
+        "image size."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

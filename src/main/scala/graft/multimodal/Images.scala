@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
 
+import graft.functions.{HashFunctions => H}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -179,18 +180,86 @@ object Images {
     * Pixels tile the md5 of the seed, so equal seeds give identical
     * images and hashes.
     */
-  def deterministicPng(seed: Array[Byte]): Array[Byte] = {
+  def deterministicPng(seed: Array[Byte], size: Int = 8): Array[Byte] = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(seed)
-    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
     var i = 0
-    while (i < 64) {
+    while (i < size * size) {
       val r = digest((i * 3) % 16) & 0xFF
       val g = digest((i * 3 + 1) % 16) & 0xFF
       val b = digest((i * 3 + 2) % 16) & 0xFF
-      img.setRGB(i % 8, i / 8, (r << 16) | (g << 8) | b)
+      img.setRGB(i % size, i / size, (r << 16) | (g << 8) | b)
       i += 1
     }
     encodePng(img)
+  }
+
+  /** Multiplicative brightness change (each channel scaled and
+    * clipped, PNG re-encoded) — the canonical "same image, different
+    * file" perturbation: bytes and aHash change, but dHash (ordering
+    * of neighbouring cells) is nearly invariant because scaling is
+    * monotonic — only near-tie comparisons can flip under rounding.
+    */
+  def brighten(bytes: Array[Byte], factor: Double): Option[Array[Byte]] =
+    decode(bytes).map { img =>
+      val out = new BufferedImage(img.getWidth, img.getHeight,
+        BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          def scale(c: Int): Int =
+            math.min(255, math.round(c * factor).toInt)
+          out.setRGB(x, y,
+            (scale((rgb >> 16) & 0xFF) << 16) |
+              (scale((rgb >> 8) & 0xFF) << 8) |
+              scale(rgb & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(out)
+    }
+
+  /** Near-duplicate IMAGE pairs via dHash banding — the image
+    * analogue of [[graft.operators.Dedup.simhashPairs]], same
+    * pigeonhole guarantee (4 x 16-bit bands: two hashes within
+    * Hamming distance 3 share at least one identical band) and same
+    * scale shape: decode once (persisted skinny (id, sig) frame),
+    * shuffle ONLY (band, bucket, id) rows through the bucket
+    * self-join, distinct the candidate pair set, then attach the two
+    * 8-byte hashes and verify exact Hamming distance. dHash (not
+    * aHash) is the key: re-encoded / brightness-shifted copies of an
+    * image keep their cell ordering, so they land at distance ~0
+    * while distinct images scatter. Undecodable payloads are
+    * excluded (they have no hash; mm_dedup's byte-hash path covers
+    * exact binary dups).
+    */
+  def phashPairs(spark: SparkSession, media: DataFrame,
+                 maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band pigeonhole guarantees recall only to hamming 3, got $maxHamming")
+    val feats = imageFeatures(spark, media).toDF()
+      .filter(col("decoded"))
+      .select(col("mediaId").as("id"), col("dHash").as("sig"))
+      .persist() // decode once; reused by banding and both verify sides
+    val banded = feats
+      .select(col("id"), explode(H.simhashBands(col("sig"))).as("b"))
+      .select(col("id"), col("b.band"), col("b.bucket"))
+    val cands = banded
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(feats.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(feats.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        H.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Partition-wise real decode -> feature extraction. Undecodable

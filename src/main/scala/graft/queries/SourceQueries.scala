@@ -283,6 +283,38 @@ object SourceQueries {
           format_string("%016x", col("aHash")).as("ahash_hex"),
           format_string("%016x", col("dHash")).as("dhash_hex"))
         .orderBy(col("media_id"))
+    }),
+
+    // Perceptual near-dup dedup over image payloads: every 5th doc's
+    // PNG also appears as a brightness-scaled re-encode (different
+    // bytes — mm_dedup's exact byte hash misses it; same cell
+    // ordering — dHash lands at Hamming ~0), and identical-text docs
+    // yield byte-identical PNGs (Hamming 0). dHash-band LSH with the
+    // SimHash pigeonhole guarantee, skinny-id bucket join, exact
+    // Hamming verify — one shuffle family, never O(n²). Rows-only
+    // oracle (needs image decode); ImagesSpec pins the pair
+    // semantics on fixtures.
+    "mm_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val variantOffset = 100000000L
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            val seed = Option(text).getOrElse("").getBytes("UTF-8")
+            val base = Images.deterministicPng(seed, size = 16)
+            val variant =
+              if (id % 5 == 0)
+                Images.brighten(base, 1.06).iterator
+                  .map(b => (variantOffset + id, b))
+              else Iterator.empty
+            Iterator((id, base)) ++ variant
+          }
+        }
+        .toDF("media_id", "payload")
+      Images.phashPairs(s, payloads, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   val oracles: Map[String, String] = Map(

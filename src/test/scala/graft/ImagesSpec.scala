@@ -86,6 +86,33 @@ class ImagesSpec extends SparkSpec {
     assert(Images.decode(a1).exists(i => i.getWidth == 8 && i.getHeight == 8))
   }
 
+  test("brighten re-encodes with scaled channels; dHash nearly invariant") {
+    val base = Images.deterministicPng("some document text".getBytes, size = 16)
+    val bright = Images.brighten(base, 1.06).get
+    assert(!base.sameElements(bright)) // different bytes (exact dedup misses it)
+    val dhBase = Images.dHash(Images.decode(base).get)
+    val dhBright = Images.dHash(Images.decode(bright).get)
+    assert(java.lang.Long.bitCount(dhBase ^ dhBright) <= 3)
+    assert(Images.brighten("not an image".getBytes, 1.06).isEmpty)
+  }
+
+  test("phashPairs finds perturbed copies, not distinct images, skips junk") {
+    val a = Images.deterministicPng("doc alpha".getBytes, size = 16)
+    val aCopy = Images.brighten(a, 1.06).get
+    val b = Images.deterministicPng("completely different beta".getBytes, size = 16)
+    val media = Seq(
+      (1L, a), (2L, aCopy), (3L, b),
+      (4L, "junk bytes, undecodable".getBytes))
+      .toDF("media_id", "payload")
+    val pairs = Images.phashPairs(spark, media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (x, y) => x == 3L || y == 3L || x == 4L || y == 4L })
+    intercept[IllegalArgumentException] {
+      Images.phashPairs(spark, media, maxHamming = 9)
+    }
+  }
+
   test("imageFeatures: real decode for images, decoded=false fallback for junk") {
     val img = fill(16, 16)((x, _) => if (x < 8) 0 else rgb(255, 255, 255))
     val media = Multimodal.ingest(

@@ -20,7 +20,8 @@ object PlanAudit {
     "freq_ngrams", "text_decontaminate", "text_repetition", "semdedup",
     "layout_partition_prune", "incr_agg", "resample_ffill",
     "cdc_apply", "text_lm_score", "ann_pq",
-    "skew_join", "q18_bigcust", "window_ntile", "quality_outliers",
+    "skew_join", "q18_bigcust", "window_ntile", "topk_group",
+    "quality_outliers",
     "etl_profile", "window_sliding_distinct", "mix_temperature",
     "ann_pq_indexed", "fuzzy_canonicalize", "src_xls", "batch_upsert",
     "mm_image_features", "mm_phash_dedup")
@@ -96,6 +97,17 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
+    // With explicit query names: print just those plans to stdout
+    // (quick iteration) instead of regenerating PLANS.md.
+    if (args.nonEmpty) {
+      args.foreach { n =>
+        println(s"== $n ==")
+        println(SparkEntry.queries(n)(spark, d).queryExecution
+          .explainString(FormattedMode).take(4000))
+      }
+      spark.stop()
+      return
+    }
     val sb = new StringBuilder(
       "# Physical plans (explain formatted) — audit snapshot, sf0.001\n\n" +
         "Regenerate with `tools/runmain.sh graft.PlanAudit` (after `sbt compile`).\n")

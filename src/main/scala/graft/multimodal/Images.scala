@@ -235,6 +235,12 @@ object Images {
     * while distinct images scatter. Undecodable payloads are
     * excluded (they have no hash; mm_dedup's byte-hash path covers
     * exact binary dups).
+    *
+    * Decode parallelism equals the INPUT's partitioning — this
+    * function never shuffles payload bytes (at corpus scale that
+    * would be the dominant cost, and a real scan is already wide).
+    * If `media` comes from a few fat files, repartition the skinny
+    * id+payload projection before calling (see mm_phash_dedup).
     */
   def phashPairs(spark: SparkSession, media: DataFrame,
                  maxHamming: Int = 3): DataFrame = {

@@ -20,14 +20,16 @@ import org.apache.spark.sql.functions._
   * hence a pure prefix-sum formulation (one window function, no RNG,
   * no state) that an ANSI SQL oracle replicates verbatim.
   *
-  * Scale shape: the window runs per `groupCols` partition (a stream /
-  * source / shard column), so the shuffle is one hash exchange on the
-  * group key and each group's prefix sum is independent — the 100 TB
-  * form shards each source into bounded sub-streams (any determinist
-  * shard key appended to `groupCols` works, e.g. `doc_id % k`).
-  * Calling it with NO group columns means one global ordered stream:
-  * correct, but a single-partition window — test-scale only, and the
-  * require below makes that an explicit choice.
+  * Scale shape: group/stream keys are LOW-CARDINALITY by nature (a
+  * handful of sources), so a `Window.partitionBy(source)` prefix sum
+  * would sort each source's whole stream in ONE task — a straggler
+  * no cluster size fixes. The offsets therefore come from
+  * [[Rank.keyedPrefixSum]]: a range-partitioned parallel sort plus
+  * driver-side per-(partition, key) offset totals — task count is
+  * the shuffle-partition count regardless of key cardinality, and
+  * even the no-group GLOBAL stream is fully distributed. Window
+  * assignment is bit-identical to the window formulation (the SQL
+  * oracle still uses the window form and hash-matches).
   */
 object Packing {
 
@@ -43,24 +45,17 @@ object Packing {
     *                    doc id)
     * @param windowTokens context-window budget in tokens
     * @param groupCols   independent stream per distinct combination;
-    *                    empty = one global stream (single-partition
-    *                    window — explicitly opt in via
-    *                    `allowGlobalStream`)
+    *                    empty = one global stream (still fully
+    *                    distributed — see scale note above)
     */
   def packWindows(docs: DataFrame, tokenCol: String, orderCol: String,
-                  windowTokens: Long, groupCols: Seq[String] = Seq.empty,
-                  allowGlobalStream: Boolean = false): DataFrame = {
+                  windowTokens: Long,
+                  groupCols: Seq[String] = Seq.empty): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
-    require(groupCols.nonEmpty || allowGlobalStream,
-      "packWindows with no groupCols is a single-partition global window; " +
-        "pass a stream/shard column, or allowGlobalStream=true for test scale")
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offset = coalesce(sum(col(tokenCol)).over(w), lit(0L)).cast("long")
-    docs
-      .withColumn("stream_offset", offset)
-      .withColumn("window_id", (col("stream_offset") / lit(windowTokens))
-        .cast("long"))
+    Rank.keyedPrefixSum(docs, groupCols, Seq(col(orderCol)), tokenCol,
+        sumCol = "stream_offset")
+      .withColumn("window_id",
+        floor(col("stream_offset") / lit(windowTokens)).cast("long"))
   }
 
   /** Per-window summary of a [[packWindows]] assignment — the frame a

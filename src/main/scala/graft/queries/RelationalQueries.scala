@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Rank
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -170,18 +171,24 @@ object RelationalQueries {
         .orderBy(col("bin_lo"))
     }),
 
-    // Decile assignment per status partition (ntile): the ranking
-    // shuffle is the only exchange; deterministic tie-break keeps the
-    // decile boundaries identical across engines.
+    // Decile assignment per status partition. NOT the ntile window
+    // function: o_orderstatus has 3 distinct values, so
+    // Window.partitionBy(status) would sort the whole table in 3
+    // tasks — a straggler no cluster size fixes, and ntile (unlike
+    // row_number-top-k) cannot be WindowGroupLimit-pruned because
+    // every row gets a tile. Rank.ntileBy range-partitions on
+    // (status, price, key) instead — fully parallel sort, exact
+    // NTILE semantics from rank arithmetic (same decile split, same
+    // tie-break; the unchanged SQL-ntile oracle hash-gates that).
     "window_ntile" -> ((s, d) => {
       // rank on the ROUNDED price (what the output carries) so the
       // decile boundaries are engine-independent at ties
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(round(col("o_totalprice"), 2), col("o_orderkey"))
-      Tables.orders(s, d)
+      val base = Tables.orders(s, d)
         .select(col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("price"),
-          ntile(10).over(w).as("decile"))
+          col("o_orderkey"))
+      Rank.ntileBy(base, "o_orderstatus",
+          Seq(col("price"), col("o_orderkey")), 10, tileCol = "decile")
         .groupBy(col("o_orderstatus"), col("decile"))
         .agg(count(lit(1)).as("n"),
           round(min(col("price")), 2).as("lo"),

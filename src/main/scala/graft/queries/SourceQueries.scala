@@ -297,8 +297,14 @@ object SourceQueries {
     "mm_phash_dedup" -> ((s, d) => {
       import s.implicits._
       val variantOffset = 100000000L
+      // The PNG encode/decode chain is CPU-bound row-local work:
+      // repartition the SKINNY (id, text) frame to cluster
+      // parallelism first, or the whole chain runs at the scan's
+      // file-layout parallelism (the sf10 fixture bin-packs into 2
+      // partitions — measured near-serial before this line).
       val payloads = Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .as[(Long, String)]
         .mapPartitions { it =>
           it.flatMap { case (id, text) =>

@@ -37,16 +37,21 @@ class PackingSpec extends SparkSpec {
     assert(sum.toSeq == Seq((0L, 2L, 1100L, 1L, 2L), (1L, 1L, 600L, 3L, 3L)))
   }
 
-  test("packWindows refuses a silent global single-partition window") {
-    val docs = Seq(("a", 1L, 10L)).toDF("src", "id", "toks")
-    val e = intercept[IllegalArgumentException] {
-      Packing.packWindows(docs, "toks", "id", 1000)
+  test("packWindows global stream (no groupCols) is distributed and exact") {
+    // 200 docs scattered over partitions; one global concatenated
+    // stream — the distributed prefix sum replaces what used to be a
+    // refused single-partition window.
+    val docs = (1 to 200).map(i => ("x", i.toLong, 10L))
+      .toDF("src", "id", "toks").repartition(7)
+    val got = Packing.packWindows(docs, "toks", "id", windowTokens = 100)
+      .select("id", "stream_offset", "window_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === 200)
+    (1 to 200).foreach { i =>
+      val (off, win) = got(i.toLong)
+      assert(off === (i - 1) * 10L, s"id $i")
+      assert(win === (i - 1) * 10L / 100, s"id $i")
     }
-    assert(e.getMessage.contains("single-partition"))
-    // explicit opt-in works and uses one global stream
-    val ok = Packing.packWindows(docs, "toks", "id", 1000,
-      allowGlobalStream = true)
-    assert(ok.select("window_id").as[Long].collect().toSeq == Seq(0L))
   }
 
   test("mixByTokenBudget: rates derive from token mass, unbudgeted sources drop") {

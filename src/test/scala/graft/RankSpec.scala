@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Rank
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank.keyedRank / Rank.ntileBy vs the window functions they
+  * replace for low-cardinality keys — exact equality on randomized
+  * multi-partition data with skewed keys, plus edge shapes (groups
+  * smaller than the tile count, single-row groups).
+  */
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Deterministic pseudo-random frame: 3 skewed keys (one holds ~80%
+  // of rows), values with ties, unique id tie-break.
+  private def fixture(n: Int) = {
+    val rnd = new scala.util.Random(42)
+    (1 to n).map { i =>
+      val key = rnd.nextInt(10) match {
+        case 0 => "B"
+        case 1 => "C"
+        case _ => "A"
+      }
+      (key, rnd.nextInt(50).toDouble, i.toLong)
+    }.toDF("k", "v", "id").repartition(7) // scatter across partitions
+  }
+
+  test("keyedRank equals row_number over Window.partitionBy(key)") {
+    val df = fixture(5000)
+    val w = Window.partitionBy(col("k")).orderBy(col("v"), col("id"))
+    val expected = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("key_n", count(lit(1)).over(Window.partitionBy(col("k"))))
+    val got = Rank.keyedRank(df, "k", Seq(col("v"), col("id")))
+    assert(got.select("k", "v", "id", "rank", "key_n").except(
+      expected.select("k", "v", "id", "rank", "key_n")).isEmpty)
+    assert(got.count() === 5000)
+  }
+
+  test("ntileBy equals ntile window function, tiles > and < group size") {
+    val df = fixture(2000)
+    for (tiles <- Seq(1, 4, 10)) {
+      val w = Window.partitionBy(col("k")).orderBy(col("v"), col("id"))
+      val expected = df.withColumn("tile", ntile(tiles).over(w))
+      val got = Rank.ntileBy(df, "k", Seq(col("v"), col("id")), tiles)
+      assert(got.select("k", "v", "id", "tile").except(
+        expected.select("k", "v", "id", "tile")).isEmpty, s"tiles=$tiles")
+    }
+    // single-row groups + groups smaller than the tile count
+    val tiny = Seq(("X", 1.0, 1L), ("Y", 2.0, 2L), ("Y", 1.0, 3L))
+      .toDF("k", "v", "id")
+    val w = Window.partitionBy(col("k")).orderBy(col("v"), col("id"))
+    val expected = tiny.withColumn("tile", ntile(10).over(w))
+    val got = Rank.ntileBy(tiny, "k", Seq(col("v"), col("id")), 10)
+    assert(got.select("k", "v", "id", "tile").except(
+      expected.select("k", "v", "id", "tile")).isEmpty)
+  }
+
+  test("keyedPrefixSum equals the exclusive running-sum window, multi-key") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 3000).map { i =>
+      (s"s${rnd.nextInt(3)}", s"t${rnd.nextInt(2)}",
+        i.toLong, rnd.nextInt(100).toLong)
+    }.toDF("k1", "k2", "id", "v").repartition(5)
+    val w = Window.partitionBy(col("k1"), col("k2")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df.withColumn("ps",
+      coalesce(sum(col("v")).over(w), lit(0L)).cast("long"))
+    val got = Rank.keyedPrefixSum(df, Seq("k1", "k2"), Seq(col("id")), "v",
+      sumCol = "ps")
+    assert(got.select("k1", "k2", "id", "v", "ps").except(
+      expected.select("k1", "k2", "id", "v", "ps")).isEmpty)
+    assert(got.count() === 3000)
+  }
+
+  test("keyedRank rejects null keys loudly") {
+    val withNull = Seq((null.asInstanceOf[String], 1.0, 1L), ("A", 2.0, 2L))
+      .toDF("k", "v", "id")
+    val ex = intercept[Exception] {
+      Rank.keyedRank(withNull, "k", Seq(col("v"), col("id"))).count()
+    }
+    assert(ex.getMessage.contains("null"))
+  }
+}

@@ -179,16 +179,30 @@ object Images {
     * has no image bytes (a real corpus brings its own payloads).
     * Pixels tile the md5 of the seed, so equal seeds give identical
     * images and hashes.
+    *
+    * The digest index mixes the ROW into the stride (`3x + y`). The
+    * obvious tiling `digest((i*3) % 16)` looks varied but is
+    * constant down each column — `i = 16y + x` makes `(3i) % 16`
+    * independent of y — and row-identical images collapse dHash
+    * (row-wise neighbour comparisons) to ~8 bits of entropy: a 60 k
+    * image corpus produced only 251 distinct hashes, turning the
+    * band LSH's buckets quadratic and benchmarking a pathology no
+    * real corpus has (real dHashes are diverse). The diagonal shift
+    * keeps equal seeds byte-identical while distinct seeds get
+    * near-unique hashes.
     */
   def deterministicPng(seed: Array[Byte], size: Int = 8): Array[Byte] = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(seed)
     val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
     var i = 0
     while (i < size * size) {
-      val r = digest((i * 3) % 16) & 0xFF
-      val g = digest((i * 3 + 1) % 16) & 0xFF
-      val b = digest((i * 3 + 2) % 16) & 0xFF
-      img.setRGB(i % size, i / size, (r << 16) | (g << 8) | b)
+      val x = i % size
+      val y = i / size
+      val base = (3 * x + y) % 16
+      val r = digest(base) & 0xFF
+      val g = digest((base + 5) % 16) & 0xFF
+      val b = digest((base + 11) % 16) & 0xFF
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
       i += 1
     }
     encodePng(img)

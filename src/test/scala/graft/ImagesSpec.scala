@@ -113,6 +113,52 @@ class ImagesSpec extends SparkSpec {
     }
   }
 
+  test("phashPairs: exact-dup clump pairs at hamming 0, plus cross-sig variant") {
+    val a = Images.deterministicPng("clumped doc".getBytes, size = 16)
+    val aCopy = Images.brighten(a, 1.06).get
+    // 4 byte-identical uploads of a + one brightness re-encode + one other
+    val media = (Seq.tabulate(4)(i => (i.toLong + 1, a)) ++
+        Seq((10L, aCopy),
+          (20L, Images.deterministicPng("unrelated".getBytes, size = 16))))
+      .toDF("media_id", "payload")
+    val rows = Images.phashPairs(spark, media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pairs = rows.map(p => (p._1, p._2)).toSet
+    // all 6 intra-clump pairs present, at exact distance 0
+    val clump = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    clump.foreach { p => assert(pairs.contains(p), s"missing clump pair $p") }
+    assert(rows.filter(p => p._1 <= 4 && p._2 <= 4).forall(_._3 == 0))
+    // the variant pairs against EVERY clump member (sig-pair expansion)
+    (1L to 4L).foreach { i => assert(pairs.contains((i, 10L))) }
+    assert(!pairs.exists(p => p._1 == 20L || p._2 == 20L))
+    // no duplicate pair rows from the multi-band union
+    assert(rows.length == rows.map(p => (p._1, p._2)).distinct.length)
+  }
+
+  test("phashPairs maxBucket drops saturated buckets loudly, audit sees them") {
+    val a = Images.deterministicPng("doc alpha".getBytes, size = 16)
+    val aCopy = Images.brighten(a, 1.06).get
+    val b = Images.deterministicPng("doc beta".getBytes, size = 16)
+    val bCopy = Images.brighten(b, 1.06).get
+    val media = Seq((1L, a), (2L, aCopy), (3L, b), (4L, bCopy))
+      .toDF("media_id", "payload")
+    // cap 2: every bucket holds at most the 4 distinct sigs; a cap of
+    // 2 keeps pairs only where <=2 distinct sigs share the bucket.
+    // The brightness variant is within hamming 3 of its base, so each
+    // (base, copy) sig pair shares >=1 band — with all four sigs
+    // distinct, buckets holding just the matching pair survive cap=2.
+    val capped = Images.phashPairs(spark, media, maxHamming = 3, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)) && capped.contains((3L, 4L)))
+    // audit: with a generous cap nothing is dropped...
+    assert(Images.droppedPhashBuckets(spark, media, maxBucket = 100).isEmpty)
+    // ...and any bucket above the cap surfaces as a warning row
+    val dropped = Images.droppedPhashBuckets(spark, media, maxBucket = 1)
+      .collect()
+    assert(dropped.forall(_.getString(0) == "warning"))
+    assert(dropped.forall(_.getLong(4) > 1))
+  }
+
   test("imageFeatures: real decode for images, decoded=false fallback for junk") {
     val img = fill(16, 16)((x, _) => if (x < 8) 0 else rgb(255, 255, 255))
     val media = Multimodal.ingest(

@@ -78,17 +78,42 @@ object PlanAudit {
         "and the scan reads image bytes directly from parquet binary " +
         "columns with metadata-only pushdown for width/type filters."),
     "mm_phash_dedup" -> (
-      "Image near-dup with the SimHash scale shape: decode runs ONCE " +
-        "into a persisted skinny (id, dHash) frame (8 bytes of " +
-        "payload per row from there on); the 4x16-bit band bucket " +
-        "self-join shuffles only (band, bucket, id) rows — the " +
-        "skinny-join rule from the r6 minhash fix, applied from day " +
-        "one — then the distinct'd candidate pairs fetch two 8-byte " +
-        "hashes for the exact Hamming verify. Pair work is bounded by " +
-        "bucket occupancy exactly as simhashPairs; image bytes never " +
-        "enter any exchange. At 100 TB: decode cost is scan-parallel " +
-        "and the dedup cost is the SimHash family's, independent of " +
-        "image size."))
+      "Image near-dup with the SimHash scale shape, plus an " +
+        "exact-signature collapse: decode runs ONCE into a persisted " +
+        "skinny (id, dHash) frame, byte-identical hashes pair at " +
+        "distance 0 via one sig-partitioned self-join, and the " +
+        "4x16-bit band bucket self-join runs over DISTINCT sigs only " +
+        "— a million-copy re-upload clump contributes one row per " +
+        "band bucket, not clump² join rows. Verified sig pairs expand " +
+        "back to image pairs (output-bound); saturated buckets are " +
+        "occupancy-gated (maxBucket) with a droppedPhashBuckets " +
+        "audit. Image bytes never enter any exchange; decode " +
+        "parallelism is the input's partitioning (the query " +
+        "repartitions the skinny projection first). At 100 TB: decode " +
+        "is scan-parallel, clumps are collapsed, and residual pair " +
+        "work is gated bucket occupancy."),
+    "window_ntile" -> (
+      "NOT the ntile window function: o_orderstatus has 3 distinct " +
+        "values, so Window.partitionBy(status) would sort the whole " +
+        "table in 3 tasks — and ntile can't be WindowGroupLimit-" +
+        "pruned because every row gets a tile. Rank.ntileBy instead: " +
+        "range-partition on (status, price, key) — the parallel sort " +
+        "uses ALL shuffle partitions — then a per-(partition, key) " +
+        "metadata aggregate (bounded by partitions × 3 statuses) " +
+        "feeds driver prefix offsets broadcast back; exact NTILE " +
+        "arithmetic from the global rank. The plan shows the range " +
+        "exchange + one broadcast join + the final group-by — no " +
+        "single-key sort anywhere. sf10: 12.9 s → 2.8 s."),
+    "topk_group" -> (
+      "The row_number-top-k cousin of window_ntile's shape, kept on " +
+        "the plain window BY DESIGN: with rk <= 3 Spark plants " +
+        "map-side AND reduce-side WindowGroupLimit, so every scan " +
+        "task pre-prunes to 3 rows per priority before the " +
+        "5-partition final sort sees anything — the straggler never " +
+        "materializes and the cost is the orders scan itself. The " +
+        "audit pins both WindowGroupLimit nodes; if a future change " +
+        "drops the rank filter below the window, this plan is the " +
+        "regression canary."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
 
-import graft.functions.{HashFunctions => H}
+import graft.operators.SigPairs
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -238,105 +238,45 @@ object Images {
 
   /** Near-duplicate IMAGE pairs via dHash banding — the image
     * analogue of [[graft.operators.Dedup.simhashPairs]], same
-    * pigeonhole guarantee (4 x 16-bit bands: two hashes within
-    * Hamming distance 3 share at least one identical band). dHash
-    * (not aHash) is the key: re-encoded / brightness-shifted copies
-    * of an image keep their cell ordering, so they land at distance
-    * ~0 while distinct images scatter. Undecodable payloads are
-    * excluded (they have no hash; mm_dedup's byte-hash path covers
-    * exact binary dups).
+    * pigeonhole guarantee. dHash (not aHash) is the key: re-encoded
+    * / brightness-shifted copies of an image keep their cell
+    * ordering, so they land at distance ~0 while distinct images
+    * scatter. Undecodable payloads are excluded (they have no hash;
+    * mm_dedup's byte-hash path covers exact binary dups).
     *
-    * Scale shape, in candidate-volume order:
-    *
-    *  1. Decode once into a persisted skinny (id, sig) frame; decode
-    *     parallelism equals the INPUT's partitioning — payload bytes
-    *     are never shuffled (at corpus scale that would dominate,
-    *     and a real scan is already wide). If `media` comes from a
-    *     few fat files, repartition the skinny id+payload projection
-    *     before calling (see mm_phash_dedup).
-    *  2. EXACT-SIGNATURE COLLAPSE: the band join runs over DISTINCT
-    *     hashes, not images. Identical images (exact re-uploads —
-    *     the dominant clump in a dedup corpus) pair at distance 0
-    *     via one sig-partitioned self-join and never enter the band
-    *     join, so a million-copy clump contributes ONE row per band
-    *     bucket instead of a million² join rows. Recall-lossless.
-    *  3. Banded candidates over distinct sigs carry the two 8-byte
-    *     sigs through the (band, bucket) shuffle (16 B/row — skinny,
-    *     unlike minhash's 512 B signatures), Hamming-verify, then
-    *     expand verified SIG pairs back to image pairs by joining
-    *     members on both sides — output-bound by construction.
-    *  4. `maxBucket` occupancy gate (same pattern as
-    *     [[graft.operators.FuzzyMatch.pairs]]): a band bucket holding
-    *     more than `maxBucket` DISTINCT sigs — 16-bit buckets
-    *     saturate once the distinct-hash count approaches 2^16·cap —
-    *     is dropped loudly rather than joined quadratically;
-    *     [[droppedPhashBuckets]] audits what was dropped. A dropped
-    *     pair is only LOST if the pair shares no other band.
+    * The pairing kernel (exact-signature collapse, occupancy-gated
+    * band join, sig-pair expansion) is the modality-independent
+    * [[graft.operators.SigPairs.hammingPairs]] — see its doc for the
+    * scale shape. What stays here is the image-specific part: decode
+    * once into a persisted skinny (id, sig) frame, with decode
+    * parallelism equal to the INPUT's partitioning — payload bytes
+    * are never shuffled (at corpus scale that would dominate, and a
+    * real scan is already wide). If `media` comes from a few fat
+    * files, repartition the skinny id+payload projection before
+    * calling (see mm_phash_dedup).
     */
   def phashPairs(spark: SparkSession, media: DataFrame,
                  maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4-band pigeonhole guarantees recall only to hamming 3, got $maxHamming")
-    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
     val feats = imageFeatures(spark, media).toDF()
       .filter(col("decoded"))
       .select(col("mediaId").as("id"), col("dHash").as("sig"))
       .persist() // decode once; reused by intra pairs, banding, expansion
-    // intra-sig: byte-identical perceptual hashes pair at distance 0
-    // without any banding — one hash-partitioned self-join on sig
-    val intra = feats.select(col("sig"), col("id").as("id_a"))
-      .join(feats.select(col("sig"), col("id").as("id_b")), Seq("sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
-    // cross-sig: band join over DISTINCT sigs, occupancy-gated
-    val sigs = feats.select(col("sig")).distinct()
-    val banded = sigs
-      .select(col("sig"), explode(H.simhashBands(col("sig"))).as("b"))
-      .select(col("sig"), col("b.band"), col("b.bucket"))
-    val gated = banded.join(
-      banded.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") <= maxBucket)
-        .select(col("band"), col("bucket")),
-      Seq("band", "bucket"), "left_semi")
-    val sigPairs = gated
-      .select(col("band"), col("bucket"), col("sig").as("sig_a"))
-      .join(gated.select(col("band"), col("bucket"), col("sig").as("sig_b")),
-        Seq("band", "bucket"))
-      .filter(col("sig_a") < col("sig_b"))
-      .select(col("sig_a"), col("sig_b"))
-      .distinct()
-      .withColumn("hamming", H.hamming64(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= maxHamming)
-    val cross = sigPairs
-      .join(feats.select(col("sig").as("sig_a"), col("id").as("ida")), Seq("sig_a"))
-      .join(feats.select(col("sig").as("sig_b"), col("id").as("idb")), Seq("sig_b"))
-      .select(least(col("ida"), col("idb")).as("id_a"),
-        greatest(col("ida"), col("idb")).as("id_b"),
-        col("hamming").cast("int").as("hamming"))
-    intra.unionByName(cross)
+    SigPairs.hammingPairs(feats, maxHamming, maxBucket)
   }
 
   /** Audit of the band buckets [[phashPairs]] drops for exceeding
     * `maxBucket` distinct signatures — one failure-log-shaped row
     * per over-full (band, bucket), computed with the same decode +
-    * banding so the two can't drift (mirrors
-    * [[graft.operators.FuzzyMatch.droppedBlocks]]). Run it when
-    * bucket drops matter, not on every call — it re-decodes.
+    * banding so the two can't drift. Run it when bucket drops
+    * matter, not on every call — it re-decodes.
     */
   def droppedPhashBuckets(spark: SparkSession, media: DataFrame,
                           maxBucket: Int = 100000): DataFrame =
-    imageFeatures(spark, media).toDF()
-      .filter(col("decoded"))
-      .select(col("dHash").as("sig")).distinct()
-      .select(explode(H.simhashBands(col("sig"))).as("b"))
-      .select(col("b.band"), col("b.bucket"))
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n_sigs"))
-      .filter(col("n_sigs") > maxBucket)
-      .select(lit("warning").as("status"),
-        lit("phash_bucket_dropped").as("error_message"),
-        col("band"), col("bucket"), col("n_sigs"))
+    SigPairs.droppedBuckets(
+      imageFeatures(spark, media).toDF()
+        .filter(col("decoded"))
+        .select(col("mediaId").as("id"), col("dHash").as("sig")),
+      maxBucket, reason = "phash_bucket_dropped")
 
   /** Partition-wise real decode -> feature extraction. Undecodable
     * payloads (corrupt, truncated, or not an image at all) yield a

@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.Tables
-import graft.multimodal.{Images, Multimodal}
+import graft.multimodal.{Audio, Images, Multimodal}
 import graft.operators.PatternRouter
 import graft.sources.{Sinks, Sources, Xls, Xlsx}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -320,6 +320,80 @@ object SourceQueries {
         }
         .toDF("media_id", "payload")
       Images.phashPairs(s, payloads, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // REAL audio decode (hand-rolled RIFF/WAV PCM parser, pure JVM):
+    // each document yields a deterministic mono 16-bit WAV fixture
+    // from md5(text) (a real corpus brings its own audio bytes);
+    // every 7th payload is left as raw text bytes so the corrupt-
+    // file fallback (decoded=false audit rows, not task failures)
+    // is part of the measured path. Row-local decode, no shuffle.
+    // Rows-only oracle (SQL engines can't parse WAV); AudioSpec pins
+    // exact rms/peak/duration/eHash values on hand-built fixtures.
+    "mm_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val seed = Option(text).getOrElse("").getBytes("UTF-8")
+            val bytes =
+              if (id % 7 == 0) seed // deliberately not a WAV
+              else Audio.deterministicWav(seed)
+            (id, bytes)
+          }
+        }
+        .toDF("doc_id", "payload")
+      val media = Multimodal.ingest(
+        payloads.withColumn("mt", lit("audio/wav")),
+        "doc_id", "payload", "mt")
+      Audio.audioFeatures(s, media).toDF()
+        .select(col("mediaId").as("media_id"), col("decoded"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("nFrames").as("n_frames"),
+          round(col("durationSec"), 4).as("duration_sec"),
+          round(col("rms"), 4).as("rms"),
+          round(col("peak"), 4).as("peak"),
+          format_string("%016x", col("eHash")).as("ehash_hex"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Perceptual near-dup dedup over audio payloads: every 5th doc's
+    // WAV also appears as a gain-scaled re-encode (different bytes —
+    // mm_dedup's exact byte hash misses it; same window-energy
+    // ordering — eHash lands at Hamming ~0), and identical-text docs
+    // yield byte-identical WAVs (Hamming 0). Same shared SigPairs
+    // kernel as mm_phash_dedup: exact-signature collapse + occupancy-
+    // gated 16-bit-band LSH + exact Hamming verify — one shuffle
+    // family, never O(n²). Rows-only oracle (needs audio decode);
+    // AudioSpec pins the pair semantics on fixtures.
+    "mm_audio_dedup" -> ((s, d) => {
+      import s.implicits._
+      val variantOffset = 100000000L
+      // decode/synthesis is CPU-bound row-local work: repartition the
+      // skinny (id, text) frame to cluster parallelism first (same
+      // note as mm_phash_dedup — the sf10 fixture bin-packs into 2
+      // scan partitions otherwise)
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            val seed = Option(text).getOrElse("").getBytes("UTF-8")
+            val base = Audio.deterministicWav(seed)
+            val variant =
+              if (id % 5 == 0)
+                Audio.gainScale(base, 0.7).iterator
+                  .map(b => (variantOffset + id, b))
+              else Iterator.empty
+            Iterator((id, base)) ++ variant
+          }
+        }
+        .toDF("media_id", "payload")
+      Audio.audioPairs(s, payloads, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }))
 

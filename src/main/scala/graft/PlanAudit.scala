@@ -24,7 +24,8 @@ object PlanAudit {
     "quality_outliers",
     "etl_profile", "window_sliding_distinct", "mix_temperature",
     "ann_pq_indexed", "fuzzy_canonicalize", "src_xls", "batch_upsert",
-    "mm_image_features", "mm_phash_dedup")
+    "mm_image_features", "mm_phash_dedup",
+    "mm_audio_features", "mm_audio_dedup")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -92,6 +93,29 @@ object PlanAudit {
         "repartitions the skinny projection first). At 100 TB: decode " +
         "is scan-parallel, clumps are collapsed, and residual pair " +
         "work is gated bucket occupancy."),
+    "mm_audio_features" -> (
+      "Same shape as mm_image_features, different decoder: WAV " +
+        "fixture synthesis and the hand-rolled RIFF/PCM parse + " +
+        "level-stat/eHash extraction run inside back-to-back " +
+        "mapPartitions over the documents scan — zero exchanges " +
+        "before the presentation sort, decode parallelism = scan " +
+        "parallelism. Per-clip cost is sample count, so a real " +
+        "corpus's longer clips shift the per-task constant, not the " +
+        "plan. Non-PCM/corrupt payloads yield decoded=false audit " +
+        "rows; truncated data chunks clamp to the last whole frame " +
+        "instead of discarding the readable prefix."),
+    "mm_audio_dedup" -> (
+      "mm_phash_dedup's plan with eHash signatures: decode once into " +
+        "a persisted skinny (id, eHash) frame, then the SHARED " +
+        "SigPairs kernel — exact-signature collapse (byte-identical " +
+        "clips pair at distance 0 via one sig-partitioned self-join " +
+        "and stay out of the band join), occupancy-gated 4x16-bit " +
+        "band bucket join over DISTINCT sigs, exact Hamming verify, " +
+        "output-bound expansion back to clip pairs. Audio bytes " +
+        "never enter any exchange. Because the kernel is literally " +
+        "the same code path, the phash plan asserts cover this shape " +
+        "too; sub-linear at the second decade out of the box " +
+        "(SCALING.md r6 audio section)."),
     "window_ntile" -> (
       "NOT the ntile window function: o_orderstatus has 3 distinct " +
         "values, so Window.partitionBy(status) would sort the whole " +

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE modality has a REAL decoder: [[Images]] (JDK
   * `javax.imageio` — PNG/JPEG/BMP/GIF decode, perceptual hashes,
-  * box-average resize; no external libraries). The generic/audio
-  * decode here remains a deterministic stand-in (`FakeDecoder`
-  * derives pseudo-features from the bytes — this container has no
-  * audio libraries). Everything around it — schema, encoders,
+  * box-average resize; no external libraries). So does AUDIO:
+  * [[Audio]] (hand-rolled RIFF/WAV PCM parser, level stats,
+  * energy-delta perceptual hash). Only the GENERIC byte-digest
+  * decode here remains a deterministic stand-in (`FakeDecoder` —
+  * for payload types with no in-container codec, e.g. video).
+  * Everything around it — schema, encoders,
   * partition-wise batching, feature schema — is real and tested.
   * At scale the binary payload stays columnar in parquet, the
   * metadata struct supports predicate pushdown (e.g. filter on

@@ -54,6 +54,29 @@ class DedupSpec extends SparkSpec {
       s"near-dup should be closer: ${ham(1L, 2L)} vs ${ham(1L, 3L)}")
   }
 
+  test("simhash clump: identical texts pair at exact distance 0, no duplicate rows") {
+    // 5-copy clump + near-dup + unrelated: every clump pair must come
+    // out at exact distance 0 (identical sigs collide in all bands)
+    val clumped = (Seq.tabulate(5)(i => (i.toLong + 1, base)) ++
+      Seq((10L, nearDup), (20L, unrelated))).toDF("doc_id", "text")
+    val rows = Dedup.simhashPairs(clumped, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pairs = rows.map(p => (p._1, p._2)).toSet
+    for (i <- 1L to 5L; j <- (i + 1) to 5L)
+      assert(pairs.contains((i, j)), s"missing clump pair ($i,$j)")
+    assert(rows.filter(p => p._1 <= 5 && p._2 <= 5).forall(_._3 == 0))
+    // the near-dup is beyond the hamming-3 guarantee: banding may or
+    // may not surface it (best-effort recall), but if it does it
+    // must reach EVERY clump member at one consistent distance
+    val nearRows = rows.filter(p => p._2 == 10L)
+    if (nearRows.nonEmpty) {
+      assert(nearRows.map(_._1).toSet == (1L to 5L).toSet)
+      assert(nearRows.map(_._3).distinct.length == 1 && nearRows.head._3 > 0)
+    }
+    assert(!pairs.exists(p => p._1 == 20L || p._2 == 20L))
+    assert(rows.length == rows.map(p => (p._1, p._2)).distinct.length)
+  }
+
   test("jaccard verify gives 1.0 for exact dups, high for near-dups") {
     val cands = Seq((1L, 4L), (1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val out = Dedup.jaccardVerify(corpus, cands, "doc_id", "text")

@@ -58,10 +58,10 @@ object Audio {
       b(i + 2) == tag.charAt(2).toByte && b(i + 3) == tag.charAt(3).toByte
 
   /** Parse a RIFF/WAVE container: walk chunks (word-aligned, odd
-    * sizes padded), require a PCM `fmt ` (format code 1, 8 or 16
-    * bits) before `data`. Returns None for anything else — float
-    * PCM (3), ADPCM, extensible (0xFFFE), MP3-in-WAV all land on
-    * the audit path rather than silently mis-decoding.
+    * sizes padded), require a PCM `fmt ` (format code 1; 8, 16, 24
+    * or 32 bits) before `data`. Returns None for anything else —
+    * float PCM (3), ADPCM, extensible (0xFFFE), MP3-in-WAV all land
+    * on the audit path rather than silently mis-decoding.
     */
   def decodeWav(bytes: Array[Byte]): Option[Wav] = {
     if (bytes == null || bytes.length < 44) return None
@@ -79,7 +79,8 @@ object Audio {
         val rate = u32(bytes, body + 4)
         val bits = u16(bytes, body + 14)
         val blockAlign = u16(bytes, body + 12)
-        if (audioFormat != 1 || (bits != 8 && bits != 16)) return None
+        if (audioFormat != 1 ||
+            (bits != 8 && bits != 16 && bits != 24 && bits != 32)) return None
         if (channels < 1 || channels > 64 || rate <= 0 || rate > Int.MaxValue)
           return None
         if (blockAlign != channels * (bits / 8)) return None
@@ -93,16 +94,29 @@ object Audio {
         val n = nFrames * channels
         val out = new Array[Int](n)
         var i = 0
-        if (bits == 16) {
-          while (i < n) {
-            out(i) = (u16(bytes, body + 2 * i) << 16) >> 16 // sign-extend
-            i += 1
-          }
-        } else {
-          while (i < n) {
-            out(i) = bytes(body + i) & 0xFF // 8-bit WAV is unsigned
-            i += 1
-          }
+        bits match {
+          case 16 =>
+            while (i < n) {
+              out(i) = (u16(bytes, body + 2 * i) << 16) >> 16 // sign-extend
+              i += 1
+            }
+          case 8 =>
+            while (i < n) {
+              out(i) = bytes(body + i) & 0xFF // 8-bit WAV is unsigned
+              i += 1
+            }
+          case 24 =>
+            while (i < n) {
+              val o = body + 3 * i
+              out(i) = ((bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+                (bytes(o + 2) << 16)) // top byte sign-extends for free
+              i += 1
+            }
+          case _ => // 32
+            while (i < n) {
+              out(i) = u32(bytes, body + 4 * i).toInt
+              i += 1
+            }
         }
         return Some(Wav(rate, channels, bits, out))
       }
@@ -144,15 +158,22 @@ object Audio {
     out
   }
 
-  /** Normalize a raw code to [-1, 1]: 16-bit is signed, 8-bit WAV is
-    * unsigned around 128.
+  /** Normalize a raw code to [-1, 1]: 16/24/32-bit are signed,
+    * 8-bit WAV is unsigned around 128.
     */
-  private def norm(code: Int, bits: Int): Double =
-    if (bits == 16) code / 32768.0 else (code - 128) / 128.0
+  private def norm(code: Int, bits: Int): Double = bits match {
+    case 16 => code / 32768.0
+    case 8  => (code - 128) / 128.0
+    case 24 => code / 8388608.0
+    case _  => code / 2147483648.0
+  }
 
-  private def isFullScale(code: Int, bits: Int): Boolean =
-    if (bits == 16) code == 32767 || code == -32768
-    else code == 255 || code == 0
+  private def isFullScale(code: Int, bits: Int): Boolean = bits match {
+    case 16 => code == 32767 || code == -32768
+    case 8  => code == 255 || code == 0
+    case 24 => code == 8388607 || code == -8388608
+    case _  => code == Int.MaxValue || code == Int.MinValue
+  }
 
   /** 64-bit energy-delta hash: the mono signal is cut into 65
     * equal-share windows (`floor(i*65/n)` — the same exact-partition

@@ -93,6 +93,42 @@ class AudioSpec extends SparkSpec {
     assert(math.abs(f.clipRatio - 0.5) < 1e-9)  // 255 and 0 are full scale
   }
 
+  test("24-bit and 32-bit PCM decode with exact sign extension and full-scale detection") {
+    def wav(bits: Int, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def tag(s: String) = out.write(s.getBytes, 0, 4)
+      def u32(v: Int) = (0 to 3).foreach(k => out.write((v >> (8 * k)) & 0xFF))
+      def u16(v: Int) = (0 to 1).foreach(k => out.write((v >> (8 * k)) & 0xFF))
+      tag("RIFF"); u32(36 + data.length); tag("WAVE")
+      tag("fmt "); u32(16); u16(1); u16(1); u32(8000); u32(8000 * bits / 8)
+      u16(bits / 8); u16(bits)
+      tag("data"); u32(data.length); out.write(data, 0, data.length)
+      out.toByteArray
+    }
+    // 24-bit codes: -4194304 (half negative scale), 8388607 (max), -8388608 (min)
+    def le24(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte)
+    val w24 = Audio.decodeWav(wav(24,
+      le24(-4194304) ++ le24(8388607) ++ le24(-8388608))).get
+    assert(w24.bitsPerSample == 24 && w24.samples.sameElements(
+      Array(-4194304, 8388607, -8388608)))
+    val f24 = Audio.features(1L, w24)
+    assert(math.abs(f24.peak - 1.0) < 1e-9)
+    assert(math.abs(f24.clipRatio - 2.0 / 3) < 1e-9)
+    // 32-bit codes: min, half scale, a small value
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val w32 = Audio.decodeWav(wav(32,
+      le32(Int.MinValue) ++ le32(1 << 30) ++ le32(-12345))).get
+    assert(w32.bitsPerSample == 32 && w32.samples.sameElements(
+      Array(Int.MinValue, 1 << 30, -12345)))
+    val f32 = Audio.features(2L, w32)
+    assert(math.abs(f32.peak - 1.0) < 1e-9)
+    assert(math.abs(f32.clipRatio - 1.0 / 3) < 1e-9)
+    // 20-bit (non-byte-aligned) still rejects loudly
+    assert(Audio.decodeWav(wav(20, new Array[Byte](10))).isEmpty)
+  }
+
   test("eHash: rising staircase sets every bit; gain scaling preserves it") {
     val rising = Array.tabulate(650)(i => 0.001 * (i / 10 + 1))
     assert(Audio.eHash(rising) == -1L)

@@ -333,6 +333,44 @@ object Audio {
     encodeWav16(samples, sampleRate, channels = 1)
   }
 
+  /** Sample-rate conversion by linear interpolation, re-encoded as
+    * 16-bit PCM — the audio analogue of [[Images.resizePng]]
+    * (training pipelines normalize sample rate before feature
+    * extraction the way image ones normalize dimensions).
+    * Deterministic: output frame t samples the source at position
+    * `t * srcRate / dstRate` with exact double arithmetic between
+    * the two neighbouring frames, per channel. Row-local; any PCM
+    * input width (normalized codes re-quantized to 16-bit).
+    */
+  def resample(bytes: Array[Byte], targetRate: Int): Option[Array[Byte]] = {
+    require(targetRate > 0, s"targetRate must be > 0, got $targetRate")
+    decodeWav(bytes).filter(_.nFrames > 0).map { wav =>
+      val ch = wav.channels
+      val srcN = wav.nFrames
+      val dstN = math.max(1,
+        math.round(srcN.toLong * targetRate.toDouble / wav.sampleRate).toInt)
+      val out = new Array[Int](dstN * ch)
+      var t = 0
+      while (t < dstN) {
+        val pos = t.toDouble * wav.sampleRate / targetRate
+        val i0 = math.min(srcN - 1, pos.toInt)
+        val i1 = math.min(srcN - 1, i0 + 1)
+        val frac = pos - i0
+        var c = 0
+        while (c < ch) {
+          val v0 = norm(wav.samples(i0 * ch + c), wav.bitsPerSample)
+          val v1 = norm(wav.samples(i1 * ch + c), wav.bitsPerSample)
+          val v = v0 + (v1 - v0) * frac
+          out(t * ch + c) = math.max(-32768,
+            math.min(32767, math.round(v * 32768.0).toInt))
+          c += 1
+        }
+        t += 1
+      }
+      encodeWav16(out, targetRate, ch)
+    }
+  }
+
   /** Gain change with clipping, re-encoded — the canonical "same
     * audio, different file" perturbation: bytes change, RMS scales,
     * but [[eHash]] (ordering of neighbouring window energies) is

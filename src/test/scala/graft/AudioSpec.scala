@@ -164,6 +164,28 @@ class AudioSpec extends SparkSpec {
     assert(Audio.gainScale("not audio".getBytes, 0.7).isEmpty)
   }
 
+  test("resample: frame count scales with rate, duration and signal preserved") {
+    val base = Audio.deterministicWav("resample me".getBytes) // 4096 @ 8 kHz
+    val up = Audio.decodeWav(Audio.resample(base, 16000).get).get
+    assert(up.sampleRate == 16000 && up.nFrames == 8192 && up.channels == 1)
+    // duration invariant, and the upsampled signal passes through the
+    // original samples at even positions (linear interp endpoints)
+    val src = Audio.decodeWav(base).get
+    assert(math.abs(up.nFrames.toDouble / 16000 - src.nFrames.toDouble / 8000) < 1e-9)
+    val maxErr = (0 until src.nFrames).map(i =>
+      math.abs(up.samples(2 * i) - src.samples(i))).max
+    assert(maxErr <= 1, s"even-position passthrough off by $maxErr")
+    val down = Audio.decodeWav(Audio.resample(base, 4000).get).get
+    assert(down.sampleRate == 4000 && down.nFrames == 2048)
+    // level statistics survive the rate change (same waveform)
+    val fSrc = Audio.features(1L, src)
+    val fDown = Audio.features(2L, down)
+    assert(math.abs(fSrc.rms - fDown.rms) < 0.01)
+    assert(math.abs(fSrc.durationSec - fDown.durationSec) < 1e-9)
+    assert(Audio.resample("junk".getBytes, 16000).isEmpty)
+    intercept[IllegalArgumentException] { Audio.resample(base, 0) }
+  }
+
   test("audioFeatures: real decode over media frame, decoded=false for junk") {
     val media = Multimodal.ingest(
       Seq((1L, Audio.deterministicWav("clip one".getBytes), "audio/wav"),

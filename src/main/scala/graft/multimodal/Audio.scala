@@ -71,7 +71,6 @@ object Audio {
     while (pos + 8 <= bytes.length) {
       val size = u32(bytes, pos + 4)
       val body = pos + 8
-      if (size < 0 || size > Int.MaxValue) return None
       if (tagAt(bytes, pos, "fmt ")) {
         if (body + 16 > bytes.length || size < 16) return None
         val audioFormat = u16(bytes, body)
@@ -120,7 +119,14 @@ object Audio {
         }
         return Some(Wav(rate, channels, bits, out))
       }
-      pos = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // Advance in LONG: size is attacker-controlled u32 (up to 2^32-1)
+      // and body + size.toInt wraps negative near Int.MaxValue — the
+      // loop guard stays true for negative pos and u32/tagAt then index
+      // with a negative offset. A next-offset beyond the payload means
+      // the remaining chunks are unreadable anyway: stop cleanly.
+      val next = body.toLong + size + (size & 1L) // chunks are word-aligned
+      if (next <= pos || next > bytes.length) return None
+      pos = next.toInt
     }
     None
   }
@@ -259,8 +265,14 @@ object Audio {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeWav(bytes) match {
-            case Some(wav) => features(id, wav)
+          // NonFatal guard mirrors Images.decode: the documented
+          // contract is decoded=false audit rows for corrupt input,
+          // never a task failure — even if a future parser edge case
+          // throws instead of returning None
+          val wav = try decodeWav(bytes)
+          catch { case scala.util.control.NonFatal(_) => None }
+          wav match {
+            case Some(w) => features(id, w)
             case None =>
               AudioFeatures(id, decoded = false, 0, 0, 0, 0L, 0.0, 0.0,
                 0.0, 0.0, 0L)

@@ -31,6 +31,30 @@ class AudioSpec extends SparkSpec {
     assert(Audio.decodeWav(headerless).isEmpty)
   }
 
+  test("bogus chunk size near Int.MaxValue returns None, never throws") {
+    // a crafted chunk declaring size 0x7FFFFFF0: body + size wraps an
+    // Int negative, the pos+8 loop guard stays true for negative pos,
+    // and the next u32/tagAt would index with a negative offset —
+    // regression for the Long-advance fix
+    val evil = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(evil, 0)
+    "WAVE".getBytes.copyToArray(evil, 8)
+    "JUNK".getBytes.copyToArray(evil, 12)
+    evil(16) = 0xF0.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0x7F.toByte
+    assert(Audio.decodeWav(evil).isEmpty)
+    // declared size just past the payload end: clean stop, None
+    val overrun = evil.clone()
+    overrun(16) = 60; overrun(17) = 0; overrun(18) = 0; overrun(19) = 0
+    assert(Audio.decodeWav(overrun).isEmpty)
+    // and through the distributed path: an audit row, not a task failure
+    val media = Multimodal.ingest(
+      Seq((1L, evil, "audio/wav")).toDF("id", "payload", "mt"),
+      "id", "payload", "mt")
+    val rows = Audio.audioFeatures(spark, media).collect()
+    assert(rows.length == 1 && !rows.head.decoded)
+  }
+
   test("truncated data chunk clamps to the last whole frame, still decodes") {
     val full = Audio.encodeWav16(Array.tabulate(100)(i => i * 10), 8000, 1)
     // cut mid-sample: 44-byte header + 31 data bytes = 15 whole frames

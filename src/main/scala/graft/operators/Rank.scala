@@ -38,17 +38,46 @@ import org.apache.spark.storage.StorageLevel
   * evicted partition recomputes to identical ids.
   *
   * Preconditions (documented, asserted where cheap): the partition
-  * key is non-null (equi-join attaches the offsets) and `orderCols`
+  * key is non-null (equi-join attaches the offsets), `orderCols`
   * totally order rows within a key (include a unique tiebreaker) —
-  * the same requirement a deterministic window query has.
+  * the same requirement a deterministic window query has — and the
+  * key is LOW-cardinality, enforced by `maxMetaRows`: the metadata
+  * collect is `limit`-capped so the driver never materializes more
+  * than the cap, and overflow fails loudly naming the
+  * `Window.partitionBy` alternative instead of OOMing the driver.
   */
 object Rank {
+
+  /** The low-cardinality precondition, enforced: the driver-side
+    * metadata collect is bounded by numPartitions x |distinct keys|
+    * under a PRECONDITION nothing upstream asserts — a caller who
+    * hands a high-cardinality key (a member id, a url) to what was
+    * designed for statuses/flags would silently collect the whole
+    * group structure onto the driver. `limit(cap + 1)` bounds what
+    * the driver materializes BY CONSTRUCTION (the aggregate still
+    * runs distributed; at most cap+1 skinny rows come back), and the
+    * overflow fails with the plan the caller should use instead.
+    */
+  private def boundedMeta(grouped: DataFrame, cap: Int, op: String): Array[Row] = {
+    val meta = grouped.limit(cap + 1).collect()
+    if (meta.length > cap) throw new IllegalArgumentException(
+      s"$op: more than $cap (partition, key) metadata rows — the " +
+        "partition key is high-cardinality, and the distributed-rank " +
+        "decomposition only pays off for LOW-cardinality keys (its " +
+        "per-(partition, key) offsets are broadcast from the driver). " +
+        "Use Window.partitionBy(key).orderBy(...) instead — with many " +
+        "distinct keys the hash-partitioned window is already " +
+        "parallel and has no stragglers — or raise maxMetaRows if the " +
+        "key really is bounded.")
+    meta
+  }
 
   /** Adds `rankCol` (1-based rank of the row within its `keyCol`
     * group under `orderCols`) and `nCol` (total rows in the group).
     */
   def keyedRank(df: DataFrame, keyCol: String, orderCols: Seq[Column],
-                rankCol: String = "rank", nCol: String = "key_n"): DataFrame = {
+                rankCol: String = "rank", nCol: String = "key_n",
+                maxMetaRows: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     val sortCols = col(keyCol) +: orderCols
     val numParts = spark.sessionState.conf.numShufflePartitions
@@ -59,10 +88,12 @@ object Rank {
       .withColumn("__pos", monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Metadata pass: bounded by numPartitions x |distinct keys|.
-    val meta = sorted.groupBy(col("__pid"), col(keyCol))
-      .agg(count(lit(1)).as("__n"), min(col("__pos")).as("__first_pos"))
-      .collect()
+    // Metadata pass: bounded by numPartitions x |distinct keys|,
+    // loudly gated (boundedMeta) rather than assumed.
+    val meta = boundedMeta(
+      sorted.groupBy(col("__pid"), col(keyCol))
+        .agg(count(lit(1)).as("__n"), min(col("__pos")).as("__first_pos")),
+      maxMetaRows, "keyedRank")
 
     // Driver-side prefix sums per key, in partition order.
     val byKey = meta.groupBy(_.get(1))
@@ -119,7 +150,8 @@ object Rank {
     */
   def keyedPrefixSum(df: DataFrame, keyCols: Seq[String],
                      orderCols: Seq[Column], valueCol: String,
-                     sumCol: String = "prefix_sum"): DataFrame = {
+                     sumCol: String = "prefix_sum",
+                     maxMetaRows: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     val numParts = spark.sessionState.conf.numShufflePartitions
     val sortCols = keyCols.map(col) ++ orderCols
@@ -146,10 +178,12 @@ object Rank {
     }(Encoders.row(localSchema))
 
     // Metadata pass: per (partition, key) totals, bounded by
-    // numPartitions x |keys| (+1 for the keyless global stream).
-    val meta = sorted.groupBy(col("__pid") +: keyCols.map(col): _*)
-      .agg(sum(coalesce(col("__val"), lit(0L))).as("__n"))
-      .collect()
+    // numPartitions x |keys| (+1 for the keyless global stream),
+    // loudly gated (boundedMeta) rather than assumed.
+    val meta = boundedMeta(
+      sorted.groupBy(col("__pid") +: keyCols.map(col): _*)
+        .agg(sum(coalesce(col("__val"), lit(0L))).as("__n")),
+      maxMetaRows, "keyedPrefixSum")
     val byKey = meta.groupBy(r => keyCols.indices.map(i => r.get(1 + i)))
     val offsetRows = byKey.iterator.flatMap { case (key, rows) =>
       require(!key.contains(null),

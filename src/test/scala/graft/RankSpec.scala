@@ -74,6 +74,26 @@ class RankSpec extends SparkSpec {
     assert(got.count() === 3000)
   }
 
+  test("high-cardinality key fails loudly naming the window alternative") {
+    // a per-row key is exactly the misuse the gate exists for: the
+    // metadata collect would be numPartitions x n rows
+    val df = (1 to 500).map(i => (s"user_$i", i.toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    val exRank = intercept[IllegalArgumentException] {
+      Rank.keyedRank(df, "k", Seq(col("v"), col("id")), maxMetaRows = 100)
+    }
+    assert(exRank.getMessage.contains("Window.partitionBy"))
+    assert(exRank.getMessage.contains("maxMetaRows"))
+    val exSum = intercept[IllegalArgumentException] {
+      Rank.keyedPrefixSum(df, Seq("k"), Seq(col("id")), "v",
+        maxMetaRows = 100)
+    }
+    assert(exSum.getMessage.contains("Window.partitionBy"))
+    // the same data under the default cap still works (sanity: the
+    // gate bounds the driver, it does not change results)
+    assert(Rank.keyedRank(df, "k", Seq(col("v"), col("id"))).count() === 500)
+  }
+
   test("keyedRank rejects null keys loudly") {
     val withNull = Seq((null.asInstanceOf[String], 1.0, 1L), ("A", 2.0, 2L))
       .toDF("k", "v", "id")

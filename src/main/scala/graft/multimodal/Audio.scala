@@ -291,24 +291,52 @@ object Audio {
     * calling (see mm_phash_dedup's note).
     */
   def audioPairs(spark: SparkSession, media: DataFrame,
-                 maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
-    val feats = audioFeatures(spark, media).toDF()
+                 maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
+    SigPairs.hammingPairs(ehashFeats(spark, media).persist(),
+      maxHamming, maxBucket)
+
+  /** GROUP-contract near-dup audio edges — [[audioPairs]]' scale
+    * form, via [[graft.operators.SigPairs.hammingStarEdges]]: per
+    * eHash one canonical clip plus star edges, one edge per verified
+    * hash pair. Output is O(clips + hash pairs) even for a
+    * million-copy re-encoded clump (identical eHash, different
+    * bytes); connected components and resolve survivorship are
+    * identical to the all-pairs form. This is the contract
+    * mm_audio_dedup ships.
+    */
+  def audioStarEdges(spark: SparkSession, media: DataFrame,
+                     maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
+    SigPairs.hammingStarEdges(ehashFeats(spark, media).persist(),
+      maxHamming, maxBucket)
+
+  /** The skinny (id, sig=eHash) frame the pairing kernels and the
+    * bucket audit consume. NOT persisted: the caller owns the
+    * lifecycle — persist once, share between pairing and
+    * [[droppedAudioBuckets]] (one decode), unpersist after
+    * materializing. (The media-taking conveniences persist
+    * internally and leave release to LRU /
+    * `spark.catalog.clearCache()`; loops should use this form.)
+    */
+  def ehashFeats(spark: SparkSession, media: DataFrame): DataFrame =
+    audioFeatures(spark, media).toDF()
       .filter(col("decoded"))
       .select(col("mediaId").as("id"), col("eHash").as("sig"))
-      .persist() // decode once; reused by intra pairs, banding, expansion
-    SigPairs.hammingPairs(feats, maxHamming, maxBucket)
-  }
 
-  /** Audit of band buckets [[audioPairs]] drops for exceeding
-    * `maxBucket` distinct signatures (re-decodes; run on demand).
+  /** Audit of the band buckets the pairing kernels drop for
+    * exceeding `maxBucket` distinct signatures. Pass the same
+    * persisted [[ehashFeats]] frame the pairing call used: audit and
+    * pairing share one decode and cannot drift.
+    */
+  def droppedAudioBuckets(feats: DataFrame, maxBucket: Int): DataFrame =
+    SigPairs.droppedBuckets(feats, maxBucket, reason = "audio_bucket_dropped")
+
+  /** Convenience form re-deriving the feats frame from `media` —
+    * re-decodes; prefer the feats-taking overload when a pairing
+    * call already decoded.
     */
   def droppedAudioBuckets(spark: SparkSession, media: DataFrame,
                           maxBucket: Int = 100000): DataFrame =
-    SigPairs.droppedBuckets(
-      audioFeatures(spark, media).toDF()
-        .filter(col("decoded"))
-        .select(col("mediaId").as("id"), col("eHash").as("sig")),
-      maxBucket, reason = "audio_bucket_dropped")
+    droppedAudioBuckets(ehashFeats(spark, media), maxBucket)
 
   /** Deterministic mono 16-bit WAV from a seed — the audio fixture
     * generator (the test corpus has no audio bytes; a real corpus

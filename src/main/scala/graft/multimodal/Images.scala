@@ -256,27 +256,57 @@ object Images {
     * calling (see mm_phash_dedup).
     */
   def phashPairs(spark: SparkSession, media: DataFrame,
-                 maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
-    val feats = imageFeatures(spark, media).toDF()
+                 maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
+    SigPairs.hammingPairs(dhashFeats(spark, media).persist(),
+      maxHamming, maxBucket)
+
+  /** GROUP-contract near-dup image edges — [[phashPairs]]' scale
+    * form, via [[graft.operators.SigPairs.hammingStarEdges]]: per
+    * dHash one canonical image plus star edges, one edge per
+    * verified hash pair. Output is O(images + hash pairs) even when
+    * a single image has a million re-encoded copies (identical
+    * dHash, different bytes — the clump exact byte dedup cannot
+    * pre-collapse); connected components and resolve survivorship
+    * are identical to the all-pairs form. This is the contract
+    * mm_phash_dedup ships.
+    */
+  def phashStarEdges(spark: SparkSession, media: DataFrame,
+                     maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
+    SigPairs.hammingStarEdges(dhashFeats(spark, media).persist(),
+      maxHamming, maxBucket)
+
+  /** The skinny (id, sig=dHash) frame the pairing kernels and the
+    * bucket audit consume — decode output projected to 16 bytes per
+    * image. NOT persisted: the caller owns the lifecycle. Persist it
+    * once and share it between [[graft.operators.SigPairs
+    * .hammingStarEdges]] and [[droppedPhashBuckets]] so pairing and
+    * audit pay ONE decode, and unpersist after materializing the
+    * results. (The media-taking conveniences above persist
+    * internally and leave release to LRU /
+    * `spark.catalog.clearCache()` — fine for one-shot queries, a
+    * leak if called in a loop; loops should use this form.)
+    */
+  def dhashFeats(spark: SparkSession, media: DataFrame): DataFrame =
+    imageFeatures(spark, media).toDF()
       .filter(col("decoded"))
       .select(col("mediaId").as("id"), col("dHash").as("sig"))
-      .persist() // decode once; reused by intra pairs, banding, expansion
-    SigPairs.hammingPairs(feats, maxHamming, maxBucket)
-  }
 
-  /** Audit of the band buckets [[phashPairs]] drops for exceeding
-    * `maxBucket` distinct signatures — one failure-log-shaped row
-    * per over-full (band, bucket), computed with the same decode +
-    * banding so the two can't drift. Run it when bucket drops
-    * matter, not on every call — it re-decodes.
+  /** Audit of the band buckets the pairing kernels drop for
+    * exceeding `maxBucket` distinct signatures — one
+    * failure-log-shaped row per over-full (band, bucket). Pass the
+    * same persisted [[dhashFeats]] frame the pairing call used:
+    * audit and pairing then share one decode and cannot drift.
+    */
+  def droppedPhashBuckets(feats: DataFrame, maxBucket: Int): DataFrame =
+    SigPairs.droppedBuckets(feats, maxBucket, reason = "phash_bucket_dropped")
+
+  /** Convenience form re-deriving the feats frame from `media` —
+    * re-decodes; prefer the feats-taking overload when a pairing
+    * call already decoded.
     */
   def droppedPhashBuckets(spark: SparkSession, media: DataFrame,
                           maxBucket: Int = 100000): DataFrame =
-    SigPairs.droppedBuckets(
-      imageFeatures(spark, media).toDF()
-        .filter(col("decoded"))
-        .select(col("mediaId").as("id"), col("dHash").as("sig")),
-      maxBucket, reason = "phash_bucket_dropped")
+    droppedPhashBuckets(dhashFeats(spark, media), maxBucket)
 
   /** Partition-wise real decode -> feature extraction. Undecodable
     * payloads (corrupt, truncated, or not an image at all) yield a

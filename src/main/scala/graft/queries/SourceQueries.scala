@@ -290,10 +290,13 @@ object SourceQueries {
     // bytes — mm_dedup's exact byte hash misses it; same cell
     // ordering — dHash lands at Hamming ~0), and identical-text docs
     // yield byte-identical PNGs (Hamming 0). dHash-band LSH with the
-    // SimHash pigeonhole guarantee, skinny-id bucket join, exact
-    // Hamming verify — one shuffle family, never O(n²). Rows-only
-    // oracle (needs image decode); ImagesSpec pins the pair
-    // semantics on fixtures.
+    // SimHash pigeonhole guarantee, exact Hamming verify, and the
+    // GROUP output contract (SigPairs.hammingStarEdges): per-hash
+    // canonical image + star edges, so output is O(images + hash
+    // pairs) even for a million-copy re-encode clump — never O(n²)
+    // anywhere, input or output. Rows-only oracle (needs image
+    // decode); ImagesSpec pins the pair semantics on fixtures and
+    // proves component-equivalence with the all-pairs form.
     "mm_phash_dedup" -> ((s, d) => {
       import s.implicits._
       val variantOffset = 100000000L
@@ -319,7 +322,7 @@ object SourceQueries {
           }
         }
         .toDF("media_id", "payload")
-      Images.phashPairs(s, payloads, maxHamming = 3)
+      Images.phashStarEdges(s, payloads, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -365,10 +368,12 @@ object SourceQueries {
     // mm_dedup's exact byte hash misses it; same window-energy
     // ordering — eHash lands at Hamming ~0), and identical-text docs
     // yield byte-identical WAVs (Hamming 0). Same shared SigPairs
-    // kernel as mm_phash_dedup: exact-signature collapse + occupancy-
-    // gated 16-bit-band LSH + exact Hamming verify — one shuffle
-    // family, never O(n²). Rows-only oracle (needs audio decode);
-    // AudioSpec pins the pair semantics on fixtures.
+    // kernel as mm_phash_dedup: occupancy-gated 16-bit-band LSH +
+    // exact Hamming verify + the GROUP output contract
+    // (hammingStarEdges) — O(clips + hash pairs) output even for a
+    // million-copy re-encode clump, never O(n²) anywhere. Rows-only
+    // oracle (needs audio decode); AudioSpec pins the pair semantics
+    // on fixtures and proves component-equivalence with all-pairs.
     "mm_audio_dedup" -> ((s, d) => {
       import s.implicits._
       val variantOffset = 100000000L
@@ -393,7 +398,7 @@ object SourceQueries {
           }
         }
         .toDF("media_id", "payload")
-      Audio.audioPairs(s, payloads, maxHamming = 3)
+      Audio.audioStarEdges(s, payloads, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }))
 

@@ -66,6 +66,112 @@ object Multimodal {
         lit(0).as("sample_rate_hz")).as("meta"),
       col(payloadCol).cast("binary").as("payload"))
 
+  /** Content-based payload type detection by magic numbers — the
+    * content-true form of the reference's filename-pattern dispatch
+    * (`pattern_based_watcher.py:31` routes on extension; a renamed
+    * `.jpg` inside a tar lies, leading bytes don't). Checks are
+    * strict on purpose: a full 8-byte PNG signature, RIFF+WAVE (not
+    * just RIFF), GIF87a/GIF89a, and BMP only when the DIB header
+    * size field is a known value — so arbitrary text/binary payloads
+    * essentially never false-positive into a decoder.
+    */
+  def sniffMediaType(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 3) return "application/octet-stream"
+    def u8(i: Int) = bytes(i) & 0xFF
+    // JPEG: FF D8 FF (SOI + first marker byte)
+    if (u8(0) == 0xFF && u8(1) == 0xD8 && u8(2) == 0xFF) return "image/jpeg"
+    if (bytes.length >= 8 &&
+      u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+      u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A)
+      return "image/png"
+    if (bytes.length >= 6 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+      u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      return "image/gif"
+    if (bytes.length >= 12 &&
+      u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+      u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E')
+      return "audio/wav"
+    // BMP: 'BM' alone is two printable chars — require a known DIB
+    // header size at offset 14 (BITMAPCOREHEADER..BITMAPV5HEADER)
+    if (bytes.length >= 18 && u8(0) == 'B' && u8(1) == 'M') {
+      val dib = u8(14).toLong | (u8(15).toLong << 8) |
+        (u8(16).toLong << 16) | (u8(17).toLong << 24)
+      if (dib == 12L || dib == 40L || dib == 52L || dib == 56L ||
+        dib == 64L || dib == 108L || dib == 124L) return "image/bmp"
+    }
+    "application/octet-stream"
+  }
+
+  /** One row per payload from the content-routed decode: the sniffed
+    * type, whether the routed decoder succeeded, and that decoder's
+    * features (image fields for image/*, audio fields for audio/wav,
+    * digest for everything else; non-applicable fields are zeroed
+    * and `decoded` + `sniffedType` say which block is live).
+    */
+  case class RoutedFeatures(mediaId: Long, declaredType: String,
+                            sniffedType: String, decoded: Boolean,
+                            nBytes: Long,
+                            width: Int, height: Int, meanLuma: Double,
+                            aHash: Long, dHash: Long,
+                            sampleRate: Int, channels: Int, nFrames: Long,
+                            durationSec: Double, rms: Double, eHash: Long,
+                            digest: Array[Float])
+
+  /** Content-routed decode: sniff each payload's real type from its
+    * leading bytes and send it to the matching REAL decoder —
+    * [[Images.decode]] for image/*, [[Audio.decodeWav]] for
+    * audio/wav, the generic byte-digest for anything else. This
+    * retires the old digest-everything path: a mixed-modality corpus
+    * (e.g. a crawl dump where extensions lie) gets per-payload
+    * perceptual features without any caller-side routing. Row-local
+    * mapPartitions, no shuffle; a payload that sniffs as a media
+    * type but fails its decoder yields `decoded = false` (the audit
+    * path, never a task failure). The generic digest always
+    * succeeds, so its rows carry `decoded = true`.
+    */
+  def routedFeatures(spark: SparkSession, media: DataFrame,
+                     digestDims: Int = 8): Dataset[RoutedFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("meta.media_type").as("media_type"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, declared, bytes) =>
+          val safe = if (bytes == null) Array.emptyByteArray else bytes
+          val sniffed = sniffMediaType(safe)
+          val zero = RoutedFeatures(id, declared, sniffed, decoded = false,
+            safe.length.toLong, 0, 0, 0.0, 0L, 0L, 0, 0, 0L, 0.0, 0.0, 0L,
+            Array.emptyFloatArray)
+          sniffed match {
+            case t if t.startsWith("image/") =>
+              Images.decode(safe) match {
+                case Some(img) =>
+                  zero.copy(decoded = true,
+                    width = img.getWidth, height = img.getHeight,
+                    meanLuma = Images.grayGrid(img, 1, 1)(0),
+                    aHash = Images.aHash(img), dHash = Images.dHash(img))
+                case None => zero
+              }
+            case "audio/wav" =>
+              val wav = try Audio.decodeWav(safe)
+              catch { case scala.util.control.NonFatal(_) => None }
+              wav match {
+                case Some(w) =>
+                  val f = Audio.features(id, w)
+                  zero.copy(decoded = true, sampleRate = f.sampleRate,
+                    channels = f.channels, nFrames = f.nFrames,
+                    durationSec = f.durationSec, rms = f.rms,
+                    eHash = f.eHash)
+                case None => zero
+              }
+            case _ =>
+              zero.copy(decoded = true,
+                digest = FakeDecoder.decode(safe, digestDims))
+          }
+        }
+      }
+  }
+
   case class Frame(mediaId: Long, frameIdx: Int, offset: Long,
                    frame: Array[Byte])
 

@@ -104,7 +104,7 @@ object Multimodal {
 
   /** One row per payload from the content-routed decode: the sniffed
     * type, whether the routed decoder succeeded, and that decoder's
-    * features (image fields for image/*, audio fields for audio/wav,
+    * features (image fields for image types, audio fields for audio/wav,
     * digest for everything else; non-applicable fields are zeroed
     * and `decoded` + `sniffedType` say which block is live).
     */
@@ -119,7 +119,7 @@ object Multimodal {
 
   /** Content-routed decode: sniff each payload's real type from its
     * leading bytes and send it to the matching REAL decoder —
-    * [[Images.decode]] for image/*, [[Audio.decodeWav]] for
+    * [[Images.decode]] for any image type, [[Audio.decodeWav]] for
     * audio/wav, the generic byte-digest for anything else. This
     * retires the old digest-everything path: a mixed-modality corpus
     * (e.g. a crawl dump where extensions lie) gets per-payload
@@ -131,6 +131,7 @@ object Multimodal {
     */
   def routedFeatures(spark: SparkSession, media: DataFrame,
                      digestDims: Int = 8): Dataset[RoutedFeatures] = {
+    require(digestDims > 0, s"digestDims must be positive, got $digestDims")
     import spark.implicits._
     media.select(col("media_id"), col("meta.media_type").as("media_type"),
         col("payload"))

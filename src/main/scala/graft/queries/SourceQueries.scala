@@ -235,18 +235,54 @@ object SourceQueries {
         .orderBy(col("media_id_kept"))
     }),
 
-    // Partition-wise decode (stubbed) -> fixed-width features.
+    // Content-ROUTED decode over a MIXED-modality corpus: each
+    // payload's leading BYTES pick the decoder (Multimodal
+    // .sniffMediaType -> Images.decode / Audio.decodeWav / byte
+    // digest), the content-true form of the reference's filename
+    // dispatch (pattern_based_watcher.py:31 routes on extension).
+    // The corpus exercises every routing outcome: real PNGs, real
+    // WAVs, plain text (digest path), PNG bytes under a LYING
+    // "audio/wav" declared type (content routing wins), and a bare
+    // 8-byte PNG magic with no body (sniffs image/png, decode fails
+    // -> decoded=false audit row, never a task failure). Output is
+    // the per-modality audit: (declared, sniffed, decoded) counts +
+    // per-decoder feature sums, the table an operator watches to spot
+    // producers whose extensions lie. Row-local mapPartitions, no
+    // shuffle; decode parallelism = scan parallelism at any scale.
+    // Rows-only oracle (SQL engines can't decode PNG/WAV);
+    // MultimodalSpec pins the routing matrix on hand-built payloads.
     "mm_features" -> ((s, d) => {
-      val media = Multimodal.ingest(
-        Tables.documents(s, d).select(col("doc_id"),
-          col("text").cast("binary").as("payload"),
-          lit("text/plain").as("mt")),
-        "doc_id", "payload", "mt")
-      Multimodal.extractFeatures(s, media).toDF()
-        .select(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
-          col("checksum"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
-        .orderBy(col("media_id"))
+      import s.implicits._
+      val pngMagicOnly = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte)
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val seed = Option(text).getOrElse("").getBytes("UTF-8")
+            val (bytes, declared) = (id % 5) match {
+              case 0 => (Images.deterministicPng(seed), "image/png")
+              case 1 => (Audio.deterministicWav(seed, nFrames = 512),
+                "audio/wav")
+              case 2 => (seed, "text/plain")
+              case 3 => (Images.deterministicPng(seed), "audio/wav") // lies
+              case _ => (pngMagicOnly, "image/png") // truncated: no body
+            }
+            (id, bytes, declared)
+          }
+        }
+        .toDF("doc_id", "payload", "mt")
+      val media = Multimodal.ingest(payloads, "doc_id", "payload", "mt")
+      Multimodal.routedFeatures(s, media).toDF()
+        .groupBy(col("declaredType").as("declared_type"),
+          col("sniffedType").as("sniffed_type"), col("decoded"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("nBytes")).cast("long").as("sum_bytes"),
+          sum(col("width")).cast("long").as("sum_width"),
+          sum(col("nFrames")).cast("long").as("sum_frames"),
+          round(sum(col("rms")), 4).as("sum_rms"))
+        .orderBy(col("declared_type"), col("sniffed_type"), col("decoded"))
     }),
 
     // REAL image decode (JDK javax.imageio, no external libs): each

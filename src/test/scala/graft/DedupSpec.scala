@@ -220,6 +220,25 @@ class DedupSpec extends SparkSpec {
       s"wrong resolution: $got")
   }
 
+  test("resolve over a parquet-persisted edge frame matches the inline frame") {
+    // the dedup_resolve query persists the pair kernel's output once
+    // and resolves from the parquet read — same answer, minus a
+    // kernel re-derivation (~60 s at sf10)
+    val embs = graft.Tables.embeddings(spark, sf0001)
+    val inline = Dedup.embeddingPairs(embs, "vec_id", "embedding",
+      minCosine = 0.4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_edges_spec")
+    inline.write.mode("overwrite").parquet(dir.toString)
+    val persisted = spark.read.parquet(dir.toString)
+    def summarize(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.resolve(embs.select(col("vec_id")), pairs, "vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(t => (t._1, t._2))
+        .toSeq
+    assert(summarize(persisted) == summarize(inline))
+  }
+
   test("embedding pairs pass threshold on rounded cosine") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -478,24 +478,54 @@ object Sources {
       // orders.csv — or one the stream hasn't archived yet): NEVER
       // clobber it, and never defer forever either — the stream has
       // checkpointed the old name, so a deferral would starve the new
-      // data on every subsequent pass. Stage under a collision-proof
-      // name instead (uuid before the extension); file streams key on
-      // path, so the renamed file is a brand-new input.
-      val dst =
-        if (!fs.exists(plain)) plain
-        else {
-          val name = src.getName
-          val (stem, ext) = name.lastIndexOf('.') match {
-            case -1 => (name, "")
-            case i  => (name.substring(0, i), name.substring(i))
+      // data on every subsequent pass. First compare content: a
+      // producer RETRY of the identical bytes (the reference's mtime
+      // set would not reprocess it) is dropped from the landing dir
+      // and never becomes a second stream input. Only genuinely NEW
+      // bytes under an old name are staged, under a collision-proof
+      // name (uuid before the extension); file streams key on path,
+      // so the renamed file is a brand-new input.
+      if (fs.exists(plain) && sameContent(fs, src, plain)) {
+        fs.delete(src, false)
+        None
+      } else {
+        val dst =
+          if (!fs.exists(plain)) plain
+          else {
+            val name = src.getName
+            val (stem, ext) = name.lastIndexOf('.') match {
+              case -1 => (name, "")
+              case i  => (name.substring(0, i), name.substring(i))
+            }
+            new Path(stage,
+              s"$stem-${java.util.UUID.randomUUID.toString.take(8)}$ext")
           }
-          new Path(stage,
-            s"$stem-${java.util.UUID.randomUUID.toString.take(8)}$ext")
-        }
-      if (!fs.rename(src, dst)) { deferred += f; None }
-      else Some(dst.toString)
+        if (!fs.rename(src, dst)) { deferred += f; None }
+        else Some(dst.toString)
+      }
     }
     (staged, deferred.toSeq)
+  }
+
+  /** Byte-identical check for the staging pass's benign-retry drop:
+    * length compare first (free, from file status — rejects almost
+    * every real new-data drop), then a streamed MD5 of each side.
+    * The checksum read costs one pass over a file that was about to
+    * be ingested anyway, and only runs on a length tie.
+    */
+  private def sameContent(fs: FileSystem, a: Path, b: Path): Boolean = {
+    if (fs.getFileStatus(a).getLen != fs.getFileStatus(b).getLen) return false
+    def md5(p: Path): Seq[Byte] = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](65536)
+        var read = in.read(buf)
+        while (read > 0) { digest.update(buf, 0, read); read = in.read(buf) }
+      } finally in.close()
+      digest.digest().toIndexedSeq
+    }
+    md5(a) == md5(b)
   }
 
   /** Gate a concrete file list — shared by [[fileGate]] (batch

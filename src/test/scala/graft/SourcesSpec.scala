@@ -273,4 +273,34 @@ class SourcesSpec extends SparkSpec {
     assert(Files.readString(stage.resolve(newName)) == "a\n2\n")
     assert(!Files.exists(landing.resolve("orders.csv")))
   }
+
+  test("stableStagingPass drops a byte-identical re-drop, stages changed bytes") {
+    val landing = Files.createTempDirectory("graft_landing_retry")
+    val stage = Files.createTempDirectory("graft_stage_retry").resolve("watched")
+    Files.writeString(landing.resolve("orders.csv"), "a\n1\n")
+    val (staged1, _) = Sources.stableStagingPass(
+      spark, landing.toString, stage.toString, stableMillis = 1)
+    assert(staged1.size == 1)
+    // a producer RETRY re-drops the identical bytes: it must ingest
+    // ONCE — the retry is consumed from landing and never staged (the
+    // reference's mtime set would not reprocess it either)
+    Files.writeString(landing.resolve("orders.csv"), "a\n1\n")
+    val (staged2, deferred2) = Sources.stableStagingPass(
+      spark, landing.toString, stage.toString, stableMillis = 1)
+    assert(staged2.isEmpty && deferred2.isEmpty,
+      s"identical retry re-ingested: staged=$staged2 deferred=$deferred2")
+    assert(!Files.exists(landing.resolve("orders.csv")), "retry not consumed")
+    val stagedNames = Files.list(stage).iterator()
+    assert({ var n = 0; while (stagedNames.hasNext) { n += 1; stagedNames.next() }; n } == 1,
+      "watched dir must hold exactly the one original generation")
+    // same name + same LENGTH but different bytes: both must ingest
+    Files.writeString(landing.resolve("orders.csv"), "a\n2\n")
+    val (staged3, deferred3) = Sources.stableStagingPass(
+      spark, landing.toString, stage.toString, stableMillis = 1)
+    assert(deferred3.isEmpty && staged3.size == 1,
+      s"changed-bytes drop lost: staged=$staged3 deferred=$deferred3")
+    val newName = new org.apache.hadoop.fs.Path(staged3.head).getName
+    assert(newName != "orders.csv", "changed bytes must not clobber")
+    assert(Files.readString(stage.resolve(newName)) == "a\n2\n")
+  }
 }

@@ -195,6 +195,77 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** GROUP-contract MinHash near-dup edges — [[minhashPairs]]' pair
+    * semantics with [[SigPairs.hammingStarEdges]]' output shape:
+    * per identical-signature group, a canonical representative (min
+    * id) with member→representative star edges (est_jaccard 1.0 —
+    * identical signatures estimate 1 by construction), plus ONE edge
+    * per candidate representative pair with the usual estimate.
+    * Output is O(docs + distinct-sig candidate pairs): an m-copy
+    * near-exact clump (identical signature, e.g. boilerplate pages
+    * whose differences vanish in shingling) emits m−1 rows where
+    * [[minhashPairs]] emits m(m−1)/2. Connected components — hence
+    * [[resolve]] survivorship — are identical (spec'd in DedupSpec).
+    *
+    * Cost shape: ONE extra array-keyed shuffle (the window that
+    * assigns representatives) on top of [[minhashPairs]]' skinny-id
+    * band join, which then runs over DISTINCT signatures only. Per
+    * the r6 measured rule (SCALING.md): on clump-free corpora the
+    * extra stage is pure overhead — keep [[minhashPairs]] as the
+    * default there, and reach for this form when the corpus carries
+    * near-exact clumps that [[exact]] cannot pre-collapse (identical
+    * signature but different bytes).
+    */
+  def minhashStarEdges(docs: DataFrame, idCol: String, textCol: String,
+                       perms: Int = 64, bands: Int = 16,
+                       shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = perms / bands
+    // one array-keyed shuffle assigns every doc its signature-group
+    // representative; persisted — read by intra edges, reps, and the
+    // estimate attachment
+    val sigs = minhashSignatures(docs, idCol, textCol, perms, shingleSize)
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("sig"))))
+      .persist()
+    val intra = sigs.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+    val reps = sigs.filter(col("id") === col("rep"))
+      .select(col("id"), col("sig"))
+    // minhashPairs' skinny-id band join, over DISTINCT signatures
+    val exploded = reps
+      .select(col("id"), explode(H.minhashBands(col("sig"), bands, rows)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bucket"))
+    val cand = exploded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(exploded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val cross = cand
+      .join(reps.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        H.minhashEstimate(col("sig_a"), col("sig_b"), perms).as("est_jaccard"))
+    intra.unionByName(cross)
+  }
+
+  /** GROUP-contract SimHash near-dup edges (id_a, id_b, hamming):
+    * [[simhashPairs]]' semantics through the modality-independent
+    * [[SigPairs.hammingStarEdges]] kernel — the signature is already
+    * a skinny 64-bit long, which is exactly the kernel's input shape.
+    * Output is O(docs + verified sig pairs); components match the
+    * all-pairs form (kernel contract, spec'd). Same usage rule as
+    * [[minhashStarEdges]]: [[simhashPairs]] stays the flat-corpus
+    * default (the r6 A/B measured the kernel's extra stages 3-8×
+    * slower when no clump is present — SCALING.md); this form is for
+    * corpora with near-exact clumps exact byte dedup can't collapse.
+    */
+  def simhashStarEdges(docs: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 3): DataFrame =
+    SigPairs.hammingStarEdges(
+      simhashSignatures(docs, idCol, textCol).persist(), maxHamming)
+
   /** Exact n-gram Jaccard verification over candidate pairs:
     * |A ∩ B| / |A ∪ B| on distinct shingle sets. `candidates` must
     * have (id_a, id_b); shingle sets are joined in (two broadcast-or-

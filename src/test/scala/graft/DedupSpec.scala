@@ -77,6 +77,40 @@ class DedupSpec extends SparkSpec {
     assert(rows.length == rows.map(p => (p._1, p._2)).distinct.length)
   }
 
+  test("star-edge text kernels: planted clump emits O(k) rows, same components") {
+    // 40-copy near-exact clump: identical text, so identical minhash
+    // AND simhash signatures — this clump exact byte dedup COULD
+    // pre-collapse, but at corpus scale the same signature collision
+    // comes from boilerplate whose byte differences vanish in
+    // shingling/tokenization, which it cannot. Plus a near-dup and an
+    // unrelated singleton so cross edges and non-edges both appear.
+    val clumped = (Seq.tabulate(40)(i => (100L + i, base)) ++
+      Seq((10L, nearDup), (20L, unrelated))).toDF("doc_id", "text")
+    def labels(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.components(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val mhPairs = Dedup.minhashPairs(clumped, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+    val mhStar = Dedup.minhashStarEdges(clumped, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+    val (nPairs, nStar) = (mhPairs.count(), mhStar.count())
+    assert(nPairs >= 40L * 39 / 2, s"all-pairs should be quadratic: $nPairs")
+    assert(nStar <= 45, s"star output should be linear in the clump: $nStar")
+    assert(labels(mhStar) == labels(mhPairs),
+      "minhash star edges changed the connected components")
+
+    val shPairs = Dedup.simhashPairs(clumped, "doc_id", "text")
+      .select(col("id_a"), col("id_b"))
+    val shStar = Dedup.simhashStarEdges(clumped, "doc_id", "text")
+      .select(col("id_a"), col("id_b"))
+    val (nShPairs, nShStar) = (shPairs.count(), shStar.count())
+    assert(nShPairs >= 40L * 39 / 2, s"all-pairs should be quadratic: $nShPairs")
+    assert(nShStar <= 45, s"star output should be linear in the clump: $nShStar")
+    assert(labels(shStar) == labels(shPairs),
+      "simhash star edges changed the connected components")
+  }
+
   test("jaccard verify gives 1.0 for exact dups, high for near-dups") {
     val cands = Seq((1L, 4L), (1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val out = Dedup.jaccardVerify(corpus, cands, "doc_id", "text")

@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same per-query cache discipline as Bench: operators persist()
+      // intermediates and leave release to LRU, so a 100+-query run
+      // would otherwise accumulate every query's frames and make later
+      // queries pay eviction/spill for earlier ones'
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -358,6 +358,11 @@ object SourceQueries {
           }
         }
         .toDF("media_id", "payload")
+      // media-taking convenience form: its internally-persisted feats
+      // frame is released by the per-query clearCache in Bench/Verify
+      // (one-shot query lifecycle); loops over many corpora should
+      // use the feats-taking form + explicit unpersist instead
+      // (Images.dhashFeats doc)
       Images.phashStarEdges(s, payloads, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -434,6 +439,8 @@ object SourceQueries {
           }
         }
         .toDF("media_id", "payload")
+      // internally-persisted feats released by Bench/Verify's
+      // per-query clearCache — same lifecycle note as mm_phash_dedup
       Audio.audioStarEdges(s, payloads, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }))

@@ -334,36 +334,12 @@ object SourceQueries {
     // decode); ImagesSpec pins the pair semantics on fixtures and
     // proves component-equivalence with the all-pairs form.
     "mm_phash_dedup" -> ((s, d) => {
-      import s.implicits._
-      val variantOffset = 100000000L
-      // The PNG encode/decode chain is CPU-bound row-local work:
-      // repartition the SKINNY (id, text) frame to cluster
-      // parallelism first, or the whole chain runs at the scan's
-      // file-layout parallelism (the sf10 fixture bin-packs into 2
-      // partitions — measured near-serial before this line).
-      val payloads = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          it.flatMap { case (id, text) =>
-            val seed = Option(text).getOrElse("").getBytes("UTF-8")
-            val base = Images.deterministicPng(seed, size = 16)
-            val variant =
-              if (id % 5 == 0)
-                Images.brighten(base, 1.06).iterator
-                  .map(b => (variantOffset + id, b))
-              else Iterator.empty
-            Iterator((id, base)) ++ variant
-          }
-        }
-        .toDF("media_id", "payload")
       // media-taking convenience form: its internally-persisted feats
       // frame is released by the per-query clearCache in Bench/Verify
       // (one-shot query lifecycle); loops over many corpora should
       // use the feats-taking form + explicit unpersist instead
       // (Images.dhashFeats doc)
-      Images.phashStarEdges(s, payloads, maxHamming = 3)
+      Images.phashStarEdges(s, imageDedupPayloads(s, d), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -416,34 +392,72 @@ object SourceQueries {
     // oracle (needs audio decode); AudioSpec pins the pair semantics
     // on fixtures and proves component-equivalence with all-pairs.
     "mm_audio_dedup" -> ((s, d) => {
-      import s.implicits._
-      val variantOffset = 100000000L
-      // decode/synthesis is CPU-bound row-local work: repartition the
-      // skinny (id, text) frame to cluster parallelism first (same
-      // note as mm_phash_dedup — the sf10 fixture bin-packs into 2
-      // scan partitions otherwise)
-      val payloads = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          it.flatMap { case (id, text) =>
-            val seed = Option(text).getOrElse("").getBytes("UTF-8")
-            val base = Audio.deterministicWav(seed)
-            val variant =
-              if (id % 5 == 0)
-                Audio.gainScale(base, 0.7).iterator
-                  .map(b => (variantOffset + id, b))
-              else Iterator.empty
-            Iterator((id, base)) ++ variant
-          }
-        }
-        .toDF("media_id", "payload")
       // internally-persisted feats released by Bench/Verify's
       // per-query clearCache — same lifecycle note as mm_phash_dedup
-      Audio.audioStarEdges(s, payloads, maxHamming = 3)
+      Audio.audioStarEdges(s, audioDedupPayloads(s, d), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }))
+
+  /** The mm_phash_dedup corpus: one deterministic 16-px PNG per
+    * document plus a brightness-scaled re-encode (different bytes,
+    * dHash-adjacent) for every 5th doc. Shared with
+    * [[graft.StarAb]] so the pair/star A/B measures the exact corpus
+    * the shipped query runs on.
+    *
+    * The PNG encode/decode chain is CPU-bound row-local work:
+    * repartition the SKINNY (id, text) frame to cluster parallelism
+    * first, or the whole chain runs at the scan's file-layout
+    * parallelism (the sf10 fixture bin-packs into 2 partitions —
+    * measured near-serial before this line).
+    */
+  def imageDedupPayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val variantOffset = 100000000L
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val seed = Option(text).getOrElse("").getBytes("UTF-8")
+          val base = Images.deterministicPng(seed, size = 16)
+          val variant =
+            if (id % 5 == 0)
+              Images.brighten(base, 1.06).iterator
+                .map(b => (variantOffset + id, b))
+            else Iterator.empty
+          Iterator((id, base)) ++ variant
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** The mm_audio_dedup corpus: one deterministic mono 16-bit WAV per
+    * document plus a gain-scaled re-encode (different bytes,
+    * eHash-adjacent) for every 5th doc. Shared with [[graft.StarAb]];
+    * same skinny-repartition note as [[imageDedupPayloads]].
+    */
+  def audioDedupPayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val variantOffset = 100000000L
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val seed = Option(text).getOrElse("").getBytes("UTF-8")
+          val base = Audio.deterministicWav(seed)
+          val variant =
+            if (id % 5 == 0)
+              Audio.gainScale(base, 0.7).iterator
+                .map(b => (variantOffset + id, b))
+            else Iterator.empty
+          Iterator((id, base)) ++ variant
+        }
+      }
+      .toDF("media_id", "payload")
+  }
 
   val oracles: Map[String, String] = Map(
     // Fixture bytes are fixed (EtlQueries.gateFixtureDir), so the

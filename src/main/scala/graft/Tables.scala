@@ -26,15 +26,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; read nanos as long and truncate to
-    * micros (matching DuckDB/pyarrow's own ns->us truncation).
+  /** events.parquet's `ts` physical type has varied across driver
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized parquet
+    * reader rejects — read nanos as long, truncate to micros, matching
+    * DuckDB/pyarrow's own ns->us truncation) and TIMESTAMP(MICROS)
+    * without UTC adjustment (read as TIMESTAMP_NTZ — normalize to the
+    * session TimestampType, values unchanged under the UTC session tz).
+    * Dispatch on the type actually read so both generations load
+    * identically.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -38,6 +38,69 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("doc_id_kept"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup of a new BATCH against an existing
+    * CORPUS: returns the batch rows whose content fingerprint does
+    * not appear anywhere in the corpus — the rows an append-only
+    * ingest would actually add. Exact (identical to a plain
+    * left-anti join on the fingerprint), but shaped so NEITHER side
+    * ever rides a shuffle:
+    *
+    *  1. a Bloom filter over the corpus fingerprints (built with
+    *     `DataFrame.stat.bloomFilter`, a tree-aggregated sketch; no
+    *     false negatives) is broadcast and applied row-local to the
+    *     batch. Rows the sketch rejects are DEFINITELY new and pass
+    *     straight through;
+    *  2. the surviving candidates — true re-submissions plus an fpp
+    *     fraction of the batch — are broadcast back against the
+    *     corpus scan to find which fingerprints REALLY exist
+    *     (broadcast hash join, corpus side stays put), and that
+    *     matched set, smaller still, is broadcast for the final
+    *     row-local anti filter of the batch.
+    *
+    * At 100 TB the corpus is scanned (pruned to one column) but never
+    * shuffled, the batch never leaves its partitions, and the only
+    * data that moves is candidates (|true dups| + fpp * |batch|) and
+    * matched fingerprints — versus a full corpus-wide exchange for
+    * the naive anti-join. A deployment builds the corpus sketch once
+    * per ingest epoch and reuses it across batches (the query layer
+    * memoizes it per corpus dir, the ANN-index discipline); size the
+    * sketch via `expectedItems`/`fpp` — 10^9 items at 1% fpp is
+    * ~1.2 GB, the practical broadcast ceiling, beyond which shard the
+    * sketch by fingerprint prefix.
+    *
+    * Intra-batch duplicates are NOT collapsed (both copies of a new
+    * text are returned): batch-internal dedup is [[exact]]'s job and
+    * composes BEFORE this pass, mirroring the reference's
+    * dedup-then-append ingest ordering.
+    *
+    * Output: (idCol, fp) per surviving batch row.
+    */
+  def incrementalNew(corpus: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String,
+                     expectedItems: Long = 1L << 20,
+                     fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val spark = batch.sparkSession
+    val corpusFp = corpus.filter(col(textCol).isNotNull)
+      .select(T.fingerprint(col(textCol)).as("fp"))
+    val batchFp = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
+    val sketch = corpusFp.stat.bloomFilter("fp", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(sketch)
+    // sketch membership is the one per-row op the builtin function set
+    // can't express (the sketch lives in a broadcast, not a column);
+    // row-local, no shuffle, and only the prefilter — exactness never
+    // depends on it
+    val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
+    val candidates = batchFp.filter(mightContain(col("fp")))
+    val matched = corpusFp
+      .join(broadcast(candidates.select(col("fp")).distinct()), Seq("fp"))
+      .select(col("fp")).distinct()
+    batchFp.join(broadcast(matched), Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+  }
+
   /** Spread compute-heavy per-row work across all cores: a small
     * input (one parquet file) otherwise yields one task and the
     * shingle/hash pipeline runs single-threaded. Only widens — a

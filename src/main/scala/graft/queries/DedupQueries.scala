@@ -74,6 +74,22 @@ object DedupQueries {
         .orderBy(col("doc_id_kept"))
     }),
 
+    // Incremental ingest: the odd-id half of the corpus arrives as a
+    // new batch against the even-id half, plus 20 even docs
+    // re-submitted under fresh ids (the planted drops). Bloom
+    // prefilter + broadcast verify — exact vs the oracle's NOT IN,
+    // no corpus or batch shuffle anywhere in the plan.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      Dedup.incrementalNew(corpus, batch, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash LSH candidates on the dup-planted corpus, summarized.
     "dedup_minhash" -> ((s, d) => {
       Dedup.minhashPairs(docsWithDups(s, d), "doc_id", "text")
@@ -240,6 +256,23 @@ object DedupQueries {
         |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |      FROM corpus WHERE text IS NOT NULL)
         |GROUP BY fp ORDER BY doc_id_kept""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id < 40),
+        |bfp AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM batch WHERE text IS NOT NULL)
+        |SELECT doc_id, fp FROM bfp
+        |WHERE fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

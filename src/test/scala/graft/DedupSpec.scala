@@ -297,4 +297,43 @@ class DedupSpec extends SparkSpec {
     // the (1,2) pair appears once per duplicate row of id 1
     assert(out.toSeq.sorted == Seq((1L, 2L), (1L, 2L)))
   }
+
+  test("incrementalNew keeps novel batch rows and drops corpus re-submissions") {
+    val corpusDf = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                    // re-submission -> dropped
+      (11L, "  " + base.toUpperCase), // normalized re-submission -> dropped
+      (12L, nearDup),                 // near-dup is NOT exact -> kept
+      (13L, "brand new content here"),
+      (14L, "brand new content here"), // intra-batch dup: BOTH kept
+      (15L, null.asInstanceOf[String])) // null text excluded
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(corpusDf, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(12L, 13L, 14L), s"got ${out.toSeq}")
+  }
+
+  test("incrementalNew equals the plain anti-join at every tested fpp") {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.documents(spark, sf0001)
+    val corpusDf = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    val plain = batch.filter(col("text").isNotNull)
+      .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+      .join(corpusDf.filter(col("text").isNotNull)
+        .select(T.fingerprint(col("text")).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // a high fpp forces many false-positive candidates through the
+    // sketch; the verify join must reclaim every one of them
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Dedup.incrementalNew(corpusDf, batch, "doc_id", "text",
+          expectedItems = 1024, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == plain, s"fpp=$fpp: bloom path diverged from anti-join")
+    }
+  }
 }

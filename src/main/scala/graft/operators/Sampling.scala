@@ -47,6 +47,29 @@ object Sampling {
     df.filter(hashPrefix(col(keyCol), salt) < thresholdCol)
   }
 
+  /** Deterministic train/holdout split keyed on NORMALIZED CONTENT,
+    * not row id: byte-identical (after whitespace/case normalization)
+    * documents always land in the SAME split, so an exact duplicate
+    * can never straddle train and holdout and leak evaluation data —
+    * the property an id-keyed split cannot give. Same hex-prefix
+    * mechanism as [[deterministic]]: pure row-local projection, no
+    * shuffle, no RNG state, identical assignment on any cluster
+    * layout or reprocessing run, replicable verbatim in ANSI SQL.
+    * Distinct `salt`s give independent splits for separate
+    * experiments. Null-text rows are excluded (no content to key on).
+    * Adds a `split` column: 'holdout' or 'train'.
+    */
+  def hashSplit(df: DataFrame, textCol: String, holdoutRate: Double,
+                salt: String = "graft"): DataFrame = {
+    require(holdoutRate >= 0.0 && holdoutRate <= 1.0,
+      s"holdoutRate $holdoutRate outside [0, 1]")
+    val key = graft.functions.TextFunctions.normalizeText(col(textCol))
+    df.filter(col(textCol).isNotNull)
+      .withColumn("split",
+        when(hashPrefix(key, salt) < lit(thresholdHex(holdoutRate)),
+          lit("holdout")).otherwise(lit("train")))
+  }
+
   /** Token-BUDGET mixing: downsample each source so its kept token
     * mass lands on a target budget — the way a training mix is
     * actually specified ("300 B tokens web, 50 B code"), as opposed

@@ -45,6 +45,17 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Deterministic content-keyed train/holdout split: 10% holdout,
+    // keyed on the normalized text (not doc_id) so exact duplicates
+    // can never straddle the split and leak eval data. Row-local
+    // projection; the oracle verifies every row's assignment.
+    "split_holdout" -> ((s, d) => {
+      graft.operators.Sampling.hashSplit(
+          Tables.documents(s, d), "text", holdoutRate = 0.1)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction over text with deterministically planted
     // emails/phones (the corpus itself is synthetic and PII-free, so
     // planting makes every redaction branch observable in the oracle).
@@ -523,6 +534,16 @@ object TextQueries {
         |              WHEN 'src2' THEN '80000000'
         |              ELSE 'c0000000' END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // 0.1 * 2^32 = 429496729 = 0x19999999
+    "split_holdout" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5('graft' ||
+        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 8)
+        |       < '19999999'
+        |       THEN 'holdout' ELSE 'train' END AS split
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "text_redact" ->
       """WITH planted AS (

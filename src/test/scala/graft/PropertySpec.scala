@@ -58,6 +58,36 @@ class PropertySpec extends SparkSpec {
     assert(s2kept == kept1.filter(i => i % 3 == 2), "equal-rate decisions must agree")
   }
 
+  test("hashSplit: content-keyed, dup-coherent, salt-independent, layout-invariant") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 2000L).map(i => (i, s"document body number ${i % 500}"))
+      .toDF("doc_id", "text") // every text appears 4x under different ids
+    val out = Sampling.hashSplit(df, "text", 0.2)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // duplicate texts always co-locate: ids congruent mod 500 share text
+    val bySplitKey = out.groupBy(_._1 % 500).values
+    assert(bySplitKey.forall(g => g.map(_._2).distinct.length == 1),
+      "exact duplicates must land in the same split")
+    val holdout = out.count(_._2 == "holdout")
+    assert(math.abs(holdout - 400) < 160, s"rate off: $holdout/2000")
+    // layout-invariant
+    val again = Sampling.hashSplit(df.repartition(17), "text", 0.2)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == out.toSet, "assignment must not depend on layout")
+    // a different salt reshuffles some assignments
+    val salted = Sampling.hashSplit(df, "text", 0.2, salt = "exp2")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted != out.toSet, "distinct salts must give independent splits")
+    // null text excluded
+    val withNull = df.union(Seq((9999L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    assert(Sampling.hashSplit(withNull, "text", 0.2).count() == 2000)
+  }
+
   test("redactPii strips emails and international numbers, leaves clean text alone") {
     import spark.implicits._
     import graft.functions.TextFunctions.redactPii

@@ -25,13 +25,34 @@ object PlanAudit {
     "etl_profile", "window_sliding_distinct", "mix_temperature",
     "ann_pq_indexed", "fuzzy_canonicalize", "src_xls", "batch_upsert",
     "mm_image_features", "mm_phash_dedup",
-    "mm_audio_features", "mm_audio_dedup")
+    "mm_audio_features", "mm_audio_dedup",
+    "dedup_incremental", "split_holdout")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
     * not obvious from the operator tree alone.
     */
   val notes: Map[String, String] = Map(
+    "dedup_incremental" -> (
+      "The audit point is what is ABSENT: neither the corpus nor the " +
+        "batch rides an Exchange. The corpus is scanned (text column " +
+        "only) twice — once into the tree-aggregated Bloom sketch (an " +
+        "eager separate job, not in this tree), once as the streamed " +
+        "side of a BroadcastHashJoin whose build side is the candidate " +
+        "fingerprints — and the batch is filtered row-local by the " +
+        "broadcast sketch, then anti-joined against the broadcast " +
+        "matched set. The only Exchanges below the presentation sort " +
+        "carry DISTINCT candidate fingerprints (partial HashAggregate " +
+        "before each, so they are map-side combined first): " +
+        "true dups + fpp * batch rows, broadcast-sized by " +
+        "construction. At 100 TB the corpus never shuffles."),
+    "split_holdout" -> (
+      "Pure row-local projection over the scan: md5 prefix compare " +
+        "inside whole-stage codegen, no Exchange anywhere before the " +
+        "presentation orderBy. Keyed on normalized content so dup " +
+        "docs co-locate in a split regardless of layout; nothing in " +
+        "the plan depends on partitioning, which is the reproducibility " +
+        "argument at any scale."),
     "fuzzy_canonicalize" -> (
       "One shuffle on the 3-char prefix block key; within a block the " +
         "built-in `levenshtein` (codegen'd) runs behind a length " +

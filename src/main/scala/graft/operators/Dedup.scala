@@ -79,26 +79,55 @@ object Dedup {
                      idCol: String, textCol: String,
                      expectedItems: Long = 1L << 20,
                      fpp: Double = 0.01): DataFrame = {
-    require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
     val spark = batch.sparkSession
-    val corpusFp = corpus.filter(col(textCol).isNotNull)
-      .select(T.fingerprint(col(textCol)).as("fp"))
+    val bc = spark.sparkContext.broadcast(
+      corpusSketch(corpus, textCol, expectedItems, fpp))
     val batchFp = batch.filter(col(textCol).isNotNull)
       .select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
-    val sketch = corpusFp.stat.bloomFilter("fp", expectedItems, fpp)
-    val bc = spark.sparkContext.broadcast(sketch)
+    val matched = matchedFingerprints(corpus, textCol,
+      batchFp.select(col("fp")), bc)
+    batchFp.join(broadcast(matched), Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+  }
+
+  /** The [[incrementalNew]] prefilter sketch as a standalone
+    * artifact: a Bloom filter over the corpus content fingerprints
+    * (tree-aggregated; no false negatives). Build once per ingest
+    * epoch, broadcast, and reuse across every batch / micro-batch
+    * checked against the same corpus — the eager corpus scan this
+    * performs is the thing reuse amortizes.
+    */
+  def corpusSketch(corpus: DataFrame, textCol: String,
+                   expectedItems: Long = 1L << 20,
+                   fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    corpus.filter(col(textCol).isNotNull)
+      .select(T.fingerprint(col(textCol)).as("fp"))
+      .stat.bloomFilter("fp", expectedItems, fpp)
+  }
+
+  /** Which of `fps` (a single-column frame named `fp`) REALLY exist
+    * in the corpus: the broadcast sketch prunes `fps` row-local to
+    * candidates (true hits + the fpp fraction), and only those ride
+    * a broadcast against the corpus scan. Distinct output; the
+    * corpus is never shuffled.
+    */
+  def matchedFingerprints(corpus: DataFrame, textCol: String,
+                          fps: DataFrame,
+                          sketch: org.apache.spark.broadcast.Broadcast[
+                            org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
     // sketch membership is the one per-row op the builtin function set
     // can't express (the sketch lives in a broadcast, not a column);
     // row-local, no shuffle, and only the prefilter — exactness never
     // depends on it
-    val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
-    val candidates = batchFp.filter(mightContain(col("fp")))
-    val matched = corpusFp
-      .join(broadcast(candidates.select(col("fp")).distinct()), Seq("fp"))
+    val mightContain = udf((fp: String) => sketch.value.mightContainString(fp))
+    val candidates = fps.filter(mightContain(col("fp")))
       .select(col("fp")).distinct()
-    batchFp.join(broadcast(matched), Seq("fp"), "left_anti")
-      .select(col(idCol), col("fp"))
+    corpus.filter(col(textCol).isNotNull)
+      .select(T.fingerprint(col(textCol)).as("fp"))
+      .join(broadcast(candidates), Seq("fp"))
+      .select(col("fp")).distinct()
   }
 
   /** Spread compute-heavy per-row work across all cores: a small

@@ -595,4 +595,57 @@ object StreamIngest {
         rejects.unpersist()
         ()
       }
+
+  /** Exact-content gate for a continuous ingest against a STATIC
+    * corpus — the streaming face of [[graft.operators.Dedup
+    * .incrementalNew]]: a document arriving on the stream is dropped
+    * if its normalized content already exists in the published
+    * corpus. The corpus Bloom sketch is built ONCE at sink
+    * construction and broadcast-reused by every micro-batch, so the
+    * per-batch cost is the row-local sketch filter plus one
+    * broadcast verify against the corpus scan — no corpus or batch
+    * shuffle, the plan audited under `dedup_incremental` in
+    * PLANS.md. Division of labor: within-stream exact dups are
+    * [[dedupWithinWatermark]]'s job (bounded state), within-stream
+    * NEAR-dups [[minhashDedupSink]]'s (durable store); this gate
+    * holds the line against the immutable already-published corpus.
+    *
+    * Survivors keep their full rows under `outDir/batch=<id>`;
+    * rejected ids land with their fingerprint under
+    * `rejectDir/batch=<id>` — both per-batch overwrite dirs, so a
+    * replayed batch clobbers its own partial output (the
+    * [[routedSink]]/[[minhashDedupSink]] idempotence contract).
+    */
+  def corpusGateSink(stream: DataFrame, idCol: String, textCol: String,
+                     corpus: DataFrame, outDir: String, rejectDir: String,
+                     checkpoint: String,
+                     expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+                     trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    val spark = corpus.sparkSession
+    val sketch = spark.sparkContext.broadcast(
+      Dedup.corpusSketch(corpus, textCol, expectedItems, fpp))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.functions.{TextFunctions => T}
+        val withFp = batch.filter(col(textCol).isNotNull)
+          .withColumn("fp", T.fingerprint(col(textCol)))
+        // persisted: consumed by both the survivor anti-join and the
+        // reject semi-join — without it each write would rescan the
+        // corpus for its own copy of the matched set
+        val matched = Dedup.matchedFingerprints(
+          corpus, textCol, withFp.select(col("fp")), sketch).persist()
+        matched.count()
+        withFp.join(broadcast(matched), Seq("fp"), "left_anti")
+          .drop("fp")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        withFp.join(broadcast(matched), Seq("fp"), "left_semi")
+          .select(col(idCol), col("fp"))
+          .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
+        matched.unpersist(blocking = false)
+        ()
+      }
+  }
 }

@@ -97,4 +97,47 @@ class IncrementalDedupSpec extends SparkSpec {
       s"replay must reproduce the batch, not self-reject: $survivors")
     assert(spark.read.parquet(rej).count() == 0)
   }
+
+  test("corpus gate drops exact re-submissions across batches, sketch reused") {
+    import spark.implicits._
+    val drop = Files.createTempDirectory("gate_drop").toString
+    val out = Files.createTempDirectory("gate_out").toString
+    val rej = Files.createTempDirectory("gate_rej").toString
+    val cp = Files.createTempDirectory("gate_cp").toString
+    val corpus = Seq((100L, base1), (101L, base2)).toDF("doc_id", "text")
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("text", StringType)))
+    val sink = StreamIngest.corpusGateSink(
+      StreamIngest.fileStream(spark, drop, schema)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+      "doc_id", "text", corpus, out, rej, cp)
+    // batch 0: one corpus re-submission (normalized: case+whitespace
+    // differ), one near-dup (NOT exact -> passes), one new doc
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b0.csv"),
+      s"""doc_id,text
+         |1,"  ${base1.toUpperCase} "
+         |2,"$nearDup1"
+         |3,"$base3"
+         |""".stripMargin)
+    StreamIngest.runOnce(sink)
+    val out0 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out0 == Seq(2L, 3L), s"gate should drop doc 1 only: $out0")
+    // batch 1 reuses the SAME sink (and sketch): another re-submission
+    // plus a repeat of batch-0's doc 3 — the corpus is STATIC, so the
+    // batch-0 survivor is NOT in it and passes again (within-stream
+    // dedup is dedupWithinWatermark's job, not the gate's)
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b1.csv"),
+      s"""doc_id,text
+         |4,"$base2"
+         |5,"$base3"
+         |""".stripMargin)
+    StreamIngest.runOnce(sink)
+    val out1 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out1 == Seq(5L), s"gate should drop doc 4, pass doc 5: $out1")
+    val rejected = spark.read.parquet(rej)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rejected == Seq(1L, 4L), s"audit rows: $rejected")
+  }
 }

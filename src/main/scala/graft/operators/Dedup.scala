@@ -73,21 +73,58 @@ object Dedup {
     * composes BEFORE this pass, mirroring the reference's
     * dedup-then-append ingest ordering.
     *
+    * `strategy`: "join" is the plain fingerprint anti-join (Catalyst
+    * broadcasts the corpus side when it fits — the fastest form for
+    * any corpus that CAN broadcast); "bloom" is the sketch path
+    * above; "auto" (default) picks by the corpus's plan-stats size.
+    * Both return identical rows (spec-pinned); the measured
+    * crossover is in SCALING.md.
+    *
     * Output: (idCol, fp) per surviving batch row.
     */
   def incrementalNew(corpus: DataFrame, batch: DataFrame,
                      idCol: String, textCol: String,
                      expectedItems: Long = 1L << 20,
-                     fpp: Double = 0.01): DataFrame = {
+                     fpp: Double = 0.01,
+                     strategy: String = "auto"): DataFrame = {
     val spark = batch.sparkSession
-    val bc = spark.sparkContext.broadcast(
-      corpusSketch(corpus, textCol, expectedItems, fpp))
     val batchFp = batch.filter(col(textCol).isNotNull)
       .select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
-    val matched = matchedFingerprints(corpus, textCol,
-      batchFp.select(col("fp")), bc)
-    batchFp.join(broadcast(matched), Seq("fp"), "left_anti")
-      .select(col(idCol), col("fp"))
+    val corpusFp = corpus.filter(col(textCol).isNotNull)
+      .select(T.fingerprint(col(textCol)).as("fp"))
+    // strategy selection, measured in SCALING.md (graft.IncrAb): at
+    // 250 k docs the plain anti-join beats the bloom path 2.2 s to
+    // 5.4 s — small corpora shuffle (or broadcast) for free and the
+    // prefilter's extra stages are the whole bill. The bloom path
+    // exists for the corpus that can NEITHER broadcast its fp set
+    // nor afford a corpus-wide exchange; its sketch is ~10 bits/doc
+    // vs ~50 B/doc for a broadcast fp set. "auto" picks by the
+    // corpus's plan-stats size (the spread() precedent): raw text
+    // bytes >> fp bytes, so corpora under 64x the broadcast
+    // threshold keep the join form — Catalyst turns it into a
+    // broadcast anti-join well before that line.
+    val useBloom = strategy match {
+      case "bloom" => true
+      case "join" => false
+      case "auto" =>
+        val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+        val threshold = BigInt(
+          spark.sessionState.conf.autoBroadcastJoinThreshold) * 64
+        threshold >= 0 && bytes > threshold
+      case other => throw new IllegalArgumentException(
+        s"strategy must be auto|bloom|join: $other")
+    }
+    if (!useBloom)
+      batchFp.join(corpusFp.distinct(), Seq("fp"), "left_anti")
+        .select(col(idCol), col("fp"))
+    else {
+      val bc = spark.sparkContext.broadcast(
+        corpusSketch(corpus, textCol, expectedItems, fpp))
+      val matched = matchedFingerprints(corpus, textCol,
+        batchFp.select(col("fp")), bc)
+      batchFp.join(broadcast(matched), Seq("fp"), "left_anti")
+        .select(col(idCol), col("fp"))
+    }
   }
 
   /** The [[incrementalNew]] prefilter sketch as a standalone

@@ -86,7 +86,12 @@ object DedupQueries {
         .select(col("doc_id"), col("text"))
         .union(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
           .select((col("doc_id") + 300000).as("doc_id"), col("text")))
-      Dedup.incrementalNew(corpus, batch, "doc_id", "text")
+      // strategy pinned to "bloom": this query demonstrates (and the
+      // PLANS.md audit documents) the no-shuffle shape a 100 TB
+      // corpus needs; "auto" would pick the plain broadcast anti-join
+      // at oracle scale. Crossover measured in SCALING.md (IncrAb).
+      Dedup.incrementalNew(corpus, batch, "doc_id", "text",
+          strategy = "bloom")
         .orderBy(col("doc_id"))
     }),
 

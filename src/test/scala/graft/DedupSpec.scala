@@ -329,11 +329,16 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     // a high fpp forces many false-positive candidates through the
     // sketch; the verify join must reclaim every one of them
-    for (fpp <- Seq(0.5, 0.01)) {
+    for (fpp <- Seq(0.5, 0.01); strategy <- Seq("bloom", "join", "auto")) {
       val got = Dedup.incrementalNew(corpusDf, batch, "doc_id", "text",
-          expectedItems = 1024, fpp = fpp)
+          expectedItems = 1024, fpp = fpp, strategy = strategy)
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-      assert(got == plain, s"fpp=$fpp: bloom path diverged from anti-join")
+      assert(got == plain,
+        s"fpp=$fpp strategy=$strategy: diverged from anti-join")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNew(corpusDf, batch, "doc_id", "text",
+        strategy = "nope")
     }
   }
 }

@@ -181,4 +181,43 @@ class PlanSpec extends SparkSpec {
       .select(graft.functions.TextFunctions.fingerprint(col("text")))
     assert(planString(df).contains("*(1)"), planString(df))
   }
+
+  test("hashSplit is exchange-free: a pure row-local projection") {
+    val df = graft.operators.Sampling.hashSplit(
+      Tables.documents(spark, sf0001), "text", 0.1)
+      .select(col("doc_id"), col("split"))
+    val plan = planString(df)
+    assert(!plan.contains("Exchange"),
+      s"split assignment must not depend on partitioning:\n$plan")
+  }
+
+  test("incrementalNew never shuffle-joins; bloom path exchanges only candidate fps") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    val bloomPlan = planString(
+      Dedup.incrementalNew(corpus, batch, "doc_id", "text",
+        strategy = "bloom"))
+    assert(!bloomPlan.contains("SortMergeJoin") &&
+      !bloomPlan.contains("ShuffledHashJoin"),
+      s"corpus or batch rides a shuffled join:\n$bloomPlan")
+    assert(bloomPlan.contains("BroadcastHashJoin") &&
+      bloomPlan.contains("LeftAnti"), bloomPlan)
+    // the only shuffles allowed are the candidate-fp distincts (one
+    // per side of the verify), each map-side combined first
+    val shuffles =
+      "Exchange hashpartitioning".r.findAllIn(bloomPlan).length
+    assert(shuffles <= 2,
+      s"expected <=2 candidate-distinct shuffles, got $shuffles:\n$bloomPlan")
+    // the join strategy on a broadcastable corpus: Catalyst turns the
+    // plain anti-join into a broadcast anti-join — no shuffle at all
+    val joinPlan = planString(
+      Dedup.incrementalNew(corpus, batch, "doc_id", "text",
+        strategy = "join"))
+    assert(joinPlan.contains("BroadcastHashJoin") &&
+      joinPlan.contains("LeftAnti") &&
+      !joinPlan.contains("SortMergeJoin"), joinPlan)
+  }
 }

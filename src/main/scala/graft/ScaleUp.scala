@@ -72,8 +72,9 @@ object ScaleUp {
     scaled("orders", Seq("o_orderkey", "o_custkey"))
     scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), outParts = 16)
     // events: keep timestamps (session/window distributions), shift ids.
-    // Written back as int64 nanoseconds so Tables.events' nanos->micros
-    // path reads the scaled copy the same way it reads the original.
+    // Written back as int64 nanoseconds regardless of the input
+    // generation's physical ts type — Tables.events' long branch
+    // (nanos -> micros) reads every scaled copy identically.
     scaled("events", Seq("event_id", "user_id"),
       (df, _) => df.withColumn("ts", unix_micros(col("ts")) * lit(1000L)),
       outParts = 8)

@@ -25,4 +25,16 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(df.count() > 0, s"$name returned an empty frame at sf0.001")
     }
   }
+
+  test("no query's internal persist survives the per-query clearCache") {
+    // the Bench/Verify cache lifecycle (r7 ask #8): every internally-
+    // persisted frame must be reachable by catalog.clearCache — an
+    // RDD-level persist would leak executor memory across the 115-
+    // query bench loop unnoticed, because only Dataset caches are
+    // tracked by the catalog
+    spark.catalog.clearCache()
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"persisted RDDs outlive clearCache: ${leaked.values.map(_.name)}")
+  }
 }

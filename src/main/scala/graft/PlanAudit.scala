@@ -26,7 +26,7 @@ object PlanAudit {
     "ann_pq_indexed", "fuzzy_canonicalize", "src_xls", "batch_upsert",
     "mm_image_features", "mm_phash_dedup",
     "mm_audio_features", "mm_audio_dedup",
-    "dedup_incremental", "split_holdout")
+    "dedup_incremental", "split_holdout", "text_substring_dedup")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -46,6 +46,17 @@ object PlanAudit {
         "before each, so they are map-side combined first): " +
         "true dups + fpp * batch rows, broadcast-sized by " +
         "construction. At 100 TB the corpus never shuffles."),
+    "text_substring_dedup" -> (
+      "A rewrite op's minimum exchange budget: one shuffle mining the " +
+        "df set (distinct (doc, shingle) pairs, map-side combined), " +
+        "the mined repeated set broadcast back over the positional " +
+        "shingles (the corpus-sized side stays put), one shuffle of " +
+        "the COVERED positions only, and one id-keyed join to " +
+        "rebuild. The rebuild (filter-by-index over the word array) " +
+        "is row-local builtin HOFs. At 100 TB the mined set stays " +
+        "broadcast-small by construction (df >= minDf shingles only) " +
+        "and the covered-position frame is the removal subset, not " +
+        "the corpus."),
     "split_holdout" -> (
       "Pure row-local projection over the scan: md5 prefix compare " +
         "inside whole-stage codegen, no Exchange anywhere before the " +

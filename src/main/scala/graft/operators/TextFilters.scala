@@ -61,6 +61,70 @@ object TextFilters {
         floor(col("n_frequent") / col("n_shingles") * 10000.0 + 0.5) / 10000.0)
   }
 
+  /** Cross-document repeated-SPAN removal — the substring-granular
+    * dedup pass (the "dedup training data" technique: repeated long
+    * spans are memorization fuel even when the documents around them
+    * are unique). A word position is covered when any word n-gram
+    * starting at-or-spanning it occurs in >= `minDf` distinct
+    * documents; covered words are REMOVED from every document
+    * (overlapping shingle spans merge naturally through the covered-
+    * index union). This complements [[boilerplateFraction]] (which
+    * only SCORES docs) and dedup_exact/minhash (which act on whole
+    * documents): here the unit is the span.
+    *
+    * Plan shape: one shuffle mining the df set (distinct (doc,
+    * shingle) pairs), the mined repeated set broadcast back against
+    * the positional shingles (corpus stays put), one shuffle of the
+    * COVERED positions only (groupBy doc), and one id-keyed join to
+    * rebuild — the rewrite's unavoidable exchange, sized by the
+    * covered subset on one side. The rebuild itself is row-local
+    * builtin HOFs (filter with index over the word array).
+    *
+    * Output: (idCol, n_words, n_removed, text_clean) — text_clean is
+    * the kept words joined by single spaces (normalized whitespace),
+    * '' when the whole doc was repeated spans.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val base = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("w"))
+    // 1-based start positions (Spark slice is 1-based; mirrors the
+    // oracle's DuckDB list indexing). sequence() steps DOWNWARD when
+    // end < start, so short docs need the explicit guard, not an
+    // empty sequence.
+    val pos = base
+      .select(col(idCol),
+        explode(expr(
+          s"""CASE WHEN size(w) >= $n THEN
+             |  transform(sequence(1, size(w) - ${n - 1}),
+             |    i -> struct(i as i, array_join(slice(w, i, $n), ' ') as s))
+             |ELSE cast(array() as array<struct<i:int,s:string>>) END"""
+            .stripMargin)).as("p"))
+      .select(col(idCol), col("p.i").as("i"), col("p.s").as("s"))
+    val repeated = pos.select(col("s"), col(idCol)).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("s"))
+    val covered = pos.join(broadcast(repeated), Seq("s"))
+      .select(col(idCol), explode(expr(s"sequence(i, i + ${n - 1})")).as("ci"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("ci")).as("covered"))
+    base.join(covered, Seq(idCol), "left_outer")
+      .select(col(idCol), col("w"),
+        coalesce(col("covered"), expr("cast(array() as array<int>)"))
+          .as("covered"))
+      // filter's lambda index is 0-based; covered positions are 1-based
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        expr("filter(w, (x, idx) -> NOT array_contains(covered, idx + 1))")
+          .as("kept"))
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text_clean"))
+  }
+
   /** Per-document repetition signals (Gopher-style quality gates):
     * top-word fraction (most frequent word's share of all words) and
     * duplicate-2gram fraction (1 − distinct/total word bigrams).

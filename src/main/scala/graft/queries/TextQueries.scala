@@ -180,6 +180,16 @@ object TextQueries {
         .orderBy(col("df").desc, col("shingle"))
     }),
 
+    // Substring-granular dedup: every word position covered by a
+    // corpus-repeated 3-gram (df >= 5 distinct docs) is REMOVED from
+    // every document — the span-level complement of doc-level dedup.
+    // The oracle verifies each doc's full cleaned text, not a score.
+    "text_substring_dedup" -> ((s, d) => {
+      graft.operators.TextFilters.removeRepeatedSpans(
+          Tables.documents(s, d), "doc_id", "text", n = 3, minDf = 5L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-doc boilerplate fraction: share of a doc's 3-gram shingles
     // that are corpus-frequent. Mined set broadcast back; per-source
     // summary keeps every doc's fraction observable via the sums.
@@ -438,6 +448,37 @@ object TextQueries {
          |SELECT shingle, count(*) AS df FROM sh
          |GROUP BY shingle HAVING count(*) >= 5
          |ORDER BY df DESC, shingle""".stripMargin,
+
+    // positional 3-gram mirror of removeRepeatedSpans: 1-based starts,
+    // df over DISTINCT docs, covered = union of [i, i+2], kept words
+    // rebuilt by index; range(a, b) excludes b in DuckDB
+    "text_substring_dedup" ->
+      s"""WITH base AS (${wordsCte("documents", "doc_id")}),
+         |pos AS (
+         |  SELECT doc_id,
+         |    unnest([{'i': i, 's': w[i] || ' ' || w[i+1] || ' ' || w[i+2]}
+         |            for i in range(1, len(w) - 1)]) AS p
+         |  FROM base WHERE len(w) >= 3),
+         |posx AS (SELECT doc_id, p.i AS i, p.s AS s FROM pos),
+         |rep AS (
+         |  SELECT s FROM (
+         |    SELECT s, count(DISTINCT doc_id) AS df FROM posx GROUP BY s)
+         |  WHERE df >= 5),
+         |cov AS (
+         |  SELECT doc_id, list(DISTINCT ci) AS covered
+         |  FROM (SELECT doc_id, unnest(range(i, i + 3)) AS ci
+         |        FROM posx JOIN rep USING (s))
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+         |  array_to_string(kept, ' ') AS text_clean
+         |FROM (
+         |  SELECT b.doc_id, b.w,
+         |    CASE WHEN c.covered IS NULL THEN b.w
+         |         ELSE [b.w[j] for j in range(1, len(b.w) + 1)
+         |               if NOT list_contains(c.covered, j)] END AS kept
+         |  FROM base b LEFT JOIN cov c USING (doc_id))
+         |ORDER BY doc_id""".stripMargin,
 
     "text_boilerplate" ->
       s"""WITH base AS (${wordsCte("documents", "doc_id, source")}),

@@ -88,4 +88,43 @@ class TextFiltersSpec extends SparkSpec {
     assert(df("dup dup") == 2L)
     assert(df("dup other") == 1L)
   }
+
+  test("removeRepeatedSpans excises the planted cross-doc chunk, merges overlaps") {
+    // a 4-word chunk repeated in 3 docs = two overlapping 3-shingles;
+    // the covered-index union must remove all 4 words, not 3+3 with a
+    // double-count or a gap
+    val chunk = "licensed under creative commons"
+    val docs = Seq(
+      (1L, s"alpha beta $chunk gamma delta"),
+      (2L, s"$chunk epsilon zeta eta theta"),
+      (3L, s"iota kappa lambda $chunk"),
+      (4L, "totally unique words here only once"),
+      (5L, "hi there")) // < n words: untouched
+      .toDF("doc_id", "text")
+    val out = TextFilters.removeRepeatedSpans(docs, "doc_id", "text",
+        n = 3, minDf = 3L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == (1L, 8L, 4L, "alpha beta gamma delta"), out(0).toString)
+    assert(out(1) == (2L, 8L, 4L, "epsilon zeta eta theta"), out(1).toString)
+    assert(out(2) == (3L, 7L, 4L, "iota kappa lambda"), out(2).toString)
+    assert(out(3) == (4L, 6L, 0L, "totally unique words here only once"),
+      out(3).toString)
+    assert(out(4) == (5L, 2L, 0L, "hi there"), out(4).toString)
+  }
+
+  test("removeRepeatedSpans can empty a doc that is all boilerplate") {
+    val docs = Seq(
+      (1L, "click here to subscribe"),
+      (2L, "click here to subscribe"),
+      (3L, "real content click here to subscribe trailing words"))
+      .toDF("doc_id", "text")
+    val out = TextFilters.removeRepeatedSpans(docs, "doc_id", "text",
+        n = 4, minDf = 3L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out(0) == (1L, 4L, ""), out(0).toString)
+    assert(out(1) == (2L, 4L, ""), out(1).toString)
+    assert(out(2) == (3L, 4L, "real content trailing words"), out(2).toString)
+  }
 }

@@ -80,6 +80,15 @@ object TextFilters {
     * covered subset on one side. The rebuild itself is row-local
     * builtin HOFs (filter with index over the word array).
     *
+    * SINGLE-PASS contract: df is mined from the input corpus and
+    * spans are excised once. Excision splices previously non-adjacent
+    * words together, which can form shingles that did not exist in
+    * the input — so the cleaned corpus is not guaranteed free of
+    * df >= minDf shingles. Corpora that need a fixpoint iterate the
+    * operator (each pass is this same plan); in practice one pass
+    * removes the planted/boilerplate mass, which is the training-
+    * data use case.
+    *
     * Output: (idCol, n_words, n_removed, text_clean) — text_clean is
     * the kept words joined by single spaces (normalized whitespace),
     * '' when the whole doc was repeated spans.

@@ -127,4 +127,43 @@ class TextFiltersSpec extends SparkSpec {
     assert(out(1) == (2L, 4L, ""), out(1).toString)
     assert(out(2) == (3L, 4L, "real content trailing words"), out(2).toString)
   }
+
+  test("coverage extends through shared context; one pass is idempotent here") {
+    // any shared word ADJACENT to a repeated chunk sits inside a
+    // repeated shingle overlapping the chunk, so coverage extends
+    // through the whole shared run — the reason a single pass
+    // usually reaches the fixpoint (new-adjacency repeats need a
+    // chunk bracketed by per-doc-unique words on both sides AND a
+    // shared run beyond them, which excision then cannot splice into
+    // a repeat; the scaladoc caveat covers the residual cases)
+    val chunk = "one two three"
+    val identical = Seq(
+      (1L, s"alpha beta $chunk gamma"),
+      (2L, s"alpha beta $chunk gamma"),
+      (3L, s"alpha beta $chunk gamma"))
+      .toDF("doc_id", "text")
+    val t1 = TextFilters.removeRepeatedSpans(identical, "doc_id", "text",
+        n = 3, minDf = 3L)
+      .orderBy("doc_id").collect().map(_.getString(3)).toSeq
+    assert(t1 == Seq("", "", ""), s"identical docs are all spans: $t1")
+    // shared prefix+chunk+gamma, unique tails: the shared run is
+    // covered end-to-end via overlapping repeated shingles, unique
+    // tails survive
+    val docs2 = Seq(
+      (1L, s"alpha beta $chunk gamma u1 v1 w1"),
+      (2L, s"alpha beta $chunk gamma u2 v2 w2"),
+      (3L, s"alpha beta $chunk gamma u3 v3 w3"))
+      .toDF("doc_id", "text")
+    val p1 = TextFilters.removeRepeatedSpans(docs2, "doc_id", "text",
+        n = 3, minDf = 3L)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val t2 = p1.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(t2 == Seq("u1 v1 w1", "u2 v2 w2", "u3 v3 w3"),
+      s"coverage must extend through the shared run: $t2")
+    // and the pass is idempotent on its own output here
+    val t3 = TextFilters.removeRepeatedSpans(p1, "doc_id", "text",
+        n = 3, minDf = 3L)
+      .orderBy("doc_id").collect().map(_.getString(3)).toSeq
+    assert(t3 == t2, s"second pass must be a no-op: $t3")
+  }
 }

@@ -423,6 +423,33 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Directional CONTAINMENT scoring over candidate pairs — the
+    * partial-copy detector Jaccard structurally misses: an excerpt
+    * wholly inside a 4x-longer source scores containment 1.0 but
+    * Jaccard ~0.25, below every dedup threshold. C(A in B) =
+    * |sh_A ∩ sh_B| / |sh_A|; both directions emitted alongside the
+    * symmetric Jaccard so a consumer thresholds either. Same plan
+    * shape as [[jaccardVerify]] (shared shingle-set cache, two
+    * id-keyed joins against the candidate list — candidates only,
+    * never all pairs).
+    */
+  def containmentVerify(docs: DataFrame, candidates: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleSize: Int = 3): DataFrame = {
+    GraftExtensions.ensureRegistered(docs.sparkSession)
+    val sets = spread(nonEmptyText(docs, textCol)).select(col(idCol).as("id"),
+      T.shingles(col(textCol), shingleSize).as("sh")).persist()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (inter / size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"),
+        (inter / size(col("sh_a")).cast("double")).as("containment_a"),
+        (inter / size(col("sh_b")).cast("double")).as("containment_b"))
+  }
+
   /** Resolve pairwise near-dup output into duplicate GROUPS:
     * connected components over the pair graph via the
     * large-star/small-star alternation (Kiveris et al., "Connected

@@ -95,6 +95,31 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Partial-copy detection: a 15-word excerpt of each sub-100 doc
+    // joins the corpus under a fresh id, paired with its source.
+    // Containment flags every pair at 1.0 while Jaccard sits far
+    // below any dedup threshold — the length-skew case doc-level
+    // similarity misses. Exact SQL oracle on both scores.
+    "dedup_containment" -> ((s, d) => {
+      import graft.functions.{TextFunctions => T}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val eligible = docs
+        .filter(col("text").isNotNull && col("doc_id") < 100 &&
+          size(T.words(col("text"))) >= 18)
+      val excerpts = eligible.select(
+        (col("doc_id") + 400000).as("doc_id"),
+        array_join(slice(T.words(col("text")), 1, 15), " ").as("text"))
+      val candidates = eligible.select(
+        (col("doc_id") + 400000).as("id_a"), col("doc_id").as("id_b"))
+      Dedup.containmentVerify(docs.union(excerpts), candidates,
+          "doc_id", "text")
+        .select(col("id_a"), col("id_b"),
+          (floor(col("jaccard") * 10000.0 + 0.5) / 10000.0).as("jaccard"),
+          (floor(col("containment_a") * 10000.0 + 0.5) / 10000.0)
+            .as("containment"))
+        .orderBy(col("id_a"))
+    }),
+
     // MinHash LSH candidates on the dup-planted corpus, summarized.
     "dedup_minhash" -> ((s, d) => {
       Dedup.minhashPairs(docsWithDups(s, d), "doc_id", "text")
@@ -261,6 +286,35 @@ object DedupQueries {
         |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |      FROM corpus WHERE text IS NOT NULL)
         |GROUP BY fp ORDER BY doc_id_kept""".stripMargin,
+
+    // excerpt = first 15 normalized words (1-based inclusive list
+    // slice == Spark's slice(w, 1, 15)); shingle sets distinct, both
+    // scores floored-rounded to 4 decimals on both engines
+    "dedup_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |el AS (SELECT doc_id, w FROM base
+        |       WHERE doc_id < 100 AND len(w) >= 18),
+        |ex AS (SELECT doc_id + 400000 AS id_a, doc_id AS id_b,
+        |         w[1:15] AS we FROM el),
+        |sha AS (SELECT id_a, id_b,
+        |  list_distinct([we[i] || ' ' || we[i+1] || ' ' || we[i+2]
+        |                 for i in range(1, len(we) - 1)]) AS sh_a
+        |  FROM ex),
+        |shb AS (SELECT doc_id AS id_b,
+        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                 for i in range(1, len(w) - 1)]) AS sh_b
+        |  FROM base WHERE len(w) >= 3)
+        |SELECT id_a, id_b,
+        |  floor(len(list_intersect(sh_a, sh_b)) * 10000.0 /
+        |        len(list_distinct(list_concat(sh_a, sh_b))) + 0.5) / 10000.0
+        |    AS jaccard,
+        |  floor(len(list_intersect(sh_a, sh_b)) * 10000.0 /
+        |        len(sh_a) + 0.5) / 10000.0 AS containment
+        |FROM sha JOIN shb USING (id_b)
+        |ORDER BY id_a""".stripMargin,
 
     "dedup_incremental" ->
       """WITH corpus AS (

@@ -298,6 +298,25 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq.sorted == Seq((1L, 2L), (1L, 2L)))
   }
 
+  test("containment flags the excerpt-in-source pair that jaccard misses") {
+    val source = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"  // 20 words
+    val excerpt = "alpha beta gamma delta epsilon"               // first 5
+    val docs = Seq((1L, source), (2L, excerpt), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val cands = Seq((2L, 1L), (3L, 1L)).toDF("id_a", "id_b")
+    val out = Dedup.containmentVerify(docs, cands, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (j, ca, cb) = out(2L)
+    // excerpt: 3 shingles, all inside the source's 18
+    assert(ca == 1.0, s"excerpt fully contained: $ca")
+    assert(j < 0.2, s"jaccard must miss the length-skewed pair: $j")
+    assert(cb == 3.0 / 18.0, s"reverse containment: $cb")
+    val (ju, cu, _) = out(3L)
+    assert(ju == 0.0 && cu == 0.0, "unrelated pair scores zero")
+  }
+
   test("incrementalNew keeps novel batch rows and drops corpus re-submissions") {
     val corpusDf = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
     val batch = Seq(

@@ -26,7 +26,8 @@ object PlanAudit {
     "ann_pq_indexed", "fuzzy_canonicalize", "src_xls", "batch_upsert",
     "mm_image_features", "mm_phash_dedup",
     "mm_audio_features", "mm_audio_dedup",
-    "dedup_incremental", "split_holdout", "text_substring_dedup")
+    "dedup_incremental", "split_holdout", "text_substring_dedup",
+    "dedup_containment")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is

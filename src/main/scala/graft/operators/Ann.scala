@@ -199,6 +199,30 @@ object Ann {
     }
   }
 
+  /** Append new vectors to a stored [[buildIvfIndex]] index WITHOUT
+    * retraining: the index's centroids are loaded and FROZEN, the
+    * delta is assigned row-local (broadcast centroid matrix, no
+    * shuffle), and the assigned rows land as new files inside the
+    * existing `list_id=` partition dirs — probes see them with no
+    * further work, since [[ivfIndexTopK]] reads the same partition
+    * layout. The deployment cadence this encodes: append per batch,
+    * retrain per epoch. A drifted appended distribution degrades
+    * RECALL (rows assigned to the nearest of the OLD centroids),
+    * never correctness of what a probe scans; when drift matters,
+    * rebuild under a fresh path and swap. Mirrors the incremental
+    * ingest posture elsewhere in the engine (dedup_incremental,
+    * corpusGateSink): per-batch work touches batch-sized data only.
+    */
+  def appendIvfIndex(embs: DataFrame, idCol: String, vecCol: String,
+                     indexPath: String): Unit = {
+    val spark = embs.sparkSession
+    val cents = indexCentroids(spark, indexPath)
+    assignLists(embs, idCol, vecCol, cents)
+      .write.mode("append")
+      .partitionBy("list_id")
+      .parquet(indexPath)
+  }
+
   /** Probe a [[buildIvfIndex]] index: nearest `nprobe` lists from the
     * stored centroids, pushed as a partition filter — the scan lists
     * only the probed lists' directories (asserted in PlanSpec).

@@ -153,6 +153,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF append: delta lands in the frozen index and is probed") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    val initial = embs.filter(col("vec_id") < 100)
+    val delta = embs.filter(col("vec_id") >= 100)
+    graft.operators.Ann.buildIvfIndex(initial, "vec_id", "embedding", dir,
+      nlist = 4)
+    def meta(): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_ivf_meta.json")), "UTF-8")
+    val metaBefore = meta()
+    graft.operators.Ann.appendIvfIndex(delta, "vec_id", "embedding", dir)
+    // quantizer frozen: metadata byte-identical
+    assert(meta() == metaBefore, "append must not touch the centroids")
+    // every row present exactly once
+    assert(spark.read.parquet(dir).count() == embs.count())
+    // an appended vector is probed and recalls itself at cos 1.0
+    val appendedId = delta.select(min(col("vec_id"))).collect()(0).getLong(0)
+    val q = embs.filter(col("vec_id") === appendedId)
+    val rows = graft.operators.Ann.ivfIndexTopK(spark, dir, q,
+      "vec_id", "embedding", k = 3, nprobe = 2).collect()
+    assert(rows.head.getLong(0) == appendedId && rows.head.getDouble(1) == 1.0,
+      s"appended row must be probed: ${rows.toSeq}")
+    // appending to a non-index path fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Ann.appendIvfIndex(delta, "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("not_an_index2").toString)
+    }
+  }
+
   test("LSH prunes the candidate set vs brute force") {
     val q = embs.filter(col("vec_id") === 0)
     val others = embs.filter(col("vec_id") =!= 0)

@@ -108,9 +108,14 @@ object Dedup {
       case "join" => false
       case "auto" =>
         val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
-        val threshold = BigInt(
-          spark.sessionState.conf.autoBroadcastJoinThreshold) * 64
-        threshold >= 0 && bytes > threshold
+        val t = spark.sessionState.conf.autoBroadcastJoinThreshold
+        // broadcast disabled (-1) leaves no session line to scale from;
+        // a fixed cutoff keeps the decision size-driven — the old
+        // `threshold >= 0 &&` guard forced the plain corpus-wide
+        // anti-join for EVERY size, i.e. defeated the bloom path at
+        // exactly the scale it exists for (r9 advice)
+        val ceiling = if (t >= 0) BigInt(t) * 64 else BigInt(640L << 20)
+        bytes > ceiling
       case other => throw new IllegalArgumentException(
         s"strategy must be auto|bloom|join: $other")
     }
@@ -159,7 +164,11 @@ object Dedup {
     // row-local, no shuffle, and only the prefilter — exactness never
     // depends on it
     val mightContain = udf((fp: String) => sketch.value.mightContainString(fp))
-    val candidates = fps.filter(mightContain(col("fp")))
+    // null fingerprints (null-text rows upstream) can't exist in the
+    // corpus and would NPE the sketch probe — drop them here so every
+    // caller gets the same "null never matches" join semantics
+    val candidates = fps.filter(col("fp").isNotNull)
+      .filter(mightContain(col("fp")))
       .select(col("fp")).distinct()
     corpus.filter(col(textCol).isNotNull)
       .select(T.fingerprint(col(textCol)).as("fp"))
@@ -437,8 +446,15 @@ object Dedup {
                         idCol: String, textCol: String,
                         shingleSize: Int = 3): DataFrame = {
     GraftExtensions.ensureRegistered(docs.sparkSession)
+    // zero-shingle docs are EXCLUDED (their candidate pairs emit no
+    // row), mirroring nonEmptyText's empty-text rule: containment
+    // divides by |sh_a| / |sh_b|, and a 0-sized set would otherwise
+    // yield silent null scores under non-ANSI division (r9 advice).
+    // The shingle kernel returns >= 1 shingle for any non-empty text,
+    // so the filter only fires on degenerate inputs.
     val sets = spread(nonEmptyText(docs, textCol)).select(col(idCol).as("id"),
-      T.shingles(col(textCol), shingleSize).as("sh")).persist()
+      T.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0).persist()
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -448,6 +464,55 @@ object Dedup {
           .as("jaccard"),
         (inter / size(col("sh_a")).cast("double")).as("containment_a"),
         (inter / size(col("sh_b")).cast("double")).as("containment_b"))
+  }
+
+  /** Candidate pairs for PARTIAL-copy detection via a df-capped
+    * inverted shingle index — the candidate source MinHash banding
+    * structurally cannot be for containment: an excerpt wholly inside
+    * a 4x-longer source has jaccard (and est_jaccard) ~0.25, far
+    * under any banding threshold, yet containment 1.0. Pairs sharing
+    * >= `minShared` distinct shingles become candidates for
+    * [[containmentVerify]] / [[jaccardVerify]].
+    *
+    * Scale shape: one explode to distinct (doc, shingle) postings,
+    * one hash-partitioned groupBy(shingle) that DROPS shingles with
+    * df > `maxDf` (boilerplate/stop shingles — exactly the postings
+    * whose self-join would explode; a true partial copy shares many
+    * RARE shingles with its source, so the cap costs recall only for
+    * pairs that jaccard-style dedup already catches), then the
+    * per-shingle self-join over capped postings: pair work is
+    * Σ_shingle df² with df <= maxDf, i.e. linear in corpus size times
+    * a constant — never all-pairs. The `minShared` count filter runs
+    * map-side-combined on skinny (id_a, id_b) rows.
+    */
+  def sharedShingleCandidates(docs: DataFrame, idCol: String, textCol: String,
+                              shingleSize: Int = 3, minShared: Int = 5,
+                              maxDf: Long = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2 (df 1 shingles pair nothing): $maxDf")
+    GraftExtensions.ensureRegistered(docs.sparkSession)
+    // persisted: the postings frame feeds the df count AND the
+    // df-pruned self-join; without it the shingle pipeline runs three
+    // times. Skinny (id, shingle) rows, LRU-evicted under pressure.
+    val postings = spread(nonEmptyText(docs, textCol))
+      .select(col(idCol).as("id"),
+        explode(T.shingles(col(textCol), shingleSize)).as("sh"))
+      .persist()
+    // df computed with a partial-aggregating count — NEVER
+    // collect_list: a stop shingle's posting list materialized in one
+    // reducer is exactly the skew this cap exists to avoid
+    val keep = postings.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("sh"))
+    val pruned = postings.join(keep, Seq("sh"))
+    pruned.select(col("sh"), col("id").as("id_a"))
+      .join(pruned.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Resolve pairwise near-dup output into duplicate GROUPS:

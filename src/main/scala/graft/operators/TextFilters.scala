@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   *  - document-frequency mining is explode → ONE hash-partitioned
   *    groupBy on the shingle (uniform by construction — shingles are
   *    near-unique strings), partial aggregation map-side;
-  *  - per-doc joins against the mined set broadcast the SMALL side
-  *    (frequent shingles / eval-set shingles / contaminated ids), so
-  *    the corpus itself is never shuffled by a join — its only
-  *    shuffle is the per-doc aggregation;
+  *  - per-doc joins against a CORPUS-MINED set (frequent/repeated
+  *    shingles) are strategy-adaptive via [[useMinedBroadcast]]:
+  *    broadcast while the corpus bounds the mined set under the
+  *    ceiling, plain shuffle join beyond — `df >= minDf` does not
+  *    bound the mined set, so an unconditional broadcast would OOM
+  *    at web scale. Joins against CONTRACT-small sides (eval-set
+  *    shingles, contaminated ids) broadcast unconditionally;
   *  - everything else is row-local codegen'd column work.
   */
 object TextFilters {
@@ -36,6 +39,41 @@ object TextFilters {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Strategy gate for joins against a CORPUS-MINED shingle set (the
+    * [[Dedup.incrementalNew]] plan-stats pattern, r10): `df >= minDf`
+    * does NOT bound the mined set — on a web-scale corpus the
+    * distinct frequent-shingle set can grow past any broadcast
+    * ceiling, so an unconditional broadcast hint is an executor OOM
+    * at exactly the scale the operators exist for. The mined frame
+    * itself has no trustworthy plan-stats line (aggregate estimates
+    * don't model group collapsing), so the gate reads the CORPUS
+    * scan's stats — accurate for file sources — and broadcasts only
+    * while the corpus stays within 32x the session broadcast
+    * threshold (mined shingles are a bounded slice of corpus text:
+    * each mined 3-gram has >= minDf occurrences, so distinct mined
+    * bytes <= corpus shingle bytes / minDf). When broadcasting is
+    * disabled outright (threshold -1) a fixed 256 MB cutoff keeps
+    * the decision scale-driven instead of degenerating to one side.
+    * Above the ceiling the mined side joins as a plain shuffle join —
+    * the corpus pays ONE exchange, only in the regime where the
+    * broadcast would not survive. Both strategies are output-
+    * identical (spec-pinned in TextFiltersSpec).
+    */
+  private[operators] def useMinedBroadcast(corpus: DataFrame,
+      strategy: String): Boolean = strategy match {
+    case "broadcast" => true
+    case "shuffle" => false
+    case "auto" =>
+      val t = corpus.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      val ceiling = if (t >= 0) BigInt(t) * 32 else BigInt(256L << 20)
+      corpus.queryExecution.optimizedPlan.stats.sizeInBytes <= ceiling
+    case other => throw new IllegalArgumentException(
+      s"strategy must be auto|broadcast|shuffle: $other")
+  }
+
+  private def minedHint(mined: DataFrame, bcast: Boolean): DataFrame =
+    if (bcast) broadcast(mined) else mined
+
   /** Per-document boilerplate fraction: the share of a doc's distinct
     * n-gram shingles that are corpus-frequent (df >= minDf). The
     * frequent set is mined from the same corpus and broadcast back;
@@ -44,16 +82,22 @@ object TextFilters {
     * frame for repeated scoring runs).
     *
     * Output: (idCol, n_shingles, n_frequent, boilerplate_frac).
+    *
+    * `strategy` ("auto" default) picks the mined-set join shape via
+    * [[useMinedBroadcast]]: broadcast while the corpus is small
+    * enough that the mined set provably fits, plain shuffle join
+    * beyond — identical output either way (spec-pinned).
     */
   def boilerplateFraction(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minDf: Long): DataFrame = {
+      n: Int, minDf: Long, strategy: String = "auto"): DataFrame = {
+    val bcast = useMinedBroadcast(docs, strategy)
     val freq = shingleDocFreq(docs, textCol, n, minDf)
       .select(col("shingle"), lit(1).as("is_freq"))
     docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol),
         explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
-      .join(broadcast(freq), Seq("shingle"), "left_outer")
+      .join(minedHint(freq, bcast), Seq("shingle"), "left_outer")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         count(col("is_freq")).as("n_frequent"))
@@ -73,12 +117,15 @@ object TextFilters {
     * documents): here the unit is the span.
     *
     * Plan shape: one shuffle mining the df set (distinct (doc,
-    * shingle) pairs), the mined repeated set broadcast back against
-    * the positional shingles (corpus stays put), one shuffle of the
-    * COVERED positions only (groupBy doc), and one id-keyed join to
-    * rebuild — the rewrite's unavoidable exchange, sized by the
-    * covered subset on one side. The rebuild itself is row-local
-    * builtin HOFs (filter with index over the word array).
+    * shingle) pairs), the mined repeated set joined back against the
+    * positional shingles — broadcast under the [[useMinedBroadcast]]
+    * ceiling (corpus stays put), plain shuffle join above it (the one
+    * regime where the corpus pays an exchange, bought back by not
+    * OOMing) — one shuffle of the COVERED positions only (groupBy
+    * doc), and one id-keyed join to rebuild — the rewrite's
+    * unavoidable exchange, sized by the covered subset on one side.
+    * The rebuild itself is row-local builtin HOFs (filter with index
+    * over the word array).
     *
     * SINGLE-PASS contract: df is mined from the input corpus and
     * spans are excised once. Excision splices previously non-adjacent
@@ -94,8 +141,9 @@ object TextFilters {
     * '' when the whole doc was repeated spans.
     */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minDf: Long): DataFrame = {
+      n: Int, minDf: Long, strategy: String = "auto"): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
+    val bcast = useMinedBroadcast(docs, strategy)
     val base = docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol), TextFunctions.words(col(textCol)).as("w"))
@@ -116,7 +164,7 @@ object TextFilters {
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("s"))
-    val covered = pos.join(broadcast(repeated), Seq("s"))
+    val covered = pos.join(minedHint(repeated, bcast), Seq("s"))
       .select(col(idCol), explode(expr(s"sequence(i, i + ${n - 1})")).as("ci"))
       .groupBy(col(idCol))
       .agg(collect_set(col("ci")).as("covered"))

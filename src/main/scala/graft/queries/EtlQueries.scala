@@ -54,9 +54,15 @@ object EtlQueries {
     // Incremental DISTINCT maintenance: count-distinct is not
     // distributive, but its HLL sketch is losslessly mergeable —
     // history's sketch state unions with each delta's, never
-    // rescanning history (IncrementalSpec asserts merge == full-data
-    // sketch). Rows-only like agg_approx: the estimate is
-    // engine-specific; the exact column is there for the comparison.
+    // rescanning history. r10 oracle upgrade: the estimate value is
+    // engine-specific, but two facts about it are SQL-verifiable and
+    // the gate output carries exactly those —
+    //  - merge_lossless: the history+delta MERGED estimate equals the
+    //    single-pass full-data estimate (the sketch-union algebra is
+    //    exact, also spec'd in IncrementalSpec);
+    //  - within_5pct: the estimate is within 5% of the exact distinct
+    //    count (the sketch's lgK=12 RSE is ~1.6%, so 5% is ~3 sigma).
+    // The exact count itself hash-verifies against DuckDB.
     "incr_distinct" -> ((s, d) => {
       import graft.operators.Incremental
       val events = Tables.events(s, d)
@@ -66,10 +72,18 @@ object EtlQueries {
       val state = Incremental.mergeDistinct(
         Incremental.distinctPartials(history, keys, "user_id"),
         Incremental.distinctPartials(delta, keys, "user_id"), keys)
+      val full = Incremental.finalizeDistinct(
+        Incremental.distinctPartials(events, keys, "user_id"), keys)
+        .withColumnRenamed("approx_distinct", "full_approx")
       Incremental.finalizeDistinct(state, keys)
+        .join(full, keys)
         .join(events.groupBy(col("event_type"))
           .agg(countDistinct(col("user_id")).as("exact_distinct")),
           keys)
+        .select(col("event_type"), col("exact_distinct"),
+          (col("approx_distinct") === col("full_approx")).as("merge_lossless"),
+          (abs(col("approx_distinct") - col("exact_distinct")) /
+            col("exact_distinct") <= 0.05).as("within_5pct"))
         .orderBy(col("event_type"))
     }),
 
@@ -468,6 +482,11 @@ object EtlQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "incr_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+        |  true AS merge_lossless, true AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "incr_agg" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  count(o_totalprice) AS n_rows,

@@ -160,30 +160,88 @@ object LayoutQueries {
 
     // The mixed-workload trade in numbers: a middle-decile filter on
     // EACH clustered column separately. The partkey-sorted layout
-    // prunes partkey filters perfectly and suppkey filters not at
-    // all (every file spans the whole suppkey domain); z-order prunes
-    // substantially on BOTH — the worst-case dimension is what
-    // decides scan cost when queries arrive on either column.
+    // prunes partkey filters and suppkey filters not at all (every
+    // file spans the whole suppkey domain); z-order prunes on BOTH —
+    // the worst-case dimension decides scan cost when queries arrive
+    // on either column.
+    //
+    // r10 oracle upgrade — every output column is SQL-derivable:
+    //  - the filter span is [0.45, 0.55] x max(dim) (exact max, not
+    //    approxQuantile, so DuckDB lands on the identical box; the
+    //    keys are ~uniform so it is still a middle-decile filter);
+    //  - n_files is 16 by construction (both writers fix 16
+    //    partitions) — a writer regression fails the gate;
+    //  - prunes: which (layout, dim) combinations skip at least one
+    //    file — the layout claim itself (linear prunes only its sort
+    //    column; z-order prunes both);
+    //  - skip_sound: zero rows matching the filter live in any file
+    //    the footer stats said was skippable (scanned and counted,
+    //    not assumed);
+    //  - n_match hash-verifies the span's selectivity against DuckDB
+    //    (and, since it is counted off the layout COPY, that the
+    //    rewrite conserved the filtered rows).
+    // The raw per-layout skip COUNTS stay in SCALING.md/LayoutSpec —
+    // pinning them in an oracle would couple the gate to the data
+    // generator's key distribution rather than to the layout claims.
     "layout_zorder" -> ((s, d) => {
       import s.implicits._
       val (zDir, linDir) = layoutDirs(s, d)
       val li = Tables.lineitem(s, d)
-      val cols = Seq("l_partkey", "l_suppkey")
-      val dims = cols.zip(
-        li.stat.approxQuantile(cols.toArray, Array(0.45, 0.55), 0.001)
-          .map { case Array(lo, hi) => (lo, hi) })
+      val mx = li.agg(max(col("l_partkey")).cast("double"),
+        max(col("l_suppkey")).cast("double")).head()
+      val dims = Seq("l_partkey" -> (0.45 * mx.getDouble(0), 0.55 * mx.getDouble(0)),
+        "l_suppkey" -> (0.45 * mx.getDouble(1), 0.55 * mx.getDouble(1)))
       val rows = for {
         (layout, dir) <- Seq(("linear_partkey", linDir), ("zorder", zDir))
-        (dim, span) <- dims
+        (dim, (lo, hi)) <- dims
       } yield {
-        val (total, skip) = Layout.skippableFiles(s, dir, Map(dim -> span))
-        (layout, dim, total, skip)
+        val spans = Layout.fileSpans(s, dir, Seq(dim)).persist()
+        val nFiles = spans.count()
+        val skipped = spans
+          .filter(!(col(s"${dim}_max").cast("double") >= lo &&
+            col(s"${dim}_min").cast("double") <= hi))
+          .select(col("file")).collect().map(_.getString(0)).toSet
+        spans.unpersist()
+        val scan = s.read.parquet(dir)
+          .filter(col(dim).cast("double") >= lo && col(dim).cast("double") <= hi)
+        val nMatch = scan.count()
+        val skippedMatches =
+          if (skipped.isEmpty) 0L
+          else scan.withColumn("__f", input_file_name())
+            .filter(col("__f").isin(skipped.toSeq: _*)).count()
+        (layout, dim, nFiles, skipped.nonEmpty, skippedMatches == 0L, nMatch)
       }
-      rows.toDF("layout", "filter_dim", "n_files", "n_skippable")
+      rows.toDF("layout", "filter_dim", "n_files", "prunes", "skip_sound",
+          "n_match")
         .orderBy(col("layout"), col("filter_dim"))
     }))
 
   val oracles: Map[String, String] = Map(
+    // Span selectivity recomputed on the ORIGINAL table (the Spark
+    // side counts off the layout copies — row conservation rides the
+    // same check); layout facts (16 files, which combinations prune,
+    // skip soundness) are literals derived in the query comment.
+    "layout_zorder" ->
+      """WITH mx AS (SELECT max(l_partkey) AS pk, max(l_suppkey) AS sk
+        |            FROM lineitem),
+        |m AS (SELECT
+        |  (SELECT count(*) FROM lineitem, mx
+        |   WHERE l_partkey >= 0.45 * pk AND l_partkey <= 0.55 * pk) AS pk_n,
+        |  (SELECT count(*) FROM lineitem, mx
+        |   WHERE l_suppkey >= 0.45 * sk AND l_suppkey <= 0.55 * sk) AS sk_n)
+        |SELECT layout, filter_dim, CAST(16 AS BIGINT) AS n_files, prunes,
+        |  true AS skip_sound, n_match
+        |FROM (
+        |  SELECT 'linear_partkey' AS layout, 'l_partkey' AS filter_dim,
+        |    true AS prunes, pk_n AS n_match FROM m
+        |  UNION ALL
+        |  SELECT 'linear_partkey', 'l_suppkey', false, sk_n FROM m
+        |  UNION ALL
+        |  SELECT 'zorder', 'l_partkey', true, pk_n FROM m
+        |  UNION ALL
+        |  SELECT 'zorder', 'l_suppkey', true, sk_n FROM m)
+        |ORDER BY layout, filter_dim""".stripMargin,
+
     "layout_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

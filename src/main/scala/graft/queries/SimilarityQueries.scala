@@ -84,6 +84,26 @@ object SimilarityQueries {
           m = m, ksub = ksub, iters = iters))
     }
 
+  /** Recall-contract gate output for the approximate ANN queries
+    * (r10): (k, n_found, recall_ok) against the exact brute-force
+    * top-k computed independently in-engine. The returned DataFrame
+    * is fully SQL-expressible (literals + a boolean), which is what
+    * lets an approximate operator carry a binding DuckDB oracle — the
+    * neighbor LISTS stay covered by the exact queries and the specs.
+    */
+  private def recallSummary(s: SparkSession, d: String,
+                            approx: DataFrame, k: Int): DataFrame = {
+    val exact = Similarity.bruteForceTopK(
+      Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+      queryVec(s, d), "vec_id", "embedding", k = k)
+    val hits = approx.select(col("vec_id"))
+      .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    approx.agg(count(lit(1)).as("n_found"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(lit(k).cast("long").as("k"), col("n_found"),
+        (col("n_hits") * 2 >= k).as("recall_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> ((s, d) => {
       Similarity.bruteForceTopK(
@@ -106,24 +126,39 @@ object SimilarityQueries {
     }),
 
     // IVF: coarse quantizer (trained once per dir, memoized), assign
-    // lists, probe half the lists.
+    // lists, probe half the lists. r10 oracle upgrade: probing 4 of 8
+    // lists is approximate by design (which neighbors sit in probed
+    // lists is k-means state, not SQL-expressible), so the gate
+    // output is the RECALL CONTRACT instead of the neighbor list —
+    // k results returned, and at least half of them members of the
+    // exact top-k (computed independently in-engine by the same
+    // brute-force operator ann_bruteforce hash-verifies). Measured
+    // recall on the gate corpus is 0.7; the 0.5 floor is the
+    // documented nprobe/nlist=1/2 contract. Neighbor-level output
+    // stays exercised by ann_bruteforce/ann_pq (exact oracles) and
+    // AnnSpec.
     "ann_ivf" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val cents = ivfCentroids(s, d, nlist = 8, iters = 5)
       val assigned = graft.operators.Ann.assignLists(embs, "vec_id",
         "embedding", cents)
-      graft.operators.Ann.ivfSearch(
+      val ivf = graft.operators.Ann.ivfSearch(
           assigned.filter(col("vec_id") =!= 0), queryVec(s, d),
           "vec_id", "embedding", cents, k = 10, nprobe = 4)
         .select(col("vec_id"), col("cos"))
+      recallSummary(s, d, ivf, k = 10)
     }),
 
     // Stored IVF index: coarse quantizer + list-PARTITIONED parquet,
     // probe scans only nprobe/nlist of the corpus via partition
-    // pruning (the IVF mirror of ann_lsh_indexed).
+    // pruning (the IVF mirror of ann_lsh_indexed). Same r10 recall-
+    // contract gate output as ann_ivf; the partition pruning itself
+    // is plan-asserted in AnnSpec.
     "ann_ivf_indexed" -> ((s, d) => {
-      graft.operators.Ann.ivfIndexTopK(s, ivfIndexDir(s, d), queryVec(s, d),
-        "vec_id", "embedding", k = 10, nprobe = 4)
+      recallSummary(s, d,
+        graft.operators.Ann.ivfIndexTopK(s, ivfIndexDir(s, d), queryVec(s, d),
+          "vec_id", "embedding", k = 10, nprobe = 4),
+        k = 10)
     }),
 
     // Batch ANN: several query vectors share ONE scan of the corpus;
@@ -140,8 +175,14 @@ object SimilarityQueries {
     // Product quantization (the memory-scale ANN path: 64-dim floats
     // -> 16 shorts per vector): codebooks train in-query like
     // ann_ivf, encoding is one shuffle-free scan, probe = ADC over
-    // codes then exact re-rank of a 100-wide shortlist only. Rows-
-    // only; PqSpec pins exactness-at-centroids and measures recall.
+    // codes then exact re-rank of a 100-wide shortlist only.
+    // r10 oracle upgrade: with no list pruning (PQ scans every code)
+    // the ADC shortlist at 100 wide deterministically contains the
+    // true top-10 on the gate corpus (R10Probe: refined top-10 ==
+    // brute-force top-10, cos values identical — the re-rank computes
+    // EXACT cosines), so this hash-verifies against the same exact
+    // oracle as ann_bruteforce. PqSpec still pins
+    // exactness-at-centroids and shortlist recall.
     "ann_pq" -> ((s, d) => {
       val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       val cb = pqCodebooks(s, d, m = 16, ksub = 32, iters = 10)
@@ -153,12 +194,16 @@ object SimilarityQueries {
     // Stored IVF+PQ index (the composed FAISS-style 100 TB shape):
     // probe prunes the file listing to nprobe/8 lists AND scans
     // 2-byte-per-subspace codes instead of float vectors; exact
-    // re-rank touches only the 100-wide shortlist. PqSpec asserts
-    // the partition pruning and recall vs brute force.
+    // re-rank touches only the 100-wide shortlist. The IVF component
+    // makes it approximate (unprobed lists), so the gate output is
+    // the same r10 recall contract as ann_ivf; PqSpec asserts the
+    // partition pruning and recall vs brute force.
     "ann_pq_indexed" -> ((s, d) => {
-      graft.operators.Pq.pqIndexTopK(s, pqIndexDir(s, d),
-        Tables.embeddings(s, d).filter(col("vec_id") =!= 0), queryVec(s, d),
-        "vec_id", "embedding", k = 10, nprobe = 4, shortlist = 100)
+      recallSummary(s, d,
+        graft.operators.Pq.pqIndexTopK(s, pqIndexDir(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0), queryVec(s, d),
+          "vec_id", "embedding", k = 10, nprobe = 4, shortlist = 100),
+        k = 10)
     }),
 
     // Approximate k-NN self-join over LSH buckets, summarized. Plane
@@ -183,6 +228,29 @@ object SimilarityQueries {
         |        (SELECT e FROM q)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // PQ-ADC shortlist + exact re-rank lands on exactly the exact
+    // top-10 (query comment) — same oracle as ann_bruteforce.
+    "ann_pq" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |        (SELECT e FROM q)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_ivf" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_found,
+        |  true AS recall_ok""".stripMargin,
+
+    "ann_ivf_indexed" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_found,
+        |  true AS recall_ok""".stripMargin,
+
+    "ann_pq_indexed" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_found,
+        |  true AS recall_ok""".stripMargin,
 
     "ann_bruteforce_batch" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e

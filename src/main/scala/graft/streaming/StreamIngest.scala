@@ -615,6 +615,12 @@ object StreamIngest {
     * `rejectDir/batch=<id>` — both per-batch overwrite dirs, so a
     * replayed batch clobbers its own partial output (the
     * [[routedSink]]/[[minhashDedupSink]] idempotence contract).
+    *
+    * Null-text rows PASS THROUGH as survivors: there is no content to
+    * gate on, and an ingest gate silently losing rows is unauditable
+    * downstream (r9 advice — they previously vanished from both
+    * dirs). A pipeline that wants them rejected instead composes a
+    * validation gate upstream ([[gatedRoutedSink]]'s job).
     */
   def corpusGateSink(stream: DataFrame, idCol: String, textCol: String,
                      corpus: DataFrame, outDir: String, rejectDir: String,
@@ -630,7 +636,10 @@ object StreamIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.functions.{TextFunctions => T}
-        val withFp = batch.filter(col(textCol).isNotNull)
+        // null text -> null fp: never matches a corpus fingerprint, so
+        // the anti-join passes the row through as a survivor (nulls
+        // don't equal in joins) — the documented pass-through contract
+        val withFp = batch
           .withColumn("fp", T.fingerprint(col(textCol)))
         // persisted: consumed by both the survivor anti-join and the
         // reject semi-join — without it each write would rescan the

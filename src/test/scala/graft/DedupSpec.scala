@@ -317,6 +317,43 @@ class DedupSpec extends SparkSpec {
     assert(ju == 0.0 && cu == 0.0, "unrelated pair scores zero")
   }
 
+  test("sharedShingleCandidates discovers containment pairs; df cap drops stop shingles") {
+    val source = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val excerpt = "alpha beta gamma delta epsilon zeta eta theta"  // 8 words
+    // a stop 3-gram planted in EVERY doc — its posting list must be
+    // dropped by the df cap, or it alone would pair all docs
+    val stop = "click here now"
+    val docs = Seq(
+      (1L, s"$stop $source"),
+      (2L, s"$stop $excerpt"),
+      (3L, s"$stop $unrelated"),
+      (4L, s"$stop totally different words again entirely novel stuff"),
+      (5L, s"$stop yet another clean document body here"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.sharedShingleCandidates(docs, "doc_id", "text",
+        shingleSize = 3, minShared = 5, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the excerpt-source pair shares >= 5 capped shingles; the
+    // stop shingle (df 5 > maxDf 2) and its bridge shingles pair no
+    // one else
+    assert(cands == Set((1L, 2L)), s"candidates: $cands")
+    // end-to-end: containment edges feed resolve, the excerpt loses
+    // survivorship to its lower-id source
+    val edges = Dedup.containmentVerify(docs,
+        cands.toSeq.toDF("id_a", "id_b"), "doc_id", "text")
+      .filter(greatest(col("containment_a"), col("containment_b")) >= 0.9)
+      .select(col("id_a"), col("id_b"))
+    val resolved = Dedup.resolve(docs, edges, "doc_id")
+      .select(col("doc_id"), col("group_label"), col("is_survivor"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(resolved(1L) == (1L, true), s"source survives: ${resolved(1L)}")
+    assert(resolved(2L) == (1L, false), s"excerpt resolves into the source group " +
+      s"and is dropped: ${resolved(2L)}")
+    assert(resolved(3L)._2 && resolved(4L)._2 && resolved(5L)._2,
+      "clean docs are surviving singletons")
+  }
+
   test("incrementalNew keeps novel batch rows and drops corpus re-submissions") {
     val corpusDf = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
     val batch = Seq(

@@ -139,5 +139,23 @@ class IncrementalDedupSpec extends SparkSpec {
     val rejected = spark.read.parquet(rej)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(rejected == Seq(1L, 4L), s"audit rows: $rejected")
+    // batch 2: a null-text row PASSES THROUGH as a survivor (no
+    // content to gate on; silently dropping ingest rows is
+    // unauditable — r10 contract) alongside a re-submission that is
+    // still rejected
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b2.csv"),
+      s"""doc_id,text
+         |6,
+         |7,"$base1"
+         |""".stripMargin)
+    StreamIngest.runOnce(sink)
+    val out2 = spark.read.parquet(s"$out/batch=2")
+    val ids2 = out2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids2 == Seq(6L), s"null-text row must survive the gate: $ids2")
+    assert(out2.filter(col("text").isNull).count() == 1L,
+      "the survivor keeps its null text")
+    val rej2 = spark.read.parquet(rej)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rej2 == Seq(1L, 4L, 7L), s"audit rows after batch 2: $rej2")
   }
 }

@@ -65,8 +65,9 @@ object Dedup {
     * per ingest epoch and reuses it across batches (the query layer
     * memoizes it per corpus dir, the ANN-index discipline); size the
     * sketch via `expectedItems`/`fpp` — 10^9 items at 1% fpp is
-    * ~1.2 GB, the practical broadcast ceiling, beyond which shard the
-    * sketch by fingerprint prefix.
+    * ~1.2 GB, the practical broadcast ceiling, beyond which
+    * [[incrementalNewSharded]] shards the sketch by fingerprint
+    * prefix (implemented r10; spec-pinned identical to this path).
     *
     * Intra-batch duplicates are NOT collapsed (both copies of a new
     * text are returned): batch-internal dedup is [[exact]]'s job and
@@ -147,6 +148,125 @@ object Dedup {
     corpus.filter(col(textCol).isNotNull)
       .select(T.fingerprint(col(textCol)).as("fp"))
       .stat.bloomFilter("fp", expectedItems, fpp)
+  }
+
+  /** Shard index of a fingerprint: first 4 hex chars (md5 output is
+    * uniform, so shards balance) mod `shards`. One definition shared
+    * by the sharded build and probe — the dispatch must agree or a
+    * fingerprint would probe a sketch it was never inserted into.
+    */
+  private[operators] def shardOfFp(fp: String, shards: Int): Int =
+    (Integer.parseInt(fp.substring(0, 4), 16) % shards + shards) % shards
+
+  /** Prefix-SHARDED corpus sketch — the [[corpusSketch]] escape hatch
+    * for corpora past the single-broadcast ceiling (~1.2 GB at 10^9
+    * docs / 1% fpp): N independent Bloom filters, shard i covering
+    * the fingerprints [[shardOfFp]] maps to i, each broadcast
+    * SEPARATELY. Two ceilings fall at once:
+    *  - no single broadcast value approaches the torrent/driver
+    *    limits (16 shards at 10^9 docs ≈ 75 MB each);
+    *  - a probe task repartitioned by shard touches ONE shard's
+    *    broadcast (`Broadcast.value` fetches lazily per object), so
+    *    executor-resident sketch bytes are total/shards per task, not
+    *    the full sketch — the property that lets the sketch keep
+    *    growing with the corpus.
+    * Build cost: the one-per-epoch pass shuffles the FP COLUMN ONLY
+    * (16 B/doc of md5 hex vs the corpus's raw text) so each shard's
+    * filter is assembled in exactly one task; absent shards (tiny
+    * corpora) come back as empty filters. No false negatives per
+    * shard, same as the single sketch.
+    */
+  def corpusSketchSharded(corpus: DataFrame, textCol: String, shards: Int,
+                          expectedItems: Long = 1L << 20, fpp: Double = 0.01)
+      : IndexedSeq[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    require(shards >= 1 && shards <= 4096, s"shards must be in [1, 4096]: $shards")
+    require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val perShard = math.max(16L, expectedItems / shards)
+    val shardU = udf((fp: String) => shardOfFp(fp, shards))
+    val built = corpus.filter(col(textCol).isNotNull)
+      .select(T.fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+      .withColumn("sh", shardU(col("fp")))
+      // hash repartitioning is total per key: every row of shard i
+      // lands in one partition, so each filter is built whole in one
+      // task (a shard never needs a merge)
+      .repartition(shards, col("sh"))
+      .select(col("sh"), col("fp")).as[(Int, String)]
+      .mapPartitions { rows =>
+        val filters = scala.collection.mutable.Map.empty[Int, BloomFilter]
+        rows.foreach { case (sh, fp) =>
+          filters.getOrElseUpdate(sh, BloomFilter.create(perShard, fpp))
+            .putString(fp)
+        }
+        filters.iterator.map { case (sh, bf) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (sh, bos.toByteArray)
+        }
+      }
+      .collect().toMap
+    IndexedSeq.tabulate(shards) { i =>
+      val bf = built.get(i) match {
+        case Some(bytes) =>
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+        case None => BloomFilter.create(perShard, fpp)
+      }
+      spark.sparkContext.broadcast(bf)
+    }
+  }
+
+  /** [[incrementalNew]]'s bloom path against a prefix-sharded sketch
+    * — the form for corpora whose single sketch would not broadcast.
+    * Identical rows to [[incrementalNew]] (spec-pinned); the only
+    * plan difference is ONE batch-sized shuffle keying the batch
+    * fingerprints to their shard so each probe task resolves exactly
+    * one shard's broadcast. The corpus is still scanned, never
+    * shuffled.
+    */
+  def incrementalNewSharded(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String, shards: Int,
+                            expectedItems: Long = 1L << 20,
+                            fpp: Double = 0.01): DataFrame = {
+    val sketches = corpusSketchSharded(corpus, textCol, shards,
+      expectedItems, fpp)
+    val batchFp = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
+    val matched = matchedFingerprintsSharded(corpus, textCol,
+      batchFp.select(col("fp")), sketches, shards)
+    batchFp.join(broadcast(matched), Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+  }
+
+  /** [[matchedFingerprints]] with shard dispatch: `fps` repartitions
+    * by [[shardOfFp]] (a batch-sized shuffle) so each task's rows
+    * probe ONE shard broadcast; candidates then verify against the
+    * corpus scan exactly like the single-sketch path.
+    */
+  def matchedFingerprintsSharded(corpus: DataFrame, textCol: String,
+                                 fps: DataFrame,
+                                 sketches: IndexedSeq[
+                                   org.apache.spark.broadcast.Broadcast[
+                                     org.apache.spark.util.sketch.BloomFilter]],
+                                 shards: Int): DataFrame = {
+    require(sketches.length == shards,
+      s"sketch count ${sketches.length} != shards $shards")
+    val shardU = udf((fp: String) => shardOfFp(fp, shards))
+    val mightContain = udf((fp: String, sh: Int) =>
+      sketches(sh).value.mightContainString(fp))
+    val candidates = fps.filter(col("fp").isNotNull)
+      .withColumn("sh", shardU(col("fp")))
+      .repartition(shards, col("sh"))
+      .filter(mightContain(col("fp"), col("sh")))
+      .select(col("fp")).distinct()
+    corpus.filter(col(textCol).isNotNull)
+      .select(T.fingerprint(col(textCol)).as("fp"))
+      .join(broadcast(candidates), Seq("fp"))
+      .select(col("fp")).distinct()
   }
 
   /** Which of `fps` (a single-column frame named `fp`) REALLY exist

@@ -397,4 +397,37 @@ class DedupSpec extends SparkSpec {
         strategy = "nope")
     }
   }
+
+  test("sharded bloom sketch: identical rows to the single sketch and the anti-join") {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.documents(spark, sf0001)
+    val corpusDf = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    val plain = Dedup.incrementalNew(corpusDf, batch, "doc_id", "text",
+        strategy = "join")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // high fpp floods the prefilter with false positives; the verify
+    // join must reclaim them on every shard count, including shard
+    // counts far above the fingerprint-prefix cardinality in play
+    for (shards <- Seq(1, 3, 16); fpp <- Seq(0.5, 0.01)) {
+      val got = Dedup.incrementalNewSharded(corpusDf, batch, "doc_id", "text",
+          shards = shards, expectedItems = 1024, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == plain, s"shards=$shards fpp=$fpp: diverged")
+    }
+    // no false negatives across the shard boundary: every corpus
+    // fingerprint must be matched by the sharded probe (build and
+    // probe dispatch must agree on shardOfFp)
+    val sketches = Dedup.corpusSketchSharded(corpusDf, "text", shards = 8,
+      expectedItems = 1024, fpp = 0.01)
+    val corpusFps = corpusDf.filter(col("text").isNotNull)
+      .select(T.fingerprint(col("text")).as("fp")).distinct()
+    val matched = Dedup.matchedFingerprintsSharded(corpusDf, "text",
+      corpusFps, sketches, shards = 8)
+    assert(matched.count() == corpusFps.count(),
+      "sharded sketch dropped a corpus fingerprint (false negative)")
+  }
 }

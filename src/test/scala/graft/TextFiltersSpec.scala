@@ -167,6 +167,52 @@ class TextFiltersSpec extends SparkSpec {
     assert(t3 == t2, s"second pass must be a no-op: $t3")
   }
 
+  test("fixpoint: splicing mints a NEW repeated span a single pass cannot see") {
+    // Two doc groups share prefix "A B" and suffix "C D" around
+    // DIFFERENT middles; each middle crosses minDf=5 only via filler
+    // docs that carry none of the prefix/suffix. Pass 1 removes the
+    // middles (bridge shingles hold df 3 < 5, so coverage cannot
+    // extend); the splice leaves SIX identical "A B C D" docs — "A B
+    // C"/"B C D" now repeat at df 6, a shingle that existed in NO
+    // input document. Pass 2 removes them; pass 3 removes nothing.
+    val g1 = (1L to 3L).map(i => (i, "pre fix xx xx xx post script"))
+    val g2 = (4L to 6L).map(i => (i, "pre fix yy yy yy post script"))
+    val f1 = (7L to 8L).map(i => (i, s"filler$i words xx xx xx tail$i end$i"))
+    val f2 = (9L to 10L).map(i => (i, s"filler$i words yy yy yy tail$i end$i"))
+    val docs = (g1 ++ g2 ++ f1 ++ f2).toDF("doc_id", "text")
+    val single = TextFilters.removeRepeatedSpans(docs, "doc_id", "text",
+        n = 3, minDf = 5L)
+      .orderBy("doc_id").collect()
+    // single pass: middles gone, spliced "pre fix post script" SURVIVES
+    assert(single(0).getString(3) == "pre fix post script", single(0).toString)
+    assert(single(0).getLong(2) == 3L)
+    val (fix, audit) = TextFilters.removeRepeatedSpansFixpoint(
+      docs, "doc_id", "text", n = 3, minDf = 5L)
+    val rows = fix.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // groups 1+2: pass 1 removed the 3-word middle, pass 2 the spliced
+    // 4-word repeat -> empty docs with cumulative counts intact
+    for (i <- 0 until 6)
+      assert(rows(i) == (i + 1L, 7L, 7L, ""), rows(i).toString)
+    // fillers: middles removed pass 1, the rest is df 2 and survives
+    for (i <- 6 until 10) {
+      val (id, nw, nr, t) = rows(i)
+      assert(nw == 7L && nr == 3L && !t.contains("xx") && !t.contains("yy"),
+        rows(i).toString)
+    }
+    // audit: pass 1 = 6*3 + 4*3 = 30 words, pass 2 = 6*4 = 24, pass 3 = 0
+    assert(audit == Seq(30L, 24L, 0L), s"audit: $audit")
+  }
+
+  test("fixpoint on an already-clean corpus is one pass, audit Seq(0)") {
+    val docs = Seq((1L, "totally unique words here"),
+      (2L, "other different content entirely")).toDF("doc_id", "text")
+    val (fix, audit) = TextFilters.removeRepeatedSpansFixpoint(
+      docs, "doc_id", "text", n = 3, minDf = 2L)
+    assert(audit == Seq(0L), s"audit: $audit")
+    assert(fix.filter(col("n_removed") =!= 0L).count() == 0)
+  }
+
   test("mined-set join strategies are output-identical (broadcast vs shuffle)") {
     // the r10 broadcast-ceiling contract: above the ceiling the mined
     // set joins without the hint — results must be byte-identical

@@ -32,7 +32,15 @@ object Bench {
     val selected = subset.fold(SparkEntry.queries)(qs =>
       SparkEntry.queries.view.filterKeys(qs).toMap)
     val results = selected.map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      // the warm-up pass is TIMED and published as the COLD number
+      // (r10 judge ask #6): first-iteration cost — codegen/JIT, cache
+      // population, fixture builds — was previously invisible to
+      // cross-round regression checks because only the steady median
+      // was round-stamped. It stays excluded from the steady median.
+      val tc = System.nanoTime()
+      val coldOk = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+      val cold = if (coldOk) (System.nanoTime() - tc) / 1e9 else -1.0
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -49,13 +57,16 @@ object Bench {
       // (r6 ladder: dedup_minhash 38.5s inside the full run vs 18.6s
       // isolated at sf10). Within-query iterations still share.
       spark.catalog.clearCache()
-      name -> median
+      name -> (median, cold)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val nFailed = results.values.count(_ < 0)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+    val qsCold = results.map { case (k, (_, c)) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val totalCold = results.values.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.values.count(_._1 < 0)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"failed":$nFailed,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact capture tails stdout to ~2 KB, which
     // clipped the per-query map to the last ~67 queries (judge,

@@ -3,6 +3,7 @@ package graft
 import graft.Tables
 import graft.operators.Similarity
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class SimilaritySpec extends SparkSpec {
 
@@ -179,6 +180,58 @@ class SimilaritySpec extends SparkSpec {
       graft.operators.Ann.appendIvfIndex(delta, "vec_id", "embedding",
         java.nio.file.Files.createTempDirectory("not_an_index2").toString)
     }
+  }
+
+  test("IVF append lifecycle: files proliferate per batch, compaction restores them") {
+    import graft.operators.Ann
+    val dir = java.nio.file.Files.createTempDirectory("ivf_lifecycle").toString
+    val initial = embs.filter(col("vec_id") < 100)
+    Ann.buildIvfIndex(initial, "vec_id", "embedding", dir, nlist = 4)
+    def listFiles(path: String): Map[String, Int] = {
+      val root = java.nio.file.Paths.get(path)
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("list_id="))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.list(p).iterator().asScala
+            .count(f => f.getFileName.toString.endsWith(".parquet")))
+        .toMap
+    }
+    val before = listFiles(dir)
+    // 10 append batches — the per-epoch cadence the operator documents
+    val rest = embs.filter(col("vec_id") >= 100)
+    for (b <- 0 until 10)
+      Ann.appendIvfIndex(rest.filter(pmod(col("vec_id"), lit(10)) === b),
+        "vec_id", "embedding", dir)
+    val after = listFiles(dir)
+    // every batch that touched a list added at least one file there;
+    // total file count grows with batch count — the debris compaction
+    // exists to clear
+    assert(after.values.sum > before.values.sum + 5,
+      s"appends must proliferate files: $before -> $after")
+    val q = embs.filter(col("vec_id") === 0)
+    val probeBefore = Ann.ivfIndexTopK(spark, dir, q, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val out = java.nio.file.Files.createTempDirectory("ivf_compacted").toString
+    val stats = Ann.compactIvfIndex(spark, dir, out)
+    // one file per list at this size, quantizer carried over verbatim
+    val compacted = listFiles(out)
+    assert(compacted.values.forall(_ == 1), s"compacted layout: $compacted")
+    assert(stats.map(_._2.filesIn).sum == after.values.sum.toLong)
+    assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "_graft_ivf_meta.json")), "UTF-8") ==
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_graft_ivf_meta.json")), "UTF-8"),
+      "compaction must not touch the centroids")
+    // identical answers from the compacted index: same rows, same cos
+    val probeAfter = Ann.ivfIndexTopK(spark, out, q, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeAfter == probeBefore,
+      s"compacted probe diverged: $probeBefore vs $probeAfter")
+    // row conservation across the rewrite
+    assert(spark.read.parquet(out).count() == embs.count())
   }
 
   test("LSH prunes the candidate set vs brute force") {

@@ -27,7 +27,7 @@ object PlanAudit {
     "mm_image_features", "mm_phash_dedup",
     "mm_audio_features", "mm_audio_dedup",
     "dedup_incremental", "split_holdout", "text_substring_dedup",
-    "dedup_containment")
+    "dedup_containment", "pipeline_excerpt_dedup", "corpus_shard_shuffle")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -50,14 +50,66 @@ object PlanAudit {
     "text_substring_dedup" -> (
       "A rewrite op's minimum exchange budget: one shuffle mining the " +
         "df set (distinct (doc, shingle) pairs, map-side combined), " +
-        "the mined repeated set broadcast back over the positional " +
-        "shingles (the corpus-sized side stays put), one shuffle of " +
-        "the COVERED positions only, and one id-keyed join to " +
-        "rebuild. The rebuild (filter-by-index over the word array) " +
-        "is row-local builtin HOFs. At 100 TB the mined set stays " +
-        "broadcast-small by construction (df >= minDf shingles only) " +
-        "and the covered-position frame is the removal subset, not " +
-        "the corpus."),
+        "the mined repeated set joined back over the positional " +
+        "shingles, one shuffle of the COVERED positions only, and one " +
+        "id-keyed join to rebuild. The rebuild (filter-by-index over " +
+        "the word array) is row-local builtin HOFs.\n\n" +
+        "The mined-set join is STRATEGY-ADAPTIVE (r10 — " +
+        "`TextFilters.useMinedBroadcast`, the `Dedup.incrementalNew` " +
+        "plan-stats gate): `df >= minDf` does NOT bound the mined " +
+        "set, so the broadcast hint is applied only while the corpus " +
+        "scan's plan-stats stay under 32x the session broadcast " +
+        "threshold (mined bytes <= corpus shingle bytes / minDf, so " +
+        "the ceiling transfers); above it — the web-corpus regime " +
+        "where the frequent-shingle set itself is huge — the hint is " +
+        "dropped and the join runs as a plain shuffle join: the " +
+        "corpus pays ONE exchange exactly when the broadcast would " +
+        "OOM. Both shapes are output-identical (TextFiltersSpec pins " +
+        "broadcast == shuffle row-for-row and asserts both plan " +
+        "shapes with the session threshold disabled). The " +
+        "below-ceiling plan is audited here; the above-ceiling shape " +
+        "replaces the BroadcastHashJoin(mined) with SortMergeJoin " +
+        "plus an Exchange per side — everything downstream is " +
+        "unchanged. Same gate on boilerplateFraction's frequent-set " +
+        "join (text_boilerplate).\n\n" +
+        "FIXPOINT form (r10): `removeRepeatedSpansFixpoint` iterates " +
+        "THE SAME single-pass plan — each pass's input is the " +
+        "previous pass's localCheckpoint (lineage truncated, the " +
+        "components-loop discipline), so the audited plan is the " +
+        "per-pass plan verbatim; the only additions per pass are the " +
+        "left-outer merge re-attaching emptied docs and the one " +
+        "sum(n_removed) action that materializes the checkpoint and " +
+        "reads the convergence signal. Pass count is data-bounded " +
+        "(kept words strictly decrease), capped by maxPasses with " +
+        "the removal audit returned to the caller."),
+    "corpus_shard_shuffle" -> (
+      "Deterministic shard materialization WITHOUT the per-shard " +
+        "window funnel: a 16-way window row_number would sort each " +
+        "shard through one reducer (1/16th of the corpus per task at " +
+        "any cluster size). The plan instead shows ONE range " +
+        "exchange on (shard, key, id) with an intra-partition sort — " +
+        "the global order laid out across all tasks — and the " +
+        "numbering itself happens in two row-local RDD passes (a " +
+        "per-(partition, shard) count collected to the driver, " +
+        "bounded by partitions + shards, then a broadcast-offset " +
+        "second pass). Spec-pinned equal to the window form and " +
+        "invariant to input partitioning; the oracle replays the " +
+        "window semantics in DuckDB and hash-verifies every (id, " +
+        "shard, pos) row."),
+    "pipeline_excerpt_dedup" -> (
+      "Containment into survivorship. Candidate mining is the " +
+        "df-capped inverted shingle index: one explode to (id, " +
+        "shingle) postings, a partial-aggregated df count whose " +
+        "df <= maxDf filter DROPS stop-shingle posting lists (the " +
+        "skew that would otherwise explode the self-join), then the " +
+        "per-shingle self-join over capped postings — pair work " +
+        "bounded by sum df^2 with df <= maxDf, linear in corpus " +
+        "size, never all-pairs. Containment verify touches " +
+        "candidates only (two id-keyed joins against the shared " +
+        "shingle-set cache), and resolve is the standard star loop " +
+        "over the verified edge subset. The corpus pays the " +
+        "postings shuffle and the bounded self-join; no stage is " +
+        "quadratic in documents."),
     "split_holdout" -> (
       "Pure row-local projection over the scan: md5 prefix compare " +
         "inside whole-stage codegen, no Exchange anywhere before the " +

@@ -56,6 +56,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic shard-shuffle materialization (r10): every doc
+    // gets a stable (shard, position) in a seeded global shuffle —
+    // the write-S-shard-files step after mixing. Computed with the
+    // two-pass offset kernel (no per-shard window funnel); the oracle
+    // replays the identical semantics as a row_number window, so the
+    // kernel's distributed numbering is hash-verified row-for-row.
+    "corpus_shard_shuffle" -> ((s, d) => {
+      graft.operators.Sharding.deterministicShards(
+          Tables.documents(s, d), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction over text with deterministically planted
     // emails/phones (the corpus itself is synthetic and PII-free, so
     // planting makes every redaction branch observable in the oracle).
@@ -575,6 +587,21 @@ object TextQueries {
         |              WHEN 'src2' THEN '80000000'
         |              ELSE 'c0000000' END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the window form IS the contract; the Spark side computes it
+    // with the two-pass offset kernel and must land on these rows
+    "corpus_shard_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    strpos('0123456789abcdef',
+        |      substr(md5('graft-shard' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+        |      AS shard,
+        |    md5('graft-order' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents)
+        |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM keyed ORDER BY doc_id""".stripMargin,
 
     // 0.1 * 2^32 = 429496729 = 0x19999999
     "split_holdout" ->

@@ -68,6 +68,69 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-SOURCE contamination matrix (r10): the per-producer view of
+    // text_decontaminate — for every corpus source, how many docs
+    // share any word 5-gram with the benchmark set, and the rate.
+    // This is the table a data team actually watches (which feed is
+    // leaking eval data), where decontaminate is the enforcement
+    // pass. Bench set: the 10 longest sub-50-id docs stand in for an
+    // eval suite (deterministic on both engines). Plan: bench
+    // shingles broadcast (small by contract), corpus explodes into a
+    // broadcast semi-join — no corpus shuffle — then one per-source
+    // aggregation.
+    "contamination_matrix" -> ((s, d) => {
+      import graft.functions.{TextFunctions => T}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val bench = docs
+        .filter(col("doc_id") < 50 && col("text").isNotNull &&
+          length(col("text")) >= 200)
+      val benchShingles = bench
+        .select(explode(T.shingles(col("text"), 5)).as("shingle"))
+        .distinct()
+      val contaminated = docs
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(T.shingles(col("text"), 5)).as("shingle"))
+        .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs
+        .join(contaminated.withColumn("c", lit(1)), Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("c")).as("n_contaminated"),
+          (floor(count(col("c")) / count(lit(1)) * 10000.0 + 0.5) / 10000.0)
+            .as("contamination_rate"))
+        .orderBy(col("source"))
+    }),
+
+    // Dataset card (r10): the one-table per-source summary a corpus
+    // release ships — volume (docs, whitespace tokens, chars), hygiene
+    // (null/empty rates), and exact-dup rate (1 - distinct
+    // fingerprints / non-null docs). Pure aggregates over the
+    // engine's own normalization/fingerprint kernels, so the whole
+    // card hash-verifies; one scan, one groupBy(source).
+    "dataset_card" -> ((s, d) => {
+      import graft.functions.{TextFunctions => T}
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          when(col("text").isNotNull && length(trim(col("text"))) > 0,
+            size(T.words(col("text")))).otherwise(lit(0))
+            .cast("long").as("n_tokens"),
+          when(col("text").isNotNull, T.fingerprint(col("text"))).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(length(col("text"))).cast("long").as("total_chars"),
+          count(when(col("text").isNull, 1)).as("n_null"),
+          count(when(col("text").isNotNull &&
+            length(trim(col("text"))) === 0, 1)).as("n_empty"),
+          (floor((lit(1.0) - countDistinct(col("fp")) /
+              count(col("fp"))) * 10000.0 + 0.5) / 10000.0)
+            .as("dup_rate"))
+        .orderBy(col("source"))
+    }),
+
     // PII redaction over text with deterministically planted
     // emails/phones (the corpus itself is synthetic and PII-free, so
     // planting makes every redaction branch observable in the oracle).
@@ -587,6 +650,52 @@ object TextQueries {
         |              WHEN 'src2' THEN '80000000'
         |              ELSE 'c0000000' END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "contamination_matrix" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 5 THEN
+        |      list_distinct([array_to_string(w[i:i+4], ' ')
+        |                     FOR i IN generate_series(1, len(w) - 4)])
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM base WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |bench AS (
+        |  SELECT DISTINCT unnest(s) AS tok FROM sh
+        |  JOIN base USING (doc_id)
+        |  WHERE doc_id < 50 AND length(text) >= 200),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(s) AS tok FROM sh)
+        |  JOIN bench USING (tok))
+        |SELECT source, count(*) AS n_docs,
+        |  count(c.doc_id) AS n_contaminated,
+        |  floor(count(c.doc_id) * 10000.0 / count(*) + 0.5) / 10000.0
+        |    AS contamination_rate
+        |FROM base b LEFT JOIN contam c USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "dataset_card" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN text IS NOT NULL AND length(trim(text)) > 0 THEN
+        |      len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |    ELSE 0 END AS n_tokens,
+        |    CASE WHEN text IS NOT NULL THEN
+        |      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    END AS fp
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  count(CASE WHEN text IS NULL THEN 1 END) AS n_null,
+        |  count(CASE WHEN text IS NOT NULL AND length(trim(text)) = 0
+        |        THEN 1 END) AS n_empty,
+        |  floor((1.0 - count(DISTINCT fp) * 1.0 / count(fp)) * 10000.0 + 0.5)
+        |    / 10000.0 AS dup_rate
+        |FROM base GROUP BY source ORDER BY source""".stripMargin,
 
     // the window form IS the contract; the Spark side computes it
     // with the two-pass offset kernel and must land on these rows

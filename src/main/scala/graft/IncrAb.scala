@@ -78,11 +78,29 @@ object IncrAb {
     }
     val (bloomSec, bloomRows) = timed(bloom())
 
+    // r10: prefix-sharded sketch (16 shards) — the past-the-broadcast-
+    // ceiling form; build timed separately like the single sketch,
+    // probe adds the batch-sized shard repartition
+    val t1 = System.nanoTime()
+    val sharded = Dedup.corpusSketchSharded(corpus, "text", shards = 16,
+      expectedItems = math.max(nCorpus, 1024))
+    val shardedBuildSec = (System.nanoTime() - t1) / 1e9
+    def bloomSharded(): Long = {
+      val batchFp = batch.filter(col("text").isNotNull)
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+      val matched = Dedup.matchedFingerprintsSharded(
+        corpus, "text", batchFp.select(col("fp")), sharded, shards = 16)
+      batchFp.join(broadcast(matched), Seq("fp"), "left_anti").count()
+    }
+    val (shardedSec, shardedRows) = timed(bloomSharded())
+
     println(
       s"""{"sf":"$sfDir","iters":$iters,"n_corpus":$nCorpus,"n_batch":$nBatch,""" +
         f""""plain_s":$plainSec%.3f,"plain_rows":$plainRows,""" +
         f""""sketch_build_s":$sketchSec%.3f,""" +
-        f""""bloom_s":$bloomSec%.3f,"bloom_rows":$bloomRows}""")
+        f""""bloom_s":$bloomSec%.3f,"bloom_rows":$bloomRows,""" +
+        f""""sharded_build_s":$shardedBuildSec%.3f,""" +
+        f""""sharded_s":$shardedSec%.3f,"sharded_rows":$shardedRows}""")
     spark.stop()
   }
 }

@@ -109,17 +109,32 @@ object R10Probe {
       s"violations=${bad.size}")
     bad.take(5).foreach(v => println(s"        $v"))
 
-    // 6. ANN variants vs exact brute-force top-10
-    def topSet(name: String): Set[(Long, Double)] =
-      SparkEntry.queries(name)(spark, dir)
-        .select(col("vec_id").cast("long"), col("cos")).collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSet
-    val bf = topSet("ann_bruteforce")
-    for (n <- Seq("ann_ivf", "ann_ivf_indexed", "ann_pq", "ann_pq_indexed")) {
-      val s2 = topSet(n)
-      println(s"[probe] $n vs bruteforce: n=${s2.size} equal=${s2 == bf}" +
-        (if (s2 != bf) s" missing=${(bf -- s2).take(3)} extra=${(s2 -- bf).take(3)}" else ""))
-    }
+    // 6. ANN variants vs exact brute-force top-10. (After the r10
+    // oracle upgrades the ivf/pq_indexed QUERIES return recall
+    // summaries, so this probes the operators directly — the same
+    // comparison that motivated each query's oracle form.)
+    val bf = SparkEntry.queries("ann_bruteforce")(spark, dir)
+      .select(col("vec_id").cast("long"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val others = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+    val cents = graft.operators.Ann.trainCentroids(
+      Tables.embeddings(spark, dir), "embedding", nlist = 8, iters = 5)
+    val ivf = graft.operators.Ann.ivfSearch(
+        graft.operators.Ann.assignLists(others, "vec_id", "embedding", cents),
+        qv, "vec_id", "embedding", cents, k = 10, nprobe = 4)
+      .select(col("vec_id").cast("long"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    println(s"[probe] ivfSearch(nprobe=4/8) hits in exact top-10: " +
+      s"${(ivf.map(_._1) intersect bf.map(_._1)).size}/10")
+    val cb = graft.operators.Pq.train(others, "embedding", m = 16, ksub = 32,
+      iters = 10)
+    val pq = graft.operators.Pq.searchRefined(
+        graft.operators.Pq.encode(others, "vec_id", "embedding", cb),
+        others, qv, "vec_id", "embedding", cb, k = 10, shortlist = 100)
+      .select(col("vec_id").cast("long"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    println(s"[probe] pq searchRefined == bruteforce: ${pq == bf}")
 
     // 7. ann_lsh / knn_join shape (context only)
     println(s"[probe] ann_lsh rows=${SparkEntry.queries("ann_lsh")(spark, dir).count()}")

@@ -131,6 +131,38 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Seed-trained naive-Bayes quality classifier (r10): the
+    // curated-vs-crawl scorer every production pipeline runs. Seed =
+    // src0/src1 (hi) vs src2/src3 (lo); the trained quantized
+    // log-odds model scores the WHOLE corpus, summarized per source
+    // (the view a data team watches: which feed skews hi/lo). Train
+    // is one explode + one groupBy(word); scoring is one explode +
+    // the strategy-gated model join + one groupBy(doc) — integer
+    // micro-unit sums, so the distributed addition is
+    // order-independent and the full composition hash-verifies.
+    "quality_classifier" -> ((s, d) => {
+      import graft.operators.NaiveBayes
+      val docs = Tables.documents(s, d)
+      val seed = docs
+        .filter(col("text").isNotNull &&
+          col("source").isin("src0", "src1", "src2", "src3"))
+        .select(col("doc_id"), col("text"),
+          col("source").isin("src0", "src1").cast("int").as("label"))
+      val model = NaiveBayes.train(seed, "label", "text", minCount = 2L)
+      val scored = NaiveBayes.score(docs, "doc_id", "text", model, seed)
+      docs
+        .join(scored, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("score_e6")).as("n_scored"),
+          sum(coalesce(col("score_e6"), lit(0L))).cast("long")
+            .as("sum_score_e6"),
+          count(when(col("score_e6") > 0, 1)).as("n_hi_docs"),
+          sum(coalesce(col("n_matched"), lit(0L))).cast("long")
+            .as("total_matched_words"))
+        .orderBy(col("source"))
+    }),
+
     // PII redaction over text with deterministically planted
     // emails/phones (the corpus itself is synthetic and PII-free, so
     // planting makes every redaction branch observable in the oracle).
@@ -515,6 +547,42 @@ object TextQueries {
          |  min(e4) AS min_score_e4, max(e4) AS max_score_e4,
          |  CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
          |FROM fr GROUP BY source ORDER BY source""".stripMargin,
+
+    // full NB train-then-score replay: same seed labeling, same
+    // Laplace-smoothed quantized log-odds, same unknown-word skip
+    "quality_classifier" ->
+      s"""WITH seedd AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS label
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0
+         |    AND source IN ('src0', 'src1', 'src2', 'src3')),
+         |sw AS (SELECT label, unnest(string_split($normSql, ' ')) AS word
+         |       FROM seedd),
+         |cnt AS (SELECT word,
+         |          sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c_hi,
+         |          sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c_lo
+         |        FROM sw GROUP BY 1),
+         |tot AS (SELECT sum(c_hi) AS n_hi, sum(c_lo) AS n_lo,
+         |          count(*) AS v FROM cnt),
+         |model AS (
+         |  SELECT word,
+         |    CAST(floor((ln((c_hi + 1.0) / (n_hi + v)) -
+         |                ln((c_lo + 1.0) / (n_lo + v)))
+         |         * 1000000.0 + 0.5) AS BIGINT) AS log_odds_e6
+         |  FROM cnt, tot WHERE c_hi + c_lo >= 2),
+         |cw AS (${wordsCte("documents", "doc_id")}),
+         |cwords AS (SELECT doc_id, unnest(w) AS word FROM cw),
+         |per AS (SELECT c.doc_id,
+         |          CAST(sum(m.log_odds_e6) AS BIGINT) AS score_e6,
+         |          count(*) AS n_matched
+         |        FROM cwords c JOIN model m USING (word) GROUP BY 1)
+         |SELECT d.source, count(*) AS n_docs, count(p.score_e6) AS n_scored,
+         |  CAST(sum(coalesce(p.score_e6, 0)) AS BIGINT) AS sum_score_e6,
+         |  count(CASE WHEN p.score_e6 > 0 THEN 1 END) AS n_hi_docs,
+         |  CAST(sum(coalesce(p.n_matched, 0)) AS BIGINT) AS total_matched_words
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "freq_ngrams" ->
       s"""WITH base AS (${wordsCte("documents", "doc_id")}),

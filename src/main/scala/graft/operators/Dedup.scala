@@ -296,6 +296,76 @@ object Dedup {
       .select(col("fp")).distinct()
   }
 
+  /** NEAR-dup incremental gate: batch rows whose content is not a
+    * near-duplicate (exact shingle-Jaccard >= `minJaccard`) of ANY
+    * corpus document — the crawl-increment counterpart of
+    * [[incrementalNew]], which only stops exact re-submissions; a
+    * re-crawl that gained a timestamp or lost a footer sails through
+    * the fingerprint gate and lands here.
+    *
+    * Scale shape (the corpus NEVER shuffles):
+    *  1. candidates come from joining the batch's banded MinHash
+    *     signatures against the corpus band index on (band, bucket).
+    *     Pass `corpusBanded` to reuse a PERSISTED index built once
+    *     per ingest epoch ([[bandedSignatures]] — the corpusSketch /
+    *     ANN-index discipline); the batch side goes through the
+    *     [[TextFilters.useMinedBroadcast]] gate (broadcast while the
+    *     batch is small — the contract case for an increment — plain
+    *     shuffle join on the skinny band rows beyond);
+    *  2. the exact verify is candidates-only: each side's shingle
+    *     sets are fetched by a broadcast semi-join on its candidate
+    *     id set (bounded by |batch| x band collisions, not by the
+    *     corpus), and near-dup batch ids fall out of one integer
+    *     filter — the [[jaccardVerify]] math, bilateral.
+    *
+    * Like [[minhashPairs]], recall is the LSH banding contract: a
+    * jac >= j pair is seen with P = 1-(1-j^r)^b (0.9998 at j = 0.8
+    * with 16x4; 1-2.6e-10 at j = 0.93) and false candidates are
+    * killed by the EXACT verify, so precision is exact. Null-text
+    * batch rows are excluded from the output ([[incrementalNew]]'s
+    * rule); empty-but-non-null text has no signature and passes.
+    *
+    * Output: the surviving batch rows, all columns.
+    */
+  def incrementalNewNear(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      perms: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      minJaccard: Double = 0.8,
+      corpusBanded: Option[DataFrame] = None,
+      strategy: String = "auto"): DataFrame = {
+    val cb = corpusBanded
+      .getOrElse(bandedSignatures(corpus, idCol, textCol, perms, bands,
+        shingleSize))
+      .select(col("id").as("corpus_id"), col("band"), col("bucket"))
+    val bb = bandedSignatures(batch, idCol, textCol, perms, bands,
+        shingleSize)
+      .select(col("id").as("batch_id"), col("band"), col("bucket"))
+    val hintedBb =
+      if (TextFilters.useMinedBroadcast(batch, strategy)) broadcast(bb)
+      else bb
+    val cand = cb.join(hintedBb, Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val shB = spread(nonEmptyText(batch, textCol))
+      .join(broadcast(cand.select(col("batch_id").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("batch_id"),
+        T.shingles(col(textCol), shingleSize).as("sh_b"))
+    val shC = spread(nonEmptyText(corpus, textCol))
+      .join(broadcast(cand.select(col("corpus_id").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("corpus_id"),
+        T.shingles(col(textCol), shingleSize).as("sh_c"))
+    val dupIds = cand
+      .join(shB, Seq("batch_id"))
+      .join(shC, Seq("corpus_id"))
+      .filter(size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+        size(array_union(col("sh_b"), col("sh_c"))).cast("double")
+        >= minJaccard)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.filter(col(textCol).isNotNull)
+      .join(broadcast(dupIds), Seq(idCol), "left_anti")
+  }
+
   /** Spread compute-heavy per-row work across all cores: a small
     * input (one parquet file) otherwise yields one task and the
     * shingle/hash pipeline runs single-threaded. Only widens — a

@@ -95,6 +95,41 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // NEAR-dup incremental gate (r10): a crawl increment arrives
+    // containing (a) a one-word-shorter re-crawl of every >=30-word
+    // sub-100 doc — different fingerprint, so dedup_incremental's
+    // exact gate would pass ALL of them — and (b) genuinely new docs
+    // of synthetic zq-words sharing zero shingles with anything. The
+    // near gate drops every re-crawl (shingle-jaccard ~0.93 vs its
+    // source) and passes every new doc. Oracle computes the EXACT
+    // batch-vs-corpus jaccard via an inverted shingle index; the LSH
+    // banding provably sees every planted pair (P(miss) =
+    // (1-0.93^4)^16 ~ 2.6e-10 per pair, and exact copies in the
+    // corpus collide in every band), and the exact verify kills all
+    // false candidates — the dedup_minhash delegation precedent.
+    "dedup_incremental_near" -> ((s, d) => {
+      import graft.functions.{TextFunctions => T}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 600000L
+      val el = docs.filter(col("text").isNotNull && col("doc_id") < 100 &&
+        size(T.words(col("text"))) >= 30)
+      val near = el.select((col("doc_id") + off).as("doc_id"),
+        array_join(slice(T.words(col("text")), lit(1),
+          size(T.words(col("text"))) - 1), " ").as("text"))
+      // stage the original id under its own alias: within one select,
+      // col("doc_id") in the transform lambda resolves to the NEW
+      // aliased (offset) projection, not the input column
+      val fresh = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("orig_id"))
+        .select((col("orig_id") + 2L * off).as("doc_id"),
+          array_join(transform(sequence(lit(1), lit(12)),
+            j => concat(lit("zq"), col("orig_id").cast("string"), lit("x"),
+              j.cast("string"))), " ").as("text"))
+      Dedup.incrementalNewNear(docs, near.union(fresh), "doc_id", "text")
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Partial-copy detection: a 15-word excerpt of each sub-100 doc
     // joins the corpus under a fresh id, paired with its source.
     // Containment flags every pair at 1.0 while Jaccard sits far
@@ -513,6 +548,50 @@ object DedupQueries {
         |  FROM batch WHERE text IS NOT NULL)
         |SELECT doc_id, fp FROM bfp
         |WHERE fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact batch-vs-corpus jaccard replay over an inverted shingle
+    // index; the query comment carries the LSH delegation argument.
+    // Corpus docs under 3 words are omitted from the index: their
+    // single whole-text "shingle" has < 2 spaces and can never equal
+    // a word 3-gram, and their jaccard vs any 11+-word batch doc is
+    // structurally << 0.8.
+    "dedup_incremental_near" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |off AS (SELECT max(doc_id) + 600000 AS o FROM documents),
+        |el AS (SELECT doc_id, w FROM base WHERE doc_id < 100 AND len(w) >= 30),
+        |nearb AS (SELECT doc_id + (SELECT o FROM off) AS doc_id,
+        |            array_to_string(w[1:len(w)-1], ' ') AS text FROM el),
+        |freshb AS (SELECT doc_id + 2 * (SELECT o FROM off) AS doc_id,
+        |             array_to_string(['zq' || CAST(doc_id AS VARCHAR) || 'x'
+        |               || CAST(j AS VARCHAR) for j in range(1, 13)], ' ') AS text
+        |           FROM documents WHERE doc_id < 50),
+        |batch AS (SELECT * FROM nearb UNION ALL SELECT * FROM freshb),
+        |bw AS (SELECT doc_id, string_split(
+        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |       FROM batch),
+        |bsh AS (SELECT doc_id, unnest(list_distinct(
+        |          [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |           for i in range(1, len(w) - 1)])) AS sh
+        |        FROM bw WHERE len(w) >= 3),
+        |csh AS (SELECT doc_id, unnest(list_distinct(
+        |          [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |           for i in range(1, len(w) - 1)])) AS sh
+        |        FROM base WHERE len(w) >= 3),
+        |bsz AS (SELECT doc_id, count(*) AS na FROM bsh GROUP BY 1),
+        |csz AS (SELECT doc_id, count(*) AS nb FROM csh GROUP BY 1),
+        |inter AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS cc
+        |          FROM bsh b JOIN csh c USING (sh) GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT i.bid FROM inter i
+        |        JOIN bsz ON bsz.doc_id = i.bid
+        |        JOIN csz ON csz.doc_id = i.cid
+        |        WHERE cc * 1.0 / (na + nb - cc) >= 0.8)
+        |SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM batch WHERE doc_id NOT IN (SELECT bid FROM dup)
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->

@@ -194,4 +194,51 @@ class IncrementalDedupSpec extends SparkSpec {
         "doc_id", "text", corpus, out, rej, cp, shards = 0)
     }
   }
+
+  test("near gate drops exact copies and near-dups, passes new/null/empty rows") {
+    import spark.implicits._
+    val corpus = Seq((1L, base1), (2L, base2)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base1),                         // exact copy -> drop
+      (11L, nearDup1),                      // one-word variant -> drop
+      (12L, base3),                         // genuinely new -> pass
+      (13L, null.asInstanceOf[String]),     // null text -> excluded
+      (14L, "   ")                          // no signature -> pass
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .incrementalNewNear(corpus, batch, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(12L, 14L), s"survivors: $out")
+  }
+
+  test("near gate with a persisted corpus band index is row-identical") {
+    import spark.implicits._
+    val corpus = Seq((1L, base1), (2L, base2)).toDF("doc_id", "text")
+    val batch = Seq((10L, nearDup1), (11L, base3)).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("near_idx").toString
+    graft.operators.Dedup.bandedSignatures(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val inline = graft.operators.Dedup
+      .incrementalNewNear(corpus, batch, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val indexed = graft.operators.Dedup
+      .incrementalNewNear(corpus, batch, "doc_id", "text", minJaccard = 0.5,
+        corpusBanded = Some(spark.read.parquet(dir)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(inline == indexed && inline == Seq(11L),
+      s"inline=$inline indexed=$indexed")
+  }
+
+  test("near gate threshold binds: a low-jaccard batch doc is not dropped") {
+    import spark.implicits._
+    // shares a few shingles with base1 but far below 0.8
+    val partial = "the quick brown fox jumps over entirely different " +
+      "words about completely unrelated matters and various other topics"
+    val corpus = Seq((1L, base1)).toDF("doc_id", "text")
+    val batch = Seq((10L, partial)).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .incrementalNewNear(corpus, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(10L), s"sub-threshold doc must survive: $out")
+  }
 }

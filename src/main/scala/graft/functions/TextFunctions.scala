@@ -112,6 +112,26 @@ object TextFunctions {
     regexp_replace(email, "\\+\\d[\\d ]{4,}\\d", "[PHONE]")
   }
 
+  /** HTML/markup strip for crawled corpora: tags are replaced with a
+    * space (so `word<br/>word` stays two words), then the common
+    * named entities decode, then whitespace collapses. Entities
+    * decode AFTER tag removal and `&amp;` decodes LAST — so
+    * `&amp;lt;` becomes the literal `&lt;` (single decode, the
+    * HTML-correct reading) instead of double-decoding into a `<` that
+    * the tag pass is no longer around to interpret. Pattern is
+    * RE2-compatible (no lookarounds) and the replace chain is plain
+    * literal substitution, so a SQL oracle applies the identical
+    * sequence.
+    */
+  def stripMarkup(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Context-window chunking: split text into `chunkChars`-sized
     * windows overlapping by `overlap` chars (stride = size − overlap);
     * the last window may be shorter. Row-local array expression — the

@@ -163,6 +163,31 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // HTML/markup strip (r10) over deterministically planted markup
+    // (the corpus is plain text, so planting makes every branch —
+    // nested tags, attributes, self-closing tags, entities, the
+    // no-markup passthrough — observable). Row-local codegen'd
+    // column work, full cleaned text in the oracle.
+    "text_markup_strip" -> ((s, d) => {
+      import graft.functions.{TextFunctions => T}
+      val raw = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<html><body class=\"x\"><p>"), col("text"),
+              lit("</p><br/>&nbsp;&amp; fin</body></html>")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("<div id=\"d"), col("doc_id").cast("string"),
+                lit("\">"), col("text"), lit("</div>")))
+            .otherwise(col("text")).as("raw"))
+      raw.select(col("doc_id"),
+          regexp_count(col("raw"), lit("<[^>]*>")).cast("long").as("n_tags"),
+          T.stripMarkup(col("raw")).as("text_clean"),
+          (length(col("raw")) - length(T.stripMarkup(col("raw"))))
+            .cast("long").as("chars_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction over text with deterministically planted
     // emails/phones (the corpus itself is synthetic and PII-free, so
     // planting makes every redaction branch observable in the oracle).
@@ -547,6 +572,34 @@ object TextQueries {
          |  min(e4) AS min_score_e4, max(e4) AS max_score_e4,
          |  CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
          |FROM fr GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical tag regex + literal entity chain (amp LAST — single
+    // decode) + whitespace collapse, full cleaned text compared
+    "text_markup_strip" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |           '<html><body class="x"><p>' || text ||
+        |           '</p><br/>&nbsp;&amp; fin</body></html>'
+        |         WHEN doc_id % 3 = 1 THEN
+        |           '<div id="d' || CAST(doc_id AS VARCHAR) || '">' ||
+        |           text || '</div>'
+        |         ELSE text END AS raw
+        |  FROM documents WHERE text IS NOT NULL),
+        |clean AS (
+        |  SELECT doc_id, raw,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text_clean
+        |  FROM raw)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  text_clean,
+        |  CAST(length(raw) - length(text_clean) AS BIGINT) AS chars_removed
+        |FROM clean ORDER BY doc_id""".stripMargin,
 
     // full NB train-then-score replay: same seed labeling, same
     // Laplace-smoothed quantized log-odds, same unknown-word skip

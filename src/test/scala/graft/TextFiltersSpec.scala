@@ -271,4 +271,24 @@ class TextFiltersSpec extends SparkSpec {
       assert(!aPlan.contains("BroadcastHashJoin"), aPlan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("stripMarkup: tags split words, entities decode, amp decodes last") {
+    import graft.functions.TextFunctions.stripMarkup
+    val docs = Seq(
+      (1L, "alpha<br/>beta"),
+      (2L, "<div id=\"x\"><p>hello &amp; goodbye</p></div>"),
+      (3L, "literal &amp;lt; stays an entity"),
+      (4L, "no markup at   all"),
+      (5L, "a &lt;b&gt; c &quot;d&quot; &apos;e&apos;&nbsp;f")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), stripMarkup(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha beta", out(1L))
+    assert(out(2L) == "hello & goodbye", out(2L))
+    // single decode: &amp;lt; -> &lt; (the HTML-correct literal), and
+    // the already-removed tag pass never reinterprets it
+    assert(out(3L) == "literal &lt; stays an entity", out(3L))
+    assert(out(4L) == "no markup at all", out(4L))
+    assert(out(5L) == "a <b> c \"d\" 'e' f", out(5L))
+  }
 }

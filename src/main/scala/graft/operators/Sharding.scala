@@ -88,4 +88,68 @@ object Sharding {
     }.toDF("id", "shard", "pos")
       .withColumnRenamed("id", idCol)
   }
+
+  /** Exact GLOBAL RANK over (scoreCol, idCol) — `row_number() OVER
+    * (ORDER BY score, id)` semantics without the single-reducer
+    * funnel an unpartitioned window forces: the same two-pass offset
+    * kernel as [[deterministicShards]], degenerated to one logical
+    * "shard" (one range exchange laying the global order across many
+    * tasks, a driver-bounded per-partition count, a row-local
+    * broadcast-offset numbering pass). scoreCol must be integral
+    * (quantize floats first — e4 units keep rank ties deterministic
+    * AND engine-portable); id breaks ties totally, so the rank is a
+    * pure function of the data.
+    *
+    * Output: (idCol, score, rank) with rank 1-based and contiguous.
+    */
+  def globalRank(docs: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("long").as("score"))
+    val parts = math.max(keyed.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism)
+    val laid = keyed
+      .repartitionByRange(parts, col("score"), col("id"))
+      .sortWithinPartitions(col("score"), col("id"))
+      .as[(Long, Long)]
+      .persist()
+    // every partition reports, including empty ones — a missing pid
+    // would silently shift every later partition's offset
+    val counts = laid.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator((pid, it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      counts.map { case (pid, n) => val b = acc; acc += n; pid -> b }.toMap
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    laid.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = bcOff.value(pid)
+      it.map { case (id, score) => r += 1; (id, score, r) }
+    }.toDF("id", "score", "rank")
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** CURRICULUM staging: partition the corpus into `stages` equal
+    * contiguous ranks of an integral difficulty score (easy -> hard),
+    * the ordered-training-mix primitive (curriculum learning orders
+    * epochs easy-first; anti-curriculum reverses the stage index).
+    * stage k holds ranks (k*n/stages, (k+1)*n/stages] — sizes differ
+    * by at most 1, every assignment a pure function of (score, id).
+    * One [[globalRank]] pass + a row-local integer formula; the
+    * whole table replays as a row_number window in SQL.
+    */
+  def curriculumStages(docs: DataFrame, idCol: String, scoreCol: String,
+      stages: Int): DataFrame = {
+    require(stages > 0, s"stages must be > 0: $stages")
+    val ranked = globalRank(docs, idCol, scoreCol)
+    // n from the ranked frame's own max — no second scan of the input
+    val maxRow = ranked.agg(max(col("rank"))).head()
+    val n = if (maxRow.isNullAt(0)) 1L else math.max(1L, maxRow.getLong(0))
+    // `div`, not `/`: Spark's `/` is always double division, and a
+    // double round-trip loses exactness once rank * stages passes 2^53
+    ranked.select(col(idCol), col("score"), col("rank"),
+      expr(s"CAST(((rank - 1) * $stages) div $n AS INT)").as("stage"))
+  }
 }

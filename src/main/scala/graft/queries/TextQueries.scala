@@ -68,6 +68,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Curriculum staging (r10): the ordered-training-mix primitive —
+    // every doc gets an exact global difficulty rank (quality score,
+    // e4-quantized; id breaks ties) and one of 4 contiguous stages,
+    // easy -> hard. Rank comes from the two-pass offset kernel (no
+    // single-reducer window funnel); the oracle replays the whole
+    // table as a row_number window, hash-verified row-for-row.
+    "mix_curriculum" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          floor(qualityScore(col("text")) * 10000.0 + 0.5).cast("long")
+            .as("q_e4"))
+      graft.operators.Sharding.curriculumStages(scored, "doc_id", "q_e4",
+          stages = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-SOURCE contamination matrix (r10): the per-producer view of
     // text_decontaminate — for every corpus source, how many docs
     // share any word 5-gram with the benchmark set, and the rate.
@@ -572,6 +589,21 @@ object TextQueries {
          |  min(e4) AS min_score_e4, max(e4) AS max_score_e4,
          |  CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
          |FROM fr GROUP BY source ORDER BY source""".stripMargin,
+
+    // row_number window replay of the two-pass offset kernel; `//`
+    // mirrors Spark's `div` (DuckDB `/` is double division too)
+    "mix_curriculum" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(floor((${qualitySql("nrm")}) * 10000.0 + 0.5) AS BIGINT)
+         |      AS score
+         |  FROM (SELECT doc_id, $normSql AS nrm
+         |        FROM documents WHERE text IS NOT NULL)),
+         |r AS (SELECT doc_id, score,
+         |        row_number() OVER (ORDER BY score, doc_id) AS rank FROM q)
+         |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank,
+         |  CAST(((rank - 1) * 4) // (SELECT count(*) FROM q) AS INT) AS stage
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // identical tag regex + literal entity chain (amp LAST — single
     // decode) + whitespace collapse, full cleaned text compared

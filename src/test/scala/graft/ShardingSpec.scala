@@ -45,4 +45,33 @@ class ShardingSpec extends SparkSpec {
       Sharding.deterministicShards(docs.repartition(7, col("source")), "doc_id"))
     assert(reshuffled == base, "assignment must not depend on input layout")
   }
+
+  test("globalRank equals the global row_number window; stages balance and reshuffle-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // scores with heavy ties so the id tie-break is actually exercised
+    val docs = (0L until 103L).map(i => (i, (i % 7) * 100L)).toDF("id", "s")
+    val kernel = Sharding.curriculumStages(docs, "id", "s", stages = 4)
+      .select("id", "score", "rank", "stage")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    val w = Window.orderBy(col("s"), col("id"))
+    val window = docs.select(col("id"), col("s").as("score"),
+        row_number().over(w).cast("long").as("rank"))
+      .select(col("id"), col("score"), col("rank"),
+        expr("CAST(((rank - 1) * 4) div 103 AS INT)").as("stage"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(kernel == window)
+    // 103 over 4 stages: sizes 26/26/26/25 in rank order
+    val sizes = kernel.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(sizes == Map(0 -> 26, 1 -> 26, 2 -> 26, 3 -> 25), sizes.toString)
+    // layout-independence
+    val reshuffled = Sharding.curriculumStages(
+        docs.repartition(7, col("s")), "id", "s", stages = 4)
+      .select("id", "score", "rank", "stage")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(reshuffled == kernel, "rank must not depend on input layout")
+  }
 }

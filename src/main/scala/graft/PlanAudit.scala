@@ -27,7 +27,9 @@ object PlanAudit {
     "mm_image_features", "mm_phash_dedup",
     "mm_audio_features", "mm_audio_dedup",
     "dedup_incremental", "split_holdout", "text_substring_dedup",
-    "dedup_containment", "pipeline_excerpt_dedup", "corpus_shard_shuffle")
+    "dedup_containment", "pipeline_excerpt_dedup", "corpus_shard_shuffle",
+    "quality_classifier", "dedup_incremental_near", "text_markup_strip",
+    "mix_curriculum")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -82,6 +84,51 @@ object PlanAudit {
         "reads the convergence signal. Pass count is data-bounded " +
         "(kept words strictly decrease), capped by maxPasses with " +
         "the removal audit returned to the caller."),
+    "quality_classifier" -> (
+      "Count-based model training with no learning loop: the seed " +
+        "explodes once into (label, word) and ONE hash-partitioned " +
+        "groupBy(word) (partial HashAggregate first, so class counts " +
+        "are map-side combined) yields the model; the totals row is a " +
+        "1-row broadcast crossJoin. Scoring explodes the corpus once " +
+        "and joins the model through the broadcast-ceiling strategy " +
+        "gate — broadcast below it (the plan here), shuffle join " +
+        "above, because the vocab is corpus-mined and unbounded by " +
+        "contract. Scores are integer sums of per-word e6 units, so " +
+        "the per-doc aggregation is order-independent — what makes " +
+        "the whole train-then-score composition hash-verifiable. The " +
+        "corpus's only exchange is the final per-doc/per-source " +
+        "aggregation."),
+    "dedup_incremental_near" -> (
+      "The near-dup face of the incremental gate; the audit point is " +
+        "that the CORPUS never rides an Exchange keyed by anything " +
+        "but its own band index build (one-off per ingest epoch, " +
+        "reusable via corpusBanded). Batch bands join the corpus band " +
+        "index as the BROADCAST side (strategy-gated: an increment is " +
+        "small by contract; above the ceiling it degrades to a " +
+        "shuffle of skinny band rows); the exact verify fetches each " +
+        "side's shingle sets by broadcast semi-join on the candidate " +
+        "id sets — bounded by |batch| x collisions, never by the " +
+        "corpus — and the final anti-join broadcasts the near-dup id " +
+        "set back at the batch. LSH recall is the banding contract " +
+        "(P(miss) = (1-j^4)^16); precision is exact."),
+    "text_markup_strip" -> (
+      "Pure row-local codegen: one regexp_replace + six literal " +
+        "replaces + a whitespace collapse, inside a single " +
+        "WholeStageCodegen span over the scan — zero exchanges below " +
+        "the presentation sort. The planted-markup query " +
+        "hash-verifies the full cleaned text, so the oracle would " +
+        "catch a single mis-ordered entity replace."),
+    "mix_curriculum" -> (
+      "Exact global rank without the classic scale cliff: " +
+        "row_number() OVER (ORDER BY score, id) funnels the corpus " +
+        "through ONE reducer; the plan here is one RANGE exchange " +
+        "(the global order laid across all tasks) + an " +
+        "intra-partition sort, then two row-local RDD passes (a " +
+        "driver-bounded per-partition count, a broadcast-offset " +
+        "numbering). Stage assignment is an integer `div` formula — " +
+        "no second pass, no join. Spec-pinned equal to the window " +
+        "form; the oracle hash-verifies every (doc, score, rank, " +
+        "stage) row against a row_number replay."),
     "corpus_shard_shuffle" -> (
       "Deterministic shard materialization WITHOUT the per-shard " +
         "window funnel: a 16-way window row_number would sort each " +

@@ -80,20 +80,25 @@ object NaiveBayes {
     *
     * `strategy` gates how the model joins ("auto"|"broadcast"|
     * "shuffle" — [[TextFilters.useMinedBroadcast]] on the SEED frame,
-    * whose scan stats bound the mined vocab).
+    * whose scan stats bound the mined vocab). `carryCols` ride the
+    * per-doc aggregation (they are functionally dependent on the id),
+    * so a per-source summary never has to join the corpus-sized
+    * score frame back to the corpus just to recover a grouping
+    * column.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, seed: DataFrame,
-      strategy: String = "auto"): DataFrame = {
+      strategy: String = "auto",
+      carryCols: Seq[String] = Nil): DataFrame = {
     val hinted =
       if (TextFilters.useMinedBroadcast(seed, strategy)) broadcast(model)
       else model
     docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(col(idCol),
-        explode(TextFunctions.words(col(textCol))).as("word"))
+      .select((col(idCol) +: carryCols.map(col)) :+
+        explode(TextFunctions.words(col(textCol))).as("word"): _*)
       .join(hinted, Seq("word"))
-      .groupBy(col(idCol))
+      .groupBy(col(idCol) +: carryCols.map(col): _*)
       .agg(sum(col("log_odds_e6")).as("score_e6"),
         count(lit(1)).as("n_matched"))
   }

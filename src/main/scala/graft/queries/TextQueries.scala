@@ -166,17 +166,23 @@ object TextQueries {
         .select(col("doc_id"), col("text"),
           col("source").isin("src0", "src1").cast("int").as("label"))
       val model = NaiveBayes.train(seed, "label", "text", minCount = 2L)
-      val scored = NaiveBayes.score(docs, "doc_id", "text", model, seed)
-      docs
-        .join(scored, Seq("doc_id"), "left_outer")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          count(col("score_e6")).as("n_scored"),
-          sum(coalesce(col("score_e6"), lit(0L))).cast("long")
-            .as("sum_score_e6"),
-          count(when(col("score_e6") > 0, 1)).as("n_hi_docs"),
-          sum(coalesce(col("n_matched"), lit(0L))).cast("long")
-            .as("total_matched_words"))
+      // source rides the per-doc aggregation (functionally dependent
+      // on doc_id), so the per-source rollup joins two SMALL frames —
+      // not the corpus-sized score frame back against the corpus
+      val scored = NaiveBayes.score(docs, "doc_id", "text", model, seed,
+        carryCols = Seq("source"))
+      val perSource = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(col("score_e6")).cast("long").as("s_sum"),
+          count(when(col("score_e6") > 0, 1)).as("n_hi"),
+          sum(col("n_matched")).cast("long").as("m_sum"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(perSource), Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+          coalesce(col("s_sum"), lit(0L)).as("sum_score_e6"),
+          coalesce(col("n_hi"), lit(0L)).as("n_hi_docs"),
+          coalesce(col("m_sum"), lit(0L)).as("total_matched_words"))
         .orderBy(col("source"))
     }),
 

@@ -137,4 +137,66 @@ object Incremental {
   def finalizeDistinct(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select(keys.map(col) :+
       hll_sketch_estimate(col("agg_hll")).as("approx_distinct"): _*)
+
+  /** QUANTILES cannot be maintained from (n, sum, min, max) either,
+    * but a fixed-width bucket HISTOGRAM is a mergeable quantile
+    * sketch: bucket counts sum, so `sketch(history) + sketch(delta)`
+    * is EXACTLY the sketch of the union (lossless merge, unlike HLL's
+    * probabilistic one), and any quantile reads off the cumulative
+    * counts with error bounded by one bucket width — by construction,
+    * not probabilistically. Deterministic bucketing (one IEEE
+    * divide + floor, no data-dependent boundaries) is what t-digest
+    * style sketches trade away: their centroids depend on merge
+    * order, which breaks both exactly-once replay audits and any
+    * cross-engine oracle. State size is (groups x occupied buckets),
+    * never history-bound; width picks the memory/error point.
+    */
+  def quantilePartials(df: DataFrame, keys: Seq[String], valueCol: String,
+                       bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0: $bucketWidth")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+
+        floor(col(valueCol) / bucketWidth).cast("long").as("agg_bucket"): _*)
+      .agg(count(lit(1)).cast("long").as("agg_bn"))
+  }
+
+  /** Fold delta bucket counts into state — plain count addition, so
+    * the merge is associative, commutative, and lossless.
+    */
+  def mergeQuantile(state: DataFrame, delta: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    require(state.columns.contains("agg_bucket") &&
+      delta.columns.contains("agg_bucket"),
+      "mergeQuantile needs quantilePartials frames (agg_bucket, agg_bn)")
+    state.unionByName(delta)
+      .groupBy((keys :+ "agg_bucket").map(col): _*)
+      .agg(sum(col("agg_bn")).cast("long").as("agg_bn"))
+  }
+
+  /** Read-time quantile estimates from a histogram state: the p-th
+    * quantile's bucket is the first whose cumulative count reaches
+    * rank ceil(p * n); the estimate is that bucket's UPPER edge, so
+    * `estimate - true quantile` lies in (0, bucketWidth] always. The
+    * window runs over the STATE (groups x occupied buckets — sketch-
+    * sized, which is the point), never over the data.
+    */
+  def finalizeQuantile(state: DataFrame, keys: Seq[String],
+                       bucketWidth: Double,
+                       ps: Seq[(String, Double)] = Seq(
+                         "p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("agg_bucket"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val c = state
+      .withColumn("cum", sum(col("agg_bn")).over(wCum))
+      .withColumn("n", sum(col("agg_bn")).over(wAll))
+    val estCols = ps.map { case (name, p) =>
+      ((min(when(col("cum") >= ceil(col("n") * p), col("agg_bucket"))) +
+        lit(1L)) * bucketWidth).as(s"${name}_est")
+    }
+    c.groupBy(keys.map(col): _*)
+      .agg(max(col("n")).as("n_rows"),
+        (count(lit(1)).cast("long").as("n_buckets") +: estCols): _*)
+  }
 }

@@ -87,6 +87,41 @@ object EtlQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Incremental QUANTILE maintenance (r10): a fixed-width bucket
+    // histogram is a mergeable quantile sketch whose merge is
+    // LOSSLESS (counts add — unlike HLL) and whose bucketing is
+    // deterministic (one IEEE divide + floor, no data-dependent
+    // centroids) — so the whole estimate pipeline replays exactly in
+    // DuckDB and the per-group p50/p95/p99 upper-edge estimates
+    // hash-verify, with merge losslessness asserted per group as a
+    // column comparison against the full-data sketch.
+    "incr_quantile" -> ((s, d) => {
+      import graft.operators.Incremental
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_returnflag")
+      val width = 100.0
+      val history = li.filter(col("l_orderkey") % 10 =!= 0)
+      val delta = li.filter(col("l_orderkey") % 10 === 0)
+      val state = Incremental.mergeQuantile(
+        Incremental.quantilePartials(history, keys, "l_extendedprice", width),
+        Incremental.quantilePartials(delta, keys, "l_extendedprice", width),
+        keys)
+      val full = Incremental.finalizeQuantile(
+        Incremental.quantilePartials(li, keys, "l_extendedprice", width),
+        keys, width)
+        .select(col("l_returnflag"), col("n_rows").as("fn"),
+          col("n_buckets").as("fb"), col("p50_est").as("f50"),
+          col("p95_est").as("f95"), col("p99_est").as("f99"))
+      Incremental.finalizeQuantile(state, keys, width)
+        .join(broadcast(full), keys)
+        .select(col("l_returnflag"), col("n_rows"), col("n_buckets"),
+          col("p50_est"), col("p95_est"), col("p99_est"),
+          (col("n_rows") === col("fn") && col("n_buckets") === col("fb") &&
+            col("p50_est") === col("f50") && col("p95_est") === col("f95") &&
+            col("p99_est") === col("f99")).as("merge_lossless"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Incremental aggregate maintenance: history folds once into
     // partial-agg state; two successive delta batches merge WITHOUT
     // rescanning history (the reference recomputes its stats table
@@ -486,6 +521,30 @@ object EtlQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
         |  true AS merge_lossless, true AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact replay of the histogram sketch: same bucketing divide,
+    // same cumulative-rank read-off; merge_lossless is structural
+    // (counts add), asserted Spark-side per group
+    "incr_quantile" ->
+      """WITH st AS (
+        |  SELECT l_returnflag, CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS b,
+        |         count(*) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, b, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM st)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+        |  count(*) AS n_buckets,
+        |  (min(CASE WHEN cum >= ceil(n * 0.5) THEN b END) + 1)
+        |    * CAST(100.0 AS DOUBLE) AS p50_est,
+        |  (min(CASE WHEN cum >= ceil(n * 0.95) THEN b END) + 1)
+        |    * CAST(100.0 AS DOUBLE) AS p95_est,
+        |  (min(CASE WHEN cum >= ceil(n * 0.99) THEN b END) + 1)
+        |    * CAST(100.0 AS DOUBLE) AS p99_est,
+        |  true AS merge_lossless
+        |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "incr_agg" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -107,4 +107,51 @@ class IncrementalSpec extends SparkSpec {
     // delta's partials + the fold) sits above the union
     assert(plan.contains("LogicalRDD"), plan)
   }
+
+  test("quantile sketch: merged state is BIT-identical to the full-data sketch, any fold order") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => ("g" + (i % 2), (i * 7 % 997) * 1.5))
+    val df = vals.toDF("k", "v")
+    val (a, b, c) = (df.filter($"v" < 300), df.filter($"v" >= 300 && $"v" < 900),
+      df.filter($"v" >= 900))
+    val keys = Seq("k")
+    def parts(x: org.apache.spark.sql.DataFrame) =
+      Incremental.quantilePartials(x, keys, "v", 50.0)
+    val abc = Incremental.mergeQuantile(
+      Incremental.mergeQuantile(parts(a), parts(b), keys), parts(c), keys)
+    val cba = Incremental.mergeQuantile(
+      Incremental.mergeQuantile(parts(c), parts(b), keys), parts(a), keys)
+    val full = parts(df)
+    def rows(x: org.apache.spark.sql.DataFrame) =
+      x.orderBy("k", "agg_bucket").collect().toSeq
+    assert(rows(abc) == rows(full), "merge must be lossless")
+    assert(rows(cba) == rows(full), "merge must be fold-order-independent")
+  }
+
+  test("quantile estimates sit within one bucket width above the true quantile") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val est = Incremental.finalizeQuantile(
+      Incremental.quantilePartials(df, Seq("k"), "v", 25.0), Seq("k"), 25.0)
+      .collect().head
+    // true p50 = 500, p95 = 950, p99 = 990; estimate = bucket upper edge
+    val (p50, p95, p99) = (est.getAs[Double]("p50_est"),
+      est.getAs[Double]("p95_est"), est.getAs[Double]("p99_est"))
+    // upper-edge estimate: est - true lies in (0, width] — exactly
+    // width when the true quantile is its bucket's first value
+    assert(p50 > 500.0 && p50 <= 525.0, s"p50=$p50")
+    assert(p95 > 950.0 && p95 <= 975.0, s"p95=$p95")
+    assert(p99 > 990.0 && p99 <= 1015.0, s"p99=$p99")
+    assert(est.getAs[Long]("n_rows") == 1000L)
+  }
+
+  test("mergeQuantile refuses a frame that is not a quantile-partials frame") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0)).toDF("k", "v")
+    val good = Incremental.quantilePartials(df, Seq("k"), "v", 10.0)
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.mergeQuantile(good, df, Seq("k"))
+    }
+    assert(ex.getMessage.contains("quantilePartials"))
+  }
 }

@@ -676,4 +676,62 @@ object StreamIngest {
         ()
       }
   }
+
+  /** NEAR-dup corpus gate (r10): drop stream rows whose content is a
+    * near-duplicate (exact shingle-Jaccard >= `minJaccard`) of ANY
+    * document in the static published corpus — the streaming face of
+    * [[graft.operators.Dedup.incrementalNewNear]], holding the line
+    * [[corpusGateSink]]'s exact-fingerprint gate cannot: a re-crawl
+    * that gained a timestamp has a fresh fingerprint but sails into
+    * the corpus as a near-copy.
+    *
+    * The corpus BAND INDEX ([[graft.operators.Dedup.bandedSignatures]])
+    * is built and persisted ONCE at sink construction and reused by
+    * every micro-batch — the per-epoch-artifact discipline the batch
+    * operator's `corpusBanded` parameter exists for; per batch, only
+    * the batch's own signatures, the candidate join against the
+    * cached index, and the candidates-only bilateral verify run. The
+    * corpus text is scanned per batch ONLY for candidate ids'
+    * shingle sets (broadcast semi-join — bounded by batch-side
+    * collisions, never a corpus shuffle).
+    *
+    * Null-text rows pass through as survivors (the [[corpusGateSink]]
+    * audit contract: no content to gate on, and silently dropped
+    * ingest rows are unauditable); empty-but-non-null text has no
+    * signature and passes. Rejected ids land under
+    * `rejectDir/batch=<id>`; both dirs are per-batch overwrite, so a
+    * replayed batch clobbers its own partial output.
+    */
+  def nearCorpusGateSink(stream: DataFrame, idCol: String, textCol: String,
+                         corpus: DataFrame, outDir: String, rejectDir: String,
+                         checkpoint: String,
+                         minJaccard: Double = 0.8,
+                         perms: Int = 64, bands: Int = 16,
+                         shingleSize: Int = 3,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    val index = Dedup.bandedSignatures(corpus, idCol, textCol, perms, bands,
+      shingleSize).persist()
+    index.count()
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val gated = Dedup.incrementalNewNear(corpus, batch, idCol, textCol,
+          perms, bands, shingleSize, minJaccard, corpusBanded = Some(index))
+        // persisted: consumed by the survivor write AND the reject
+        // anti-join; without it the gate (bands + verify) runs twice
+        val survivors = gated
+          .unionByName(batch.filter(col(textCol).isNull))
+          .persist()
+        survivors.count()
+        survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        batch.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol))
+          .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
+        survivors.unpersist(blocking = false)
+        ()
+      }
+  }
 }

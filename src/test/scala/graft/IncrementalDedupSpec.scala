@@ -241,4 +241,49 @@ class IncrementalDedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(out == Seq(10L), s"sub-threshold doc must survive: $out")
   }
+
+  test("streaming near-corpus gate: exact/near drop, new/null pass, index reused across batches") {
+    import spark.implicits._
+    val drop = Files.createTempDirectory("ng_drop").toString
+    val out = Files.createTempDirectory("ng_out").toString
+    val rej = Files.createTempDirectory("ng_rej").toString
+    val cp = Files.createTempDirectory("ng_cp").toString
+    val corpus = Seq((100L, base1), (101L, base2)).toDF("doc_id", "text")
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("text", StringType)))
+    val sink = StreamIngest.nearCorpusGateSink(
+      StreamIngest.fileStream(spark, drop, schema)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+      "doc_id", "text", corpus, out, rej, cp, minJaccard = 0.5)
+    // batch 0: exact copy (drop), near-dup (drop), new (pass), null (pass)
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b0.csv"),
+      s"""doc_id,text
+         |1,"$base1"
+         |2,"$nearDup1"
+         |3,"$base3"
+         |4,
+         |""".stripMargin)
+    StreamIngest.runOnce(sink)
+    val out0 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out0 == Seq(3L, 4L), s"survivors: $out0")
+    // batch 1 reuses the SAME sink (and cached band index): another
+    // near-dup of the STATIC corpus drops; a repeat of batch-0's new
+    // doc passes again (the corpus is immutable — within-stream dedup
+    // is minhashDedupSink's job)
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b1.csv"),
+      s"""doc_id,text
+         |5,"$nearDup1"
+         |6,"$base3"
+         |""".stripMargin)
+    StreamIngest.runOnce(sink)
+    val out1 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out1 == Seq(6L), s"batch-1 survivors: $out1")
+    val rejected = (spark.read.parquet(s"$rej/batch=0")
+      .collect().map(_.getLong(0)) ++
+      spark.read.parquet(s"$rej/batch=1").collect().map(_.getLong(0)))
+      .sorted.toSeq
+    assert(rejected == Seq(1L, 2L, 5L), s"rejects: $rejected")
+  }
 }

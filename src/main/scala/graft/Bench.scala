@@ -72,8 +72,11 @@ object Bench {
     // clipped the per-query map to the last ~67 queries (judge,
     // r4-r5). Persist the FULL line to a stable file so every
     // timing survives each round; path overridable for side runs.
+    // SUBSET runs default elsewhere — a 4-query ladder probe must
+    // not clobber the committed full-suite artifact (it did, r10).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_QUERIES.json")
+      if (subset.isEmpty) "/root/repo/BENCH_QUERIES.json"
+      else "/tmp/BENCH_QUERIES_subset.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch {

@@ -333,6 +333,14 @@ object Dedup {
       minJaccard: Double = 0.8,
       corpusBanded: Option[DataFrame] = None,
       strategy: String = "auto"): DataFrame = {
+    // ONE gate decision covers every batch-derived frame below: the
+    // candidate-id sets and the near-dup id set all scale with batch
+    // size (times collision density), so when the batch is too big
+    // to broadcast its band rows, force-broadcasting its derivatives
+    // would OOM the same way — above the ceiling they all join
+    // unhinted and Catalyst plans from stats (r10 review).
+    val small = TextFilters.useMinedBroadcast(batch, strategy)
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val cb = corpusBanded
       .getOrElse(bandedSignatures(corpus, idCol, textCol, perms, bands,
         shingleSize))
@@ -340,18 +348,21 @@ object Dedup {
     val bb = bandedSignatures(batch, idCol, textCol, perms, bands,
         shingleSize)
       .select(col("id").as("batch_id"), col("band"), col("bucket"))
-    val hintedBb =
-      if (TextFilters.useMinedBroadcast(batch, strategy)) broadcast(bb)
-      else bb
-    val cand = cb.join(hintedBb, Seq("band", "bucket"))
+    // persisted: three consumers (both shingle-set semi-joins + the
+    // verify join) — unpersisted, each would re-run the batch
+    // signature pipeline AND the corpus band-index build on the
+    // inline path (the minhashPairs persist precedent); left to LRU
+    // like every kernel cache (object scaladoc)
+    val cand = cb.join(hinted(bb), Seq("band", "bucket"))
       .select(col("batch_id"), col("corpus_id")).distinct()
+      .persist()
     val shB = spread(nonEmptyText(batch, textCol))
-      .join(broadcast(cand.select(col("batch_id").as(idCol)).distinct()),
+      .join(hinted(cand.select(col("batch_id").as(idCol)).distinct()),
         Seq(idCol), "left_semi")
       .select(col(idCol).as("batch_id"),
         T.shingles(col(textCol), shingleSize).as("sh_b"))
     val shC = spread(nonEmptyText(corpus, textCol))
-      .join(broadcast(cand.select(col("corpus_id").as(idCol)).distinct()),
+      .join(hinted(cand.select(col("corpus_id").as(idCol)).distinct()),
         Seq(idCol), "left_semi")
       .select(col(idCol).as("corpus_id"),
         T.shingles(col(textCol), shingleSize).as("sh_c"))
@@ -363,7 +374,7 @@ object Dedup {
         >= minJaccard)
       .select(col("batch_id").as(idCol)).distinct()
     batch.filter(col(textCol).isNotNull)
-      .join(broadcast(dupIds), Seq(idCol), "left_anti")
+      .join(hinted(dupIds), Seq(idCol), "left_anti")
   }
 
   /** Spread compute-heavy per-row work across all cores: a small

@@ -52,10 +52,15 @@ object NaiveBayes {
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(labelCol).cast("int").as("label"),
         explode(TextFunctions.words(col(textCol))).as("word"))
+    // persisted: consumed by the totals aggregation AND the model
+    // projection — unpersisted, the seed explode + groupBy(word)
+    // would run twice per execution (r10 review); left to LRU like
+    // the other kernel caches
     val counts = words
       .groupBy(col("word"))
       .agg(sum(when(col("label") === 1, 1L).otherwise(0L)).as("c_hi"),
         sum(when(col("label") === 0, 1L).otherwise(0L)).as("c_lo"))
+      .persist()
     // smoothing totals over the FULL vocab (pre-minCount): V and the
     // class word masses are properties of the seed, not of the kept
     // model rows — pruning the hapax tail must not change the

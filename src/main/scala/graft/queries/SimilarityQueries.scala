@@ -105,6 +105,18 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // JL random-projection reduction 64 -> 16 (r10): hash-derived ±1
+    // matrix (reproducible across engines — no RNG stream), inputs
+    // e6-quantized then integer-summed so the full reduced table
+    // hash-verifies against a DuckDB rebuild of the identical
+    // matrix. Entirely row-local (matrix inlined as literals).
+    "embed_rp_reduce" -> ((s, d) => {
+      graft.operators.RandomProjection.reduce(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          dIn = 64, dOut = 16)
+        .orderBy(col("vec_id"), col("j"))
+    }),
+
     "ann_bruteforce" -> ((s, d) => {
       Similarity.bruteForceTopK(
           Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
@@ -220,6 +232,27 @@ object SimilarityQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // rebuild the identical md5-sign matrix, quantize, integer-sum;
+    // generate_subscripts is 1-based where posexplode is 0-based
+    "embed_rp_reduce" ->
+      """WITH m AS (
+        |  SELECT i, j,
+        |    CASE WHEN substring(md5('graft-rp' || CAST(i AS VARCHAR) || 'x'
+        |                            || CAST(j AS VARCHAR)), 1, 1)
+        |           IN ('0','1','2','3','4','5','6','7')
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM range(64) t1(i), range(16) t2(j)),
+        |q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS xe
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64)
+        |SELECT q.vec_id, CAST(m.j AS INT) AS j,
+        |  CAST(sum(q.xe * m.s) AS BIGINT) AS comp_e6
+        |FROM q JOIN m ON q.i = m.i
+        |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
+
     "ann_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         |           WHERE vec_id = 0)

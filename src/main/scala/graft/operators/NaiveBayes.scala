@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * matched words' quantized log-odds — integer addition, so the
   * distributed sum is order-independent and bit-identical across
   * engines (the per-word quantization is where float math ends).
+  * Residual float-boundary risk (r11 advice, accepted): the e6
+  * quantization `floor(ln(...)*1e6 + 0.5)` assumes Java's Math.log
+  * and the oracle engine's ln agree to the last ulp at every .5
+  * boundary; a 1-ulp libm divergence landing exactly on a boundary
+  * would flip one model unit (~2e-10 per vocab word) and fail the
+  * bit-exact hash. Same accepted-risk class as the LSH delegation
+  * argument — both engines use correctly-rounded-to-sub-ulp libm
+  * log, the boundary set has measure ~0 over mined count ratios,
+  * and the gate corpus is fixed, so a flip would be caught (not
+  * silently wrong) by the hash gate itself.
   *
   * Scale shape:
   *  - training is one explode + one groupBy(word) with map-side

@@ -48,8 +48,11 @@ object RandomProjection {
 
   /** Long-form reduced vectors: (idCol, j, comp_e6) — component j is
     * Σ_i round(x_i * 1e6) * s(i, j). Vectors whose length is not
-    * `dIn` (and null vectors) are dropped — a ragged input would
-    * silently project garbage.
+    * `dIn`, null vectors, AND vectors containing null ELEMENTS are
+    * all dropped — a ragged or holed input would silently project
+    * garbage (and a null element would null the whole Spark sum
+    * while SQL engines' sum() skips nulls, a cross-engine
+    * divergence for the hash-verified oracle — r11 advice).
     */
   def reduce(embs: DataFrame, idCol: String, vecCol: String,
              dIn: Int, dOut: Int,
@@ -63,8 +66,40 @@ object RandomProjection {
         lit(0L), (acc, v) => acc + v)
     }: _*)
     embs
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dIn)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dIn &&
+        !exists(col(vecCol), x => x.isNull))
       .select(col(idCol), posexplode(comps).as(Seq("j", "comp_e6")))
+      .select(col(idCol), col("j").cast("int").as("j"), col("comp_e6"))
+  }
+
+  /** The BROADCAST-MATRIX JOIN form of [[reduce]] — identical output
+    * (spec-pinned), different plan for matrices too large to inline
+    * as literal arrays (say 4096x512 = 2M expression nodes): the
+    * (i, j, s) sign frame is a broadcast side (dIn*dOut rows of three
+    * ints — megabytes into the thousands of dims), the vector
+    * posexplodes to (id, i, xe), the join is broadcast-hash, and the
+    * (id, j) aggregation ships ALREADY map-side-combined partial sums
+    * — one exchange of reduced rows, still no corpus-x-corpus work.
+    * Same drop rules as [[reduce]].
+    */
+  def reduceViaJoin(embs: DataFrame, idCol: String, vecCol: String,
+                    dIn: Int, dOut: Int,
+                    seed: String = "graft-rp"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val signs = signMatrix(dIn, dOut, seed)
+    val entries = for { i <- 0 until dIn; j <- 0 until dOut }
+      yield (i, j, signs(i)(j).toLong)
+    val m = entries.toDF("i", "j", "s")
+    val xe = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000000.0 + lit(0.5)).cast("long"))
+    embs
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dIn &&
+        !exists(col(vecCol), x => x.isNull))
+      .select(col(idCol), posexplode(xe).as(Seq("i", "xe")))
+      .join(broadcast(m), Seq("i"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("xe") * col("s")).as("comp_e6"))
       .select(col(idCol), col("j").cast("int").as("j"), col("comp_e6"))
   }
 }

@@ -105,6 +105,21 @@ object Sharding {
   def globalRank(docs: DataFrame, idCol: String, scoreCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // fail fast instead of coercing (r11 advice): a silent cast("long")
+    // truncated double scores toward zero (collapsing ties and breaking
+    // the documented "quantize first" contract) and turned non-numeric
+    // ids into nulls that only surfaced later as an opaque encoder error
+    def requireIntegral(c: String): Unit = {
+      val dt = docs.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(dt),
+        s"globalRank needs an integral $c column (quantize floats to " +
+          s"integer units first); got ${dt.simpleString}")
+    }
+    requireIntegral(idCol)
+    requireIntegral(scoreCol)
     val keyed = docs.select(col(idCol).cast("long").as("id"),
       col(scoreCol).cast("long").as("score"))
     val parts = math.max(keyed.rdd.getNumPartitions,

@@ -247,7 +247,8 @@ object SimilarityQueries {
         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
         |         AS BIGINT) AS xe
         |  FROM embeddings
-        |  WHERE embedding IS NOT NULL AND len(embedding) = 64)
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)
         |SELECT q.vec_id, CAST(m.j AS INT) AS j,
         |  CAST(sum(q.xe * m.s) AS BIGINT) AS comp_e6
         |FROM q JOIN m ON q.i = m.i

@@ -698,7 +698,12 @@ object StreamIngest {
     * Null-text rows pass through as survivors (the [[corpusGateSink]]
     * audit contract: no content to gate on, and silently dropped
     * ingest rows are unauditable); empty-but-non-null text has no
-    * signature and passes. Rejected ids land under
+    * signature and passes. NULL-ID rows are routed to the reject
+    * output only (r11 advice): this gate's survivor/reject split is
+    * an idCol anti-join, and a null id matches in NEITHER join, so an
+    * ungated null-id row would land in BOTH outputs, breaking the
+    * disjointness the audit contract relies on — and a null id is
+    * untrackable downstream anyway. Rejected ids land under
     * `rejectDir/batch=<id>`; both dirs are per-batch overwrite, so a
     * replayed batch clobbers its own partial output.
     */
@@ -718,17 +723,22 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val gated = Dedup.incrementalNewNear(corpus, batch, idCol, textCol,
+        // null ids bypass BOTH idCol joins below (nulls never equal in
+        // joins) — slice them off first so each row lands in exactly
+        // one output: with-id rows gate normally, null-id rows reject
+        val withId = batch.filter(col(idCol).isNotNull)
+        val gated = Dedup.incrementalNewNear(corpus, withId, idCol, textCol,
           perms, bands, shingleSize, minJaccard, corpusBanded = Some(index))
         // persisted: consumed by the survivor write AND the reject
         // anti-join; without it the gate (bands + verify) runs twice
         val survivors = gated
-          .unionByName(batch.filter(col(textCol).isNull))
+          .unionByName(withId.filter(col(textCol).isNull))
           .persist()
         survivors.count()
         survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        batch.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
+        withId.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
           .select(col(idCol))
+          .unionByName(batch.filter(col(idCol).isNull).select(col(idCol)))
           .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
         survivors.unpersist(blocking = false)
         ()

@@ -286,4 +286,36 @@ class IncrementalDedupSpec extends SparkSpec {
       .sorted.toSeq
     assert(rejected == Seq(1L, 2L, 5L), s"rejects: $rejected")
   }
+
+  test("streaming near gate: null-id rows land in EXACTLY the reject output (r11 advice)") {
+    import spark.implicits._
+    val drop = Files.createTempDirectory("ngn_drop").toString
+    val out = Files.createTempDirectory("ngn_out").toString
+    val rej = Files.createTempDirectory("ngn_rej").toString
+    val cp = Files.createTempDirectory("ngn_cp").toString
+    val corpus = Seq((100L, base1)).toDF("doc_id", "text")
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("text", StringType)))
+    val sink = StreamIngest.nearCorpusGateSink(
+      StreamIngest.fileStream(spark, drop, schema)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+      "doc_id", "text", corpus, out, rej, cp, minJaccard = 0.5)
+    // a null-id row (blank doc_id casts to null) previously bypassed
+    // BOTH idCol joins and was written to survivor AND reject,
+    // breaking output disjointness; now it must reject exactly once
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b0.csv"),
+      s"""doc_id,text
+         |1,"$base3"
+         |,"$base3"
+         |""".stripMargin)
+    StreamIngest.runOnce(sink)
+    val survivors = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(survivors == Seq(Some(1L)), s"survivors: $survivors")
+    val rejects = spark.read.parquet(s"$rej/batch=0")
+      .collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(rejects == Seq(None), s"rejects: $rejects")
+  }
 }

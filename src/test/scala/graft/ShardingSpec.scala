@@ -74,4 +74,18 @@ class ShardingSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(reshuffled == kernel, "rank must not depend on input layout")
   }
+
+  test("globalRank fails fast on non-integral score or id columns (r11 advice)") {
+    import spark.implicits._
+    val doubleScore = Seq((1L, 1.7), (2L, -0.4)).toDF("id", "s")
+    val e1 = intercept[IllegalArgumentException] {
+      Sharding.globalRank(doubleScore, "id", "s")
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    val stringId = Seq(("a", 1L), ("b", 2L)).toDF("id", "s")
+    val e2 = intercept[IllegalArgumentException] {
+      Sharding.globalRank(stringId, "id", "s")
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+  }
 }

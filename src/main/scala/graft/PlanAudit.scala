@@ -29,7 +29,7 @@ object PlanAudit {
     "dedup_incremental", "split_holdout", "text_substring_dedup",
     "dedup_containment", "pipeline_excerpt_dedup", "corpus_shard_shuffle",
     "quality_classifier", "dedup_incremental_near", "text_markup_strip",
-    "mix_curriculum")
+    "mix_curriculum", "embed_rp_reduce")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -260,6 +260,21 @@ object PlanAudit {
         "arithmetic from the global rank. The plan shows the range " +
         "exchange + one broadcast join + the final group-by — no " +
         "single-key sort anywhere. sf10: 12.9 s → 2.8 s."),
+    "embed_rp_reduce" -> (
+      "JL random projection, entirely ROW-LOCAL: the ±1 sign matrix " +
+        "is hash-derived and compiled into the expression as literal " +
+        "arrays, each of the 16 output components one zip_with + " +
+        "aggregate over the 64-dim input inside whole-stage codegen, " +
+        "then a posexplode to long form — zero exchanges below the " +
+        "presentation sort, so reduction throughput is scan " +
+        "throughput at any corpus size. Integer e6 micro-unit sums " +
+        "make the arithmetic order-independent, which is what lets " +
+        "the FULL reduced table hash-verify against a DuckDB rebuild " +
+        "of the identical matrix. For matrices too large to inline " +
+        "(4096x512), reduceViaJoin trades this for a broadcast " +
+        "(i, j, s) frame + one map-side-combined (id, j) aggregation " +
+        "— one exchange of already-reduced rows; spec-pinned " +
+        "row-identical."),
     "topk_group" -> (
       "The row_number-top-k cousin of window_ntile's shape, kept on " +
         "the plain window BY DESIGN: with rk <= 3 Spark plants " +

@@ -6,9 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search surface over the embeddings table (SURVEY §2).
-  * Brute-force cosine top-k has an exact DuckDB oracle; the LSH
-  * variant is approximate-by-design (rows-only; recall asserted in
-  * SimilaritySpec against the brute-force baseline).
+  * Brute-force cosine top-k (and PQ, whose re-ranked shortlist is
+  * deterministically exact on the gate corpus) carry exact DuckDB
+  * oracles; the approximate-by-design variants (LSH, IVF, and their
+  * stored-index forms) bind through the recall-contract gate output
+  * ([[recallSummary]]); only knn_join stays justified rows-only
+  * (its honest 0.13 recall floor makes a binding contract
+  * meaningless).
   */
 object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -123,18 +127,40 @@ object SimilarityQueries {
           queryVec(s, d), "vec_id", "embedding", k = 10)
     }),
 
+    // r11 oracle upgrade (the ann_ivf pattern): WHICH vectors share a
+    // hyperplane bucket is seeded-plane state, not SQL-expressible —
+    // but the recall CONTRACT is: k results returned, at least half of
+    // them members of the exact top-k computed independently in-engine
+    // by the same brute-force operator ann_bruteforce hash-verifies.
+    // Probe width is corpus-calibrated and documented: the gate
+    // corpus's true top-10 sits at cos 0.28-0.37 (synthetic
+    // near-random vectors), where per-plane agreement is only ~0.6 —
+    // R11Probe measured planes=6/maxBitDiff=3 -> recall 0.6 (the
+    // floor is 0.5); narrow probes that suffice on real clustered
+    // embeddings (neighbor cos >= 0.7 concentrates in bitDiff <= 1)
+    // recall 0 here. Neighbor-level output stays exercised by
+    // ann_bruteforce (exact oracle) and SimilaritySpec.
     "ann_lsh" -> ((s, d) => {
-      Similarity.lshTopK(
+      recallSummary(s, d,
+        Similarity.lshTopK(
           Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
-          queryVec(s, d), "vec_id", "embedding", k = 10)
+          queryVec(s, d), "vec_id", "embedding", k = 10,
+          planes = 6, maxBitDiff = 3),
+        k = 10)
     }),
 
     // Stored-bucket ANN: build a bucket-PARTITIONED parquet index,
     // probe it with multi-probe partition pruning (the scan lists
     // only the probed buckets' directories — the 100 TB ANN shape).
+    // Same r11 recall-contract gate output and corpus-calibrated
+    // probe width as ann_lsh (R11Probe: planes=6/maxBitDiff=3 ->
+    // recall 0.6 on the gate corpus); the partition pruning itself
+    // is plan-asserted in SimilaritySpec.
     "ann_lsh_indexed" -> ((s, d) => {
-      graft.operators.Similarity.lshIndexTopK(s, lshIndexDir(s, d),
-        queryVec(s, d), "vec_id", "embedding", k = 10, maxBitDiff = 2)
+      recallSummary(s, d,
+        graft.operators.Similarity.lshIndexTopK(s, lshIndexDir(s, d),
+          queryVec(s, d), "vec_id", "embedding", k = 10, maxBitDiff = 3),
+        k = 10)
     }),
 
     // IVF: coarse quantizer (trained once per dir, memoized), assign
@@ -273,6 +299,14 @@ object SimilarityQueries {
         |        (SELECT e FROM q)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_lsh" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_found,
+        |  true AS recall_ok""".stripMargin,
+
+    "ann_lsh_indexed" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_found,
+        |  true AS recall_ok""".stripMargin,
 
     "ann_ivf" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_found,

@@ -41,32 +41,58 @@ object Bench {
       val coldOk = try { fn(spark, sfDir).count(); true }
                    catch { case _: Throwable => false }
       val cold = if (coldOk) (System.nanoTime() - tc) / 1e9 else -1.0
-      val times = (1 to iters).map { _ =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      var times = (1 to iters).map(_ => timed())
+      // noise guard (r11 judge ask #2): the r10 round-stamped
+      // artifact carried join_anti 6.3x / src_xls 5.5x swings with
+      // UNCHANGED plans — one noisy window (shared-JVM GC, driver-box
+      // contention) polluting all 3 passes of a 0.4 s query. When the
+      // 3-pass spread exceeds 1.5x, take 2 extra passes so the median
+      // of 5 rides out a transient; queries_min is published so a
+      // median-vs-min gap flags residual noise in the artifact itself.
+      if (iters >= 3 && !times.contains(-1.0) &&
+          times.max > 1.5 * times.min)
+        times = times ++ (1 to 2).map(_ => timed())
       val median =
         if (times.contains(-1.0)) -1.0
         else times.sorted.apply(times.length / 2)
+      val minT = if (times.contains(-1.0)) -1.0 else times.min
       // drop this query's persisted frames before the next query
       // starts: operators persist() intermediates and leave them to
       // LRU, so without this a long bench run accumulates caches and
       // LATER queries pay eviction/spill for EARLIER queries' frames
       // (r6 ladder: dedup_minhash 38.5s inside the full run vs 18.6s
-      // isolated at sf10). Within-query iterations still share.
+      // isolated at sf10). Within-query iterations still share. The
+      // explicit GC keeps one query's garbage from billing the next
+      // query's passes (part of the same r11 noise-isolation ask).
       spark.catalog.clearCache()
-      name -> (median, cold)
+      System.gc()
+      name -> (median, cold, minT)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    // stress tier (r11 judge ask #10): the two DECLARED-quadratic
+    // exact pair-kernel baselines are 22% of sf100 suite wall by
+    // design; totals are split so the aggregate scaling ratio tracks
+    // the scale-relevant operators while the stress pair stays
+    // measured and visible.
+    val stressTier = Set("dedup_embedding", "dedup_embedding_lsh")
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, (_, c)) => s"\"" + k + "\":" + c }
+    val qsCold = results.map { case (k, (_, c, _)) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, (_, _, m)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val totalCold = results.values.map(_._2).filter(_ >= 0).sum
+    val totalStress = results.collect {
+      case (k, (v, _, _)) if stressTier(k) && v >= 0 => v }.sum
+    val totalCore = total - totalStress
     val nFailed = results.values.count(_._1 < 0)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"failed":$nFailed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_min":$qsMin,"total_cold":$totalCold,"total_core":$totalCore,"total_stress":$totalStress,"stress_tier":[${stressTier.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"failed":$nFailed,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact capture tails stdout to ~2 KB, which
     // clipped the per-query map to the last ~67 queries (judge,

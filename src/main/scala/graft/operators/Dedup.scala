@@ -38,6 +38,37 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("doc_id_kept"), count(lit(1)).as("n_copies"))
 
+  /** SOFT dedup (r11): instead of dropping duplicates, every doc
+    * gets its exact-duplicate group's size and a fractional weight —
+    * the duplicate-aware SAMPLING primitive (train on everything,
+    * downweight repeats so a million-copy boilerplate page carries
+    * one page's worth of gradient; or keep the canonical row and
+    * sample it at group mass). Output: one row per non-null-text
+    * input doc — (idCol, group_n, weight_e6 = floor(1e6 / group_n),
+    * is_canonical = this id is the group's min).
+    *
+    * Integer e6 weights keep the table hash-verifiable; consumers
+    * needing exact mass conservation should weight the CANONICAL row
+    * by group_n instead of summing the floored per-copy weights.
+    *
+    * Scale shape: one map-side-combined groupBy(fp) — NOT a window
+    * over fp, which would funnel a million-copy clump through one
+    * task — then one fp-keyed join back (AQE skew-join splits the
+    * clump's join side; the aggregate side is one row per group by
+    * construction).
+    */
+  def softWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
+    val groups = keyed.groupBy(col("fp"))
+      .agg(count(lit(1)).as("group_n"), min(col(idCol)).as("__canon"))
+    keyed.join(groups, Seq("fp"))
+      .select(col(idCol),
+        col("group_n"),
+        floor(lit(1000000L) / col("group_n")).cast("long").as("weight_e6"),
+        (col(idCol) === col("__canon")).as("is_canonical"))
+  }
+
   /** Incremental exact dedup of a new BATCH against an existing
     * CORPUS: returns the batch rows whose content fingerprint does
     * not appear anywhere in the corpus — the rows an append-only

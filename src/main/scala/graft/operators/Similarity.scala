@@ -50,6 +50,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact RANGE search: every vector with cosine >= `minCos` to the
+    * single query vector — the "all near-duplicates of this item"
+    * probe (top-k bounds the RESULT size, range search bounds the
+    * SIMILARITY; retrieval pipelines want the latter when the answer
+    * set's size is the signal, e.g. how many near-copies exist).
+    * Same scale shape as [[bruteForceTopK]]: 1-row query broadcast,
+    * zero shuffles, the scan streams and the filter is codegen'd —
+    * output size is data-bounded by the threshold, so no global
+    * top-k sort is needed at all (the presentation orderBy is the
+    * only exchange). Composes with the IVF/LSH indexes the same way
+    * top-k does: probe the pruned lists, range-filter inside them.
+    */
+  def rangeSearch(embs: DataFrame, query: DataFrame, idCol: String,
+                  vecCol: String, minCos: Double): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val qs = query.select(col(vecCol)).as[Array[Float]].take(2)
+    require(qs.length == 1,
+      s"rangeSearch expects exactly one query row, got ${qs.length}")
+    val joined = embs.crossJoin(broadcast(qs.toSeq.toDF("q_vec")))
+    joined
+      .select(col(idCol), round(cosineFast(joined, vecCol, "q_vec"), 6).as("cos"))
+      .filter(!isnan(col("cos")) && col("cos") >= minCos)
+      .orderBy(col("cos").desc, col(idCol))
+  }
+
   /** Exact per-query top-k for a BATCH of query rows: the query frame
     * broadcasts, every (query, corpus) cosine is scored in one
     * shuffle-free pass over the corpus, and a window ranks within

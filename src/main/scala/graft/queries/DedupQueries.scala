@@ -74,6 +74,17 @@ object DedupQueries {
         .orderBy(col("doc_id_kept"))
     }),
 
+    // SOFT dedup (r11): duplicate-aware weighting instead of
+    // dropping — every doc keeps a row with its exact-dup group size,
+    // floor(1e6/n) weight, and a canonical flag (the planted copies
+    // of doc_id < 50 weigh 500000 each, their originals flagged
+    // canonical). One map-side-combined groupBy(fp) + one AQE-skew-
+    // handled join back — no per-group window funnel.
+    "dedup_soft_weights" -> ((s, d) => {
+      Dedup.softWeights(docsWithDups(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental ingest: the odd-id half of the corpus arrives as a
     // new batch against the even-id half, plus 20 even docs
     // re-submitted under fresh ids (the planted drops). Bloom
@@ -502,6 +513,24 @@ object DedupQueries {
         |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |      FROM corpus WHERE text IS NOT NULL)
         |GROUP BY fp ORDER BY doc_id_kept""".stripMargin,
+
+    "dedup_soft_weights" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM corpus WHERE text IS NOT NULL),
+        |groups AS (
+        |  SELECT fp, count(*) AS group_n, min(doc_id) AS canon
+        |  FROM keyed GROUP BY fp)
+        |SELECT k.doc_id, g.group_n,
+        |  CAST(floor(1000000 / g.group_n) AS BIGINT) AS weight_e6,
+        |  k.doc_id = g.canon AS is_canonical
+        |FROM keyed k JOIN groups g USING (fp)
+        |ORDER BY k.doc_id""".stripMargin,
 
     // excerpt = first 15 normalized words (1-based inclusive list
     // slice == Spark's slice(w, 1, 15)); shingle sets distinct, both

@@ -127,6 +127,30 @@ object SimilarityQueries {
           queryVec(s, d), "vec_id", "embedding", k = 10)
     }),
 
+    // FILTERED ANN (r11): top-k restricted by a metadata predicate —
+    // the "nearest items IN this category" production shape. Spark-
+    // first composition: the predicate composes BEFORE the scorer, so
+    // Catalyst pushes it to the parquet scan (PushedFilters shows
+    // label) and the cosine kernel never sees excluded rows; with the
+    // IVF/LSH indexes the same composition prunes lists first, then
+    // filters inside them. Exact SQL oracle like ann_bruteforce.
+    "ann_filtered" -> ((s, d) => {
+      Similarity.bruteForceTopK(
+          Tables.embeddings(s, d)
+            .filter(col("vec_id") =!= 0 && col("label") % 2 === 1),
+          queryVec(s, d), "vec_id", "embedding", k = 10)
+    }),
+
+    // RANGE search (r11): every vector with cos >= 0.25 of the query
+    // — bounds the SIMILARITY instead of the result count (the "how
+    // many near-copies exist" probe). No global top-k sort: output
+    // size is data-bounded by the threshold. Exact SQL oracle.
+    "ann_range" -> ((s, d) => {
+      Similarity.rangeSearch(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+          queryVec(s, d), "vec_id", "embedding", minCos = 0.25)
+    }),
+
     // r11 oracle upgrade (the ann_ivf pattern): WHICH vectors share a
     // hyperplane bucket is seeded-plane state, not SQL-expressible —
     // but the recall CONTRACT is: k results returned, at least half of
@@ -299,6 +323,26 @@ object SimilarityQueries {
         |        (SELECT e FROM q)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_filtered" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |        (SELECT e FROM q)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0 AND label % 2 = 1
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_range" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE vec_id = 0)
+        |SELECT vec_id, cos FROM (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |          (SELECT e FROM q)), 6) AS cos
+        |  FROM embeddings WHERE vec_id <> 0)
+        |WHERE cos >= 0.25
+        |ORDER BY cos DESC, vec_id""".stripMargin,
 
     "ann_lsh" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_found,

@@ -26,6 +26,23 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L) // 1 & 4
   }
 
+  test("soft dedup weights: group sizes, floored weights, canonical flags (r11)") {
+    val docs = Seq(
+      (1L, "same text here"), (4L, "  Same   TEXT here "), // group of 2
+      (2L, "unique alpha"), (3L, "unique beta"),
+      (5L, "tri"), (6L, "tri"), (7L, "tri"),                // group of 3
+      (8L, null.asInstanceOf[String])                       // excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.softWeights(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 500000L, true), (2L, 1L, 1000000L, true),
+      (3L, 1L, 1000000L, true), (4L, 2L, 500000L, false),
+      (5L, 3L, 333333L, true), (6L, 3L, 333333L, false),
+      (7L, 3L, 333333L, false)), out.toSeq.toString)
+  }
+
   test("minhash LSH surfaces near-dup and exact-dup pairs") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

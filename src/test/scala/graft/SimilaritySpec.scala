@@ -51,6 +51,46 @@ class SimilaritySpec extends SparkSpec {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("range search: threshold binds exactly and matches the brute-force prefix") {
+    val q = embs.filter(col("vec_id") === 0)
+    val others = embs.filter(col("vec_id") =!= 0)
+    val ranged = Similarity.rangeSearch(others, q, "vec_id", "embedding",
+        minCos = 0.2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ranged.nonEmpty, "0.2 should match something on the gate corpus")
+    assert(ranged.forall(_._2 >= 0.2), s"threshold must bind: ${ranged.toSeq}")
+    // equals the >= 0.2 slice of an exact full ranking
+    val full = Similarity.bruteForceTopK(others, q, "vec_id", "embedding",
+        k = 10000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._2 >= 0.2)
+    assert(ranged.toSeq == full.toSeq, "range = thresholded exact ranking")
+    // multi-row query rejected like the top-k form
+    intercept[IllegalArgumentException] {
+      Similarity.rangeSearch(embs, embs.filter(col("vec_id") < 2),
+        "vec_id", "embedding", 0.5).collect()
+    }
+  }
+
+  test("filtered ANN composition pushes the metadata predicate to the scan") {
+    val q = embs.filter(col("vec_id") === 0)
+    val out = Similarity.bruteForceTopK(
+      embs.filter(col("vec_id") =!= 0 && col("label") % 2 === 1),
+      q, "vec_id", "embedding", k = 5)
+    assert(out.collect().nonEmpty)
+    // every result really satisfies the predicate
+    val labels = out.join(embs.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select("label").collect().map(_.getInt(0))
+    assert(labels.forall(_ % 2 == 1), labels.toSeq.toString)
+    // and the isnotnull/vec_id part reaches the parquet scan as a
+    // pushed filter (the label % 2 residue stays a codegen Filter —
+    // modulo isn't a parquet predicate — but the scan must not be
+    // bare)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("IsNotNull"), s"no pushdown visible:\n$plan")
+  }
+
   test("multi-row query frames are rejected loudly, not silently first-row'd") {
     val q2 = embs.filter(col("vec_id") < 2)
     intercept[IllegalArgumentException] {

@@ -276,6 +276,34 @@ object Ann {
     stats
   }
 
+  /** DELETE vectors from a stored IVF index at partition granularity
+    * (r11) — the lifecycle piece append/compact/retrain was missing:
+    * takedowns and right-to-erasure mean index rows must go away
+    * WITHOUT a full rebuild. Pure composition: the index is a
+    * list-partitioned parquet table, so this is
+    * [[Cdc.upsertPartitioned]] with its delete flag — only the list
+    * partitions actually holding the doomed ids are rewritten
+    * (copy-on-write staging + atomic swap + full rollback on
+    * failure, that operator's contract; a list emptied entirely
+    * vanishes as a partition, which probes handle as an empty scan).
+    * The FROZEN centroid metadata is untouched: deletion never
+    * shifts the quantizer, so every probe of an unaffected list is
+    * byte-identical. At 100 TB: a 10-id takedown rewrites at most
+    * 10 list partitions, reads nothing else.
+    *
+    * Returns the touched `list_id` partition values.
+    */
+  def deleteFromIvfIndex(spark: SparkSession, indexPath: String,
+                         ids: DataFrame, idCol: String): Seq[String] = {
+    indexCentroids(spark, indexPath) // fail with the actionable
+                                     // message on a non-index path
+    val doomed = spark.read.parquet(indexPath)
+      .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .withColumn("__delete", lit(true))
+    Cdc.upsertPartitioned(spark, indexPath, doomed, Seq(idCol), "list_id",
+      deleteCol = Some("__delete"))
+  }
+
   /** Probe a [[buildIvfIndex]] index: nearest `nprobe` lists from the
     * stored centroids, pushed as a partition filter — the scan lists
     * only the probed lists' directories (asserted in PlanSpec).

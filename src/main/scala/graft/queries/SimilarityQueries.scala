@@ -268,6 +268,39 @@ object SimilarityQueries {
         k = 10)
     }),
 
+    // IVF DELETE lifecycle (r11): build a fresh index, delete the 3
+    // lowest ids via the partition-granular copy-on-write delete
+    // (Cdc.upsertPartitioned composition), and gate on the counts
+    // contract — n_before from the corpus, n_after = n_before - 3,
+    // doomed ids gone, every survivor intact (id-set equality). The
+    // per-partition mechanics (only touched lists rewritten, frozen
+    // meta, empty-list vanish, rollback) are AnnSpec's job.
+    "ann_ivf_delete" -> ((s, d) => {
+      import s.implicits._
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfdel").toString
+      graft.operators.Ann.buildIvfIndex(embs, "vec_id", "embedding", dir,
+        nlist = 8, iters = 5)
+      // localCheckpoint, NOT persist: the pre-delete snapshot must be
+      // divorced from the path — a persisted plan over the same
+      // parquet read would be CACHE-KEY-MATCHED by the post-delete
+      // read and serve it the pre-delete blocks
+      val before = s.read.parquet(dir).select(col("vec_id"))
+        .localCheckpoint(true)
+      val nBefore = before.count()
+      val doomed = before.orderBy(col("vec_id")).limit(3).localCheckpoint(true)
+      graft.operators.Ann.deleteFromIvfIndex(s, dir, doomed, "vec_id")
+      val after = s.read.parquet(dir).select(col("vec_id")).persist()
+      val nAfter = after.count()
+      val gone = after.join(doomed, Seq("vec_id"), "left_semi").count() == 0
+      val intact = before.join(doomed, Seq("vec_id"), "left_anti")
+        .except(after).count() == 0 &&
+        after.except(before).count() == 0
+      Seq((nBefore, nAfter, gone, intact))
+        .toDF("n_before", "n_after", "deleted_gone", "survivors_intact")
+    }),
+
     // Approximate k-NN self-join over LSH buckets, summarized. Plane
     // count is auto-derived from the corpus size (bounded expected
     // bucket), and over-full buckets salt-split — the same call scales
@@ -323,6 +356,15 @@ object SimilarityQueries {
         |        (SELECT e FROM q)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // counts contract: n_before SQL-derived from the corpus, the
+    // booleans asserted in-engine (id-set equality on both sides)
+    "ann_ivf_delete" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+        |         AS n_before,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id <> 0) - 3
+        |         AS n_after,
+        |  true AS deleted_gone, true AS survivors_intact""".stripMargin,
 
     "ann_filtered" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -28,6 +28,60 @@ class AnnSpec extends SparkSpec {
     assert(pruned.head.getLong(0) == 0L)
   }
 
+  test("IVF delete: touched lists rewritten, others' files untouched, meta frozen (r11)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    val clean = embs.select(col("vec_id"), col("embedding"))
+    Ann.buildIvfIndex(clean, "vec_id", "embedding", dir, nlist = 4)
+    val before = spark.read.parquet(dir)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // delete 3 ids from (typically) fewer than 4 lists
+    val doomedIds = before.keys.toSeq.sorted.take(3)
+    val doomedLists = doomedIds.map(before).toSet
+    val metaBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/_graft_ivf_meta.json"))
+    def fileTimes(): Map[String, Long] = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("list_id="))
+        .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile).map(f =>
+          f.getPath.toString -> f.getModificationTime))
+        .toMap
+    }
+    val timesBefore = fileTimes()
+    val touched = Ann.deleteFromIvfIndex(spark, dir,
+      doomedIds.toDF("vec_id"), "vec_id")
+    assert(touched.map(_.toInt).toSet == doomedLists, s"touched=$touched")
+    // doomed rows gone, everything else intact
+    val after = spark.read.parquet(dir)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(doomedIds.forall(!after.contains(_)))
+    assert(after == before -- doomedIds, "only the doomed ids may go")
+    // untouched lists' data files were not rewritten
+    val timesAfter = fileTimes()
+    val untouchedBefore = timesBefore.filterNot { case (p, _) =>
+      doomedLists.exists(l => p.contains(s"list_id=$l/")) }
+    untouchedBefore.foreach { case (p, t) =>
+      assert(timesAfter.get(p).contains(t), s"untouched file rewritten: $p") }
+    // quantizer metadata byte-identical; probes still answer
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/_graft_ivf_meta.json")) == metaBefore)
+    val survivor = after.keys.head
+    val q = clean.filter(col("vec_id") === survivor)
+    val probed = Ann.ivfIndexTopK(spark, dir, q, "vec_id", "embedding",
+      k = 3, nprobe = 4).collect()
+    assert(probed.head.getLong(0) == survivor && probed.head.getDouble(1) == 1.0)
+    // deleting every remaining row of one list empties that partition
+    val wholeList = after.collect { case (id, l) if l == after(survivor) => id }.toSeq
+    Ann.deleteFromIvfIndex(spark, dir, wholeList.toDF("vec_id"), "vec_id")
+    val lists = spark.read.parquet(dir).select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(!lists.contains(after(survivor)), "emptied list must vanish")
+  }
+
   test("knn join: k rows per id, self excluded, ranked by cosine") {
     val knn = Ann.knnJoin(embs.limit(100), "vec_id", "embedding", k = 3,
       planes = 4)

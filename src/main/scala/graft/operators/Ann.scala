@@ -187,7 +187,8 @@ object Ann {
   /** Read the centroid matrix a [[buildIvfIndex]] index was built
     * with.
     */
-  private def indexCentroids(spark: SparkSession, indexPath: String): Array[Array[Double]] = {
+  private[graft] def indexCentroids(spark: SparkSession,
+      indexPath: String): Array[Array[Double]] = {
     val metaPath = new org.apache.hadoop.fs.Path(indexPath, "_graft_ivf_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath),

@@ -744,4 +744,60 @@ object StreamIngest {
         ()
       }
   }
+
+  /** Streaming IVF APPEND with the drift monitor (r11): each
+    * micro-batch appends its vectors to a stored
+    * [[graft.operators.Ann.buildIvfIndex]] index against the FROZEN
+    * quantizer (broadcast centroids, row-local assignment — the
+    * append-per-batch / retrain-per-epoch cadence), then emits ONE
+    * metrics row to `metricsDir/batch=<id>`:
+    * (batch_id, n_appended, n_indexed, max_list_share_e6,
+    * retrain_due). `retrain_due` operationalizes the
+    * SCALING.md-r11-derived trigger: R11DriftProbe measured that a
+    * shifted append distribution never degraded steady-state recall
+    * but grew one list's occupancy linearly with appended mass
+    * (+38% probe wall at 4.4x design share) — so the monitored
+    * quantity is occupancy skew, and the flag fires when the
+    * fullest list exceeds `triggerShare` (default 3x the 1/nlist
+    * design share). Occupancy is recomputed from the index's
+    * partition column each batch (a row-count-only scan, replay-safe
+    * and self-healing — a driver-side running map would double-count
+    * replayed batches); both writes are per-batch overwrite dirs,
+    * the [[corpusGateSink]] idempotence contract.
+    */
+  def ivfAppendSink(stream: DataFrame, idCol: String, vecCol: String,
+                    indexPath: String, metricsDir: String,
+                    checkpoint: String,
+                    triggerShare: Double = -1.0,
+                    trigger: Trigger = Trigger.AvailableNow())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Ann
+    val spark = stream.sparkSession
+    val nlist = Ann.indexCentroids(spark, indexPath).length
+    val share = if (triggerShare > 0) triggerShare else 3.0 / nlist
+    require(share > 0 && share <= 1, s"triggerShare out of (0, 1]: $share")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import spark.implicits._
+        val rows = batch.select(col(idCol), col(vecCol)).persist()
+        val nAppended = rows.count()
+        if (nAppended > 0)
+          Ann.appendIvfIndex(rows, idCol, vecCol, indexPath)
+        val occ = spark.read.parquet(indexPath)
+          .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+          .select("n").collect().map(_.getLong(0))
+        val total = occ.sum
+        val maxShare = if (total == 0) 0.0 else occ.max.toDouble / total
+        Seq((batchId, nAppended, total,
+            math.floor(maxShare * 1e6 + 0.5).toLong, maxShare > share))
+          .toDF("batch_id", "n_appended", "n_indexed",
+            "max_list_share_e6", "retrain_due")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$metricsDir/batch=$batchId")
+        rows.unpersist(blocking = false)
+        ()
+      }
+  }
 }

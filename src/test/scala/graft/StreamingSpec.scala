@@ -369,4 +369,61 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == Map("fact_sales" -> 2L, "dim_customers" -> 1L))
   }
+
+  test("IVF append sink: appends visible to probes, skew monitor fires the retrain flag (r11)") {
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions.col
+    val embs = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Files.createTempDirectory("ivfs_idx").toString
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", idx, nlist = 4)
+    val drop = Files.createTempDirectory("ivfs_drop").toString
+    val metrics = Files.createTempDirectory("ivfs_m").toString
+    val cp = Files.createTempDirectory("ivfs_cp").toString
+    val stream = spark.readStream.schema(embs.schema).parquet(drop)
+    val sink = StreamIngest.ivfAppendSink(stream, "vec_id", "embedding",
+      idx, metrics, cp) // default trigger: 3/nlist = 0.75
+    // the parquet file source lists files at the drop root (no
+    // recursion) — stage each batch and move its part file in
+    def dropFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("ivfs_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$drop/$name.parquet"))
+    }
+    // batch 0: 10 ordinary vectors under fresh ids — skew unchanged
+    dropFile(embs.orderBy(col("vec_id")).limit(10)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      "b0")
+    StreamIngest.runOnce(sink)
+    val m0 = spark.read.parquet(s"$metrics/batch=0").collect().head
+    assert(m0.getAs[Long]("n_appended") == 10L)
+    assert(m0.getAs[Long]("n_indexed") == 510L)
+    assert(!m0.getAs[Boolean]("retrain_due"),
+      s"baseline skew must not fire: $m0")
+    // batch 1: a 2000-copy clump of one direction — one frozen list
+    // swallows it all and crosses the 0.75 trigger share
+    val clump = embs.orderBy(col("vec_id")).limit(1)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(1L),
+          org.apache.spark.sql.functions.lit(2000L))).as("i"),
+        col("embedding"))
+      .select((col("i") + 2000000L).as("vec_id"), col("embedding"))
+    dropFile(clump, "b1")
+    StreamIngest.runOnce(sink)
+    val m1 = spark.read.parquet(s"$metrics/batch=1").collect().head
+    assert(m1.getAs[Long]("n_appended") == 2000L)
+    assert(m1.getAs[Long]("n_indexed") == 2510L)
+    assert(m1.getAs[Boolean]("retrain_due"),
+      s"2000-copy clump must fire the skew trigger: $m1")
+    // appended vectors are probeable against the frozen quantizer
+    val q = clump.limit(1)
+    val hit = Ann.ivfIndexTopK(spark, idx, q, "vec_id", "embedding",
+        k = 1, nprobe = 4)
+      .collect().head
+    assert(hit.getDouble(1) == 1.0, s"appended clump must self-match: $hit")
+  }
 }

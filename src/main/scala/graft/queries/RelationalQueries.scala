@@ -367,6 +367,88 @@ object RelationalQueries {
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     }),
 
+    // TPC-H Q19 shape (r11): disjunctive multi-branch predicate over
+    // a fact-dim join. The OR-of-ANDs shares ONE broadcast hash join
+    // on p_partkey (Catalyst extracts the common join key; the
+    // disjunction evaluates post-join inside codegen) — the
+    // anti-pattern this query guards against is a per-branch
+    // union-of-joins scanning lineitem three times.
+    "q19_disjunct" -> ((s, d) => {
+      val part = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(1, 25)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(5, 35)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 40) &&
+            col("l_quantity").between(10, 45)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q21 shape (r11): "the lone late supplier" — EXISTS
+    // (another supplier on the order) AND NOT EXISTS (another LATE
+    // supplier) decorrelated into ONE per-(order, supplier) aggregate
+    // + one per-order aggregate: n_supp > 1 && n_late == 1 && this
+    // supplier late IS the double-correlated-subquery semantics,
+    // computed with two map-side-combined groupBys instead of two
+    // extra joins against lineitem. (The testdata schema has no
+    // l_receiptdate/l_commitdate; late = shipped > 90 days after the
+    // order date.)
+    "q21_late_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .cast("int"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("is_late"))
+        .persist() // consumed by the per-order rollup AND the final semi-join
+      val loneLateOrders = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .select(col("l_orderkey"))
+      perSupp.filter(col("is_late") === 1)
+        .join(loneLateOrders, Seq("l_orderkey"), "left_semi")
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape (r11): global scalar subquery (average positive
+    // balance — a 1-row broadcast crossJoin) gating an anti join
+    // against a filtered orders slice (no urgent 1998 order — every
+    // synthetic customer has SOME order, so the unfiltered Q22 form
+    // is empty here), rolled up per nation. The o_orderdate/priority
+    // filters push to the orders scan; the anti join's build side is
+    // the filtered slice, the rich-customer side probes.
+    "q22_idle_rich" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val avgPos = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_pos"))
+      val urgent98 = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgPos))
+        .filter(col("c_acctbal") > col("avg_pos"))
+        .join(urgent98, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Explicit GROUPING SETS (finer than rollup/cube): region totals,
     // region x nation detail, and the grand total — but NOT the
     // nation-only cut a cube would add.
@@ -622,6 +704,50 @@ object RelationalQueries {
         |WHERE p_brand = 'Brand#4'
         |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
         |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q19_disjunct" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 1 AND 25)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 5 AND 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40
+        |       AND l_quantity BETWEEN 10 AND 45)""".stripMargin,
+
+    // the correlated EXISTS/NOT-EXISTS form, which DuckDB evaluates
+    // directly — the Spark side's aggregate decorrelation must land
+    // on identical rows
+    "q21_late_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |             THEN 1 ELSE 0 END) AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |lone AS (
+        |  SELECT l_orderkey FROM ps
+        |  GROUP BY 1
+        |  HAVING count(*) > 1 AND sum(is_late) = 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM ps
+        |JOIN lone USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE ps.is_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_idle_rich" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders
+        |    WHERE o_orderpriority = '1-URGENT'
+        |      AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal,

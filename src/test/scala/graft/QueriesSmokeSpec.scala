@@ -33,8 +33,20 @@ class QueriesSmokeSpec extends SparkSpec {
     // query bench loop unnoticed, because only Dataset caches are
     // tracked by the catalog
     spark.catalog.clearCache()
-    val leaked = spark.sparkContext.getPersistentRDDs
+    // localCheckpoint frames (the fixpoint/delete queries) persist at
+    // the RDD level and are released by the ContextCleaner once
+    // UNREFERENCED — drive a GC cycle so the assertion distinguishes
+    // a real leak (still-referenced frame, survives any GC) from
+    // cleaner lag (r11: queries now use localCheckpoint by design)
+    var leaked = spark.sparkContext.getPersistentRDDs
+    var tries = 0
+    while (leaked.nonEmpty && tries < 10) {
+      System.gc()
+      Thread.sleep(200)
+      leaked = spark.sparkContext.getPersistentRDDs
+      tries += 1
+    }
     assert(leaked.isEmpty,
-      s"persisted RDDs outlive clearCache: ${leaked.values.map(_.name)}")
+      s"persisted RDDs outlive clearCache + GC: ${leaked.values.map(_.name)}")
   }
 }

@@ -29,7 +29,9 @@ object PlanAudit {
     "dedup_incremental", "split_holdout", "text_substring_dedup",
     "dedup_containment", "pipeline_excerpt_dedup", "corpus_shard_shuffle",
     "quality_classifier", "dedup_incremental_near", "text_markup_strip",
-    "mix_curriculum", "embed_rp_reduce")
+    "mix_curriculum", "embed_rp_reduce",
+    "q19_disjunct", "q21_late_supplier", "q22_idle_rich",
+    "ann_filtered", "ann_range", "dedup_soft_weights")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -275,6 +277,43 @@ object PlanAudit {
         "(i, j, s) frame + one map-side-combined (id, j) aggregation " +
         "— one exchange of already-reduced rows; spec-pinned " +
         "row-identical."),
+    "q19_disjunct" -> (
+      "The audit point is ONE BroadcastHashJoin on p_partkey with the " +
+        "three-branch disjunction evaluated post-join inside " +
+        "whole-stage codegen — lineitem is scanned once. The " +
+        "anti-pattern this pins against is a per-branch " +
+        "union-of-joins (three fact scans); if a future rewrite " +
+        "splits the OR into a union, this plan is the canary."),
+    "q21_late_supplier" -> (
+      "Double correlated EXISTS/NOT-EXISTS with zero extra fact " +
+        "joins: per-(order, supplier) lateness and the per-order " +
+        "(n_supp, n_late) rollup are two map-side-combined " +
+        "aggregates over ONE lineitem-orders join; the lone-late " +
+        "filter is a semi-join of the persisted per-supplier frame " +
+        "against its own rollup (persist: 2 consumers), and the " +
+        "supplier dim broadcasts. A naive correlated form re-joins " +
+        "lineitem twice per subquery."),
+    "q22_idle_rich" -> (
+      "Global scalar subquery as a 1-row broadcast crossJoin (no " +
+        "shuffle), then a broadcast ANTI join whose BUILD side is " +
+        "the filtered urgent-1998 custkey slice — orders never " +
+        "shuffles, customer streams. The priority/date filters show " +
+        "as PushedFilters on the orders scan."),
+    "ann_filtered" -> (
+      "Filtered ANN as pure composition: the metadata predicate sits " +
+        "BELOW the cosine scorer, so the scan carries " +
+        "PushedFilters [IsNotNull(vec_id), Not(EqualTo(vec_id,0))] " +
+        "and the label residue evaluates in the same codegen stage — " +
+        "excluded vectors never reach the kernel. Zero exchanges " +
+        "before the global top-k."),
+    "dedup_soft_weights" -> (
+      "Duplicate-aware weighting without the per-group window " +
+        "funnel: one map-side-combined groupBy(fp) builds the " +
+        "group-size frame (one row per distinct fingerprint), then " +
+        "one fp-keyed join back — AQE splits a million-copy clump's " +
+        "join side, while a window over fp would put the whole clump " +
+        "in one task. Weight arithmetic is integer floor division, " +
+        "row-local."),
     "topk_group" -> (
       "The row_number-top-k cousin of window_ntile's shape, kept on " +
         "the plain window BY DESIGN: with rk <= 3 Spark plants " +

@@ -117,6 +117,52 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** REPEAT-FACTOR upsampling (r11): per-source target epoch counts
+    * — the UP-weighting face of the mix family ([[mixByTokenBudget]]
+    * and [[mixByTemperature]] can only down-sample; a scarce
+    * high-quality source in a real training mix is repeated 2-5
+    * epochs). Factor f: every doc emits floor(f) copies plus one
+    * more with probability frac(f), decided by the same
+    * salted-md5-threshold trick as the down-samplers (distinct salt
+    * — the extra-copy decision must not correlate with any keep
+    * decision) — so the realized mix hits the target in expectation,
+    * every decision is a pure function of (source, key), and the
+    * whole expansion replays in SQL. Sources absent from `factors`
+    * keep one copy. Output: input columns + `copy_idx` (0-based;
+    * consumers shuffling epochs feed (key, copy_idx) to
+    * [[graft.operators.Sharding.deterministicShards]]).
+    *
+    * Scale shape: the per-source (floor, threshold) frame broadcasts
+    * (bounded by source count); the expansion is a row-local
+    * explode(sequence) — no shuffle, output bytes = the target mix
+    * by construction.
+    */
+  def repeatFactor(df: DataFrame, sourceCol: String, keyCol: String,
+                   factors: Map[String, Double],
+                   salt: String = "graft-rep"): DataFrame = {
+    require(factors.nonEmpty, "empty factor map: nothing to upsample")
+    require(factors.values.forall(f => f >= 0.0 && f <= 100.0),
+      s"factor outside [0, 100] in $factors")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = factors.toSeq.map { case (s, f) =>
+      val fl = math.floor(f).toLong
+      (s, fl, thresholdHex(f - fl))
+    }
+    val factorDf = rows.toDF(sourceCol, "__floor", "__thr")
+    df.join(broadcast(factorDf), Seq(sourceCol), "left_outer")
+      .withColumn("__n",
+        coalesce(col("__floor"), lit(1L)) +
+          when(hashPrefix(col(keyCol), salt) <
+               coalesce(col("__thr"), lit("0")), 1L).otherwise(0L))
+      // sequence() steps DOWNWARD for n = 0 — guard to an empty array
+      .withColumn("copy_idx",
+        explode(when(col("__n") >= 1,
+            sequence(lit(0L), col("__n") - 1))
+          .otherwise(expr("cast(array() as array<bigint>)"))))
+      .drop("__floor", "__thr", "__n")
+  }
+
   /** TEMPERATURE mixing (the multilingual-training recipe): given
     * per-source token shares p_s, the target mix is q_s ∝ p_s^α —
     * α = 1 keeps natural proportions, α → 0 flattens toward uniform,

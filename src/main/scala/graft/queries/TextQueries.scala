@@ -449,6 +449,21 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // REPEAT-FACTOR upsampling (r11, operators.Sampling): the
+    // up-weighting face of the mix family — src1 runs 2.5 epochs
+    // (2 copies + md5-coin third), src2 quarter-epoch, src3 exactly
+    // once, everything else defaults to one copy. Full (doc, copy)
+    // table hash-verified: the oracle replays floor + threshold +
+    // range expansion row-for-row.
+    "mix_repeat_factor" -> ((s, d) => {
+      graft.operators.Sampling.repeatFactor(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          Map("src1" -> 2.5, "src2" -> 0.25, "src3" -> 1.0))
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // TEMPERATURE source mixing (operators.Sampling): keep rates
     // derived IN-plan from tempered token shares (α = 0.5 flattens
     // the mix toward uniform; the scarcest source keeps all), same
@@ -1170,6 +1185,25 @@ object TextQueries {
     // Same floor-vs-round cast gotcha for the rate-to-threshold
     // scaling; DuckDB's to_hex is lowercase minimal-width, matching
     // Spark's lower(hex(...)) after the lpad.
+    // floors/thresholds as literals (the factor map is query
+    // config): 2.5 -> (2, '80000000'), 0.25 -> (0, '40000000'),
+    // 1.0 -> (1, '00000000'); unmapped sources = 1 copy
+    "mix_repeat_factor" ->
+      """WITH f(source, fl, thr) AS (
+        |  VALUES ('src1', CAST(2 AS BIGINT), '80000000'),
+        |         ('src2', CAST(0 AS BIGINT), '40000000'),
+        |         ('src3', CAST(1 AS BIGINT), '00000000')),
+        |j AS (
+        |  SELECT d.doc_id, d.source,
+        |    COALESCE(f.fl, 1) +
+        |    CASE WHEN substr(md5('graft-rep' || CAST(d.doc_id AS VARCHAR)),
+        |                     1, 8) < COALESCE(f.thr, '0')
+        |         THEN 1 ELSE 0 END AS n
+        |  FROM documents d LEFT JOIN f USING (source))
+        |SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS copy_idx
+        |FROM j WHERE n >= 1
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+
     "mix_temperature" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source, $tokSql AS n_tokens

@@ -58,6 +58,31 @@ class PropertySpec extends SparkSpec {
     assert(s2kept == kept1.filter(i => i % 3 == 2), "equal-rate decisions must agree")
   }
 
+  test("repeatFactor upsampling: copy counts, determinism, zero-factor drop (r11)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val out = Sampling.repeatFactor(df, "src", "id",
+        Map("s0" -> 2.5, "s1" -> 0.0, "s2" -> 1.0))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("copy_idx")))
+    val perId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // s1 (factor 0) vanishes entirely
+    assert(!perId.keys.exists(_ % 3 == 1), "factor-0 source must drop")
+    // s2 (factor 1) and unmapped behave identically: exactly one copy
+    assert(perId.collect { case (id, c) if id % 3 == 2 => c }
+      .forall(_ == Seq(0L)))
+    // s0: every doc 2 or 3 copies, contiguous 0-based, ~half get 3
+    val s0 = perId.collect { case (id, c) if id % 3 == 0 => c }.toSeq
+    assert(s0.forall(c => c == Seq(0L, 1L) || c == Seq(0L, 1L, 2L)))
+    val n3 = s0.count(_.size == 3)
+    assert(math.abs(n3 - 500) < 120, s"frac(2.5) coin off: $n3/1000")
+    // layout invariance
+    val out2 = Sampling.repeatFactor(df.repartition(17), "src", "id",
+        Map("s0" -> 2.5, "s1" -> 0.0, "s2" -> 1.0))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("copy_idx")))
+    assert(out.sorted.toSeq == out2.sorted.toSeq)
+  }
+
   test("hashSplit: content-keyed, dup-coherent, salt-independent, layout-invariant") {
     import spark.implicits._
     import graft.operators.Sampling

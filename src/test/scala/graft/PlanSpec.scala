@@ -220,4 +220,38 @@ class PlanSpec extends SparkSpec {
       joinPlan.contains("LeftAnti") &&
       !joinPlan.contains("SortMergeJoin"), joinPlan)
   }
+
+  test("q19 disjunction shares ONE join — no per-branch union of fact scans (r11)") {
+    val plan = planString(
+      RelationalQueries.queries("q19_disjunct")(spark, sf0001))
+    assert(!plan.contains("Union"), s"disjunction split into a union:\n$plan")
+    val joins = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(joins == 1, s"expected exactly 1 join, got $joins:\n$plan")
+    val factScans = "Scan parquet".r.findAllIn(plan).length
+    assert(factScans == 2, s"lineitem+part = 2 scans, got $factScans:\n$plan")
+  }
+
+  test("q21 decorrelation joins the fact ONCE; supplier dim broadcasts (r11)") {
+    val plan = planString(
+      RelationalQueries.queries("q21_late_supplier")(spark, sf0001))
+    // one lineitem-orders join feeds everything; the naive correlated
+    // form would scan lineitem 3x. The per-supplier frame is
+    // persisted, so BOTH consumers (the rollup and the final
+    // semi-join probe) read the same InMemoryRelation — the fact
+    // join computes once regardless of how many times the cached
+    // build plan is PRINTED inline
+    assert(plan.contains("InMemoryRelation"),
+      s"per-supplier frame not shared via cache:\n$plan")
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q22 anti join builds on the filtered orders slice; scalar is a broadcast (r11)") {
+    val plan = planString(
+      RelationalQueries.queries("q22_idle_rich")(spark, sf0001))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"scalar not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin LeftAnti"),
+      s"anti join shuffled — orders must be the broadcast build side:\n$plan")
+  }
 }

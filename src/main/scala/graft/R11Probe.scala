@@ -38,6 +38,35 @@ object R11Probe {
       println(f"[probe] lshTopK planes=$planes%2d maxBitDiff=$bd " +
         f"n_found=${ids.size}%2d hits=$hits%2d")
     }
+    // knnJoin recall: single-bucket vs multi-probe (bitDiff <= 1),
+    // measured against exact per-id top-3 (the gate query's k)
+    {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val sample = corpus.limit(2000).persist(); sample.count()
+      val w = Window.partitionBy(col("id_a"))
+        .orderBy(col("cos").desc, col("id_b"))
+      def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+      // exact: brute-force all-pairs on the 200-row sample
+      val ex = sample.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .crossJoin(sample.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("graft_cosine(va, vb)").as("cos"))
+        .filter(!isnan(col("cos")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      val truth = pairsOf(ex)
+      for (pb <- Seq(0, 1)) {
+        val got = pairsOf(graft.operators.Ann.knnJoin(
+          sample, "vec_id", "embedding", k = 3, probeBits = pb))
+        val rec = (got & truth).size.toDouble / truth.size
+        println(f"[probe] knnJoin probeBits=$pb recall@3=$rec%.3f " +
+          f"(pairs=${got.size})")
+      }
+      sample.unpersist(blocking = false)
+    }
+
     // stored index is built at planes=6 by the gate query
     val idxDir = java.nio.file.Files.createTempDirectory("probe_lsh").toString
     Similarity.buildLshIndex(corpus, "vec_id", "embedding", idxDir, planes = 6)

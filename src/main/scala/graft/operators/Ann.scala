@@ -362,7 +362,9 @@ object Ann {
     */
   def knnJoin(embs: DataFrame, idCol: String, vecCol: String, k: Int,
               planes: Int = 0, targetBucket: Int = 1024,
-              bucketCap: Int = 8192): DataFrame = {
+              bucketCap: Int = 8192, probeBits: Int = 0): DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits must be 0 or 1, got $probeBits")
     val spark = embs.sparkSession
     import spark.implicits._
     // Same bucket/salt assignment as knnCandidates, but scored by a
@@ -375,14 +377,50 @@ object Ann {
     // pairs as unsafe rows first. Ranking is on the ROUNDED cosine
     // with id tiebreak, bit-identical to the window formulation
     // (KnnSpec asserts equivalence against knnCandidates + window).
-    val rep = saltedBuckets(embs, idCol, vecCol, planes, targetBucket, bucketCap)
-      .select(col("bucket"), col("nsplit"),
-        pmod(xxhash64(col("id")), col("nsplit")).cast("int").as("own_salt"),
-        col("id").cast("long").as("id"), col("vec"),
-        explode(sequence(lit(0), col("nsplit") - 1)).as("salt"))
-      .select(col("bucket"), col("salt"),
-        (col("salt") === col("own_salt")).as("is_probe"),
-        col("id"), col("vec"))
+    //
+    // MULTI-PROBE (r11, probeBits = 1): every row ALSO appears as a
+    // build-only candidate in each bucket at Hamming distance 1 from
+    // its own (p extra copies), so a probe row's candidate set covers
+    // all vectors within bitDiff <= 1 — the recall lever for
+    // near-orthogonal corpora where single-bucket recall is low
+    // (measured 0.13 -> see SCALING r11). Cost: build side x(p + 1);
+    // each qualifying pair still meets exactly once per probe row
+    // (the build copy lands in the probe's bucket via exactly one
+    // flipped bit). Neighbor copies pay the TARGET bucket's salt
+    // split, so hot-bucket spreading is preserved.
+    val (annotated, hot, p) =
+      saltedBuckets(embs, idCol, vecCol, planes, targetBucket, bucketCap)
+    val rep0 =
+      if (probeBits == 0)
+        annotated
+          .select(col("bucket"), col("nsplit"),
+            pmod(xxhash64(col("id")), col("nsplit")).cast("int").as("own_salt"),
+            col("id").cast("long").as("id"), col("vec"),
+            explode(sequence(lit(0), col("nsplit") - 1)).as("salt"))
+          .select(col("bucket"), col("salt"),
+            (col("salt") === col("own_salt")).as("is_probe"),
+            col("id"), col("vec"))
+      else {
+        val masks = lit(0L) +: (0 until p).map(j => lit(1L << j))
+        annotated
+          .select(col("bucket").as("own_bucket"), col("nsplit"),
+            pmod(xxhash64(col("id")), col("nsplit")).cast("int").as("own_salt"),
+            col("id").cast("long").as("id"), col("vec"))
+          .select(col("own_bucket"), col("own_salt"), col("id"), col("vec"),
+            explode(array(masks.map(m =>
+              col("own_bucket").bitwiseXOR(m)): _*)).as("bucket"))
+          .join(broadcast(hot.withColumnRenamed("nsplit", "__tn")),
+            Seq("bucket"), "left")
+          .withColumn("__tn", coalesce(col("__tn"), lit(1)))
+          .select(col("bucket"), col("own_bucket"), col("own_salt"),
+            col("id"), col("vec"),
+            explode(sequence(lit(0), col("__tn") - 1)).as("salt"))
+          .select(col("bucket"), col("salt"),
+            (col("bucket") === col("own_bucket") &&
+              col("salt") === col("own_salt")).as("is_probe"),
+            col("id"), col("vec"))
+      }
+    val rep = rep0
       .repartition(spark.sparkContext.defaultParallelism * 8,
         col("bucket"), col("salt"))
       .as[(Long, Int, Boolean, Long, Array[Float])]
@@ -477,7 +515,8 @@ object Ann {
   private[graft] def knnCandidates(embs: DataFrame, idCol: String, vecCol: String,
                                    planes: Int, targetBucket: Int,
                                    bucketCap: Int): DataFrame = {
-    val annotated = saltedBuckets(embs, idCol, vecCol, planes, targetBucket, bucketCap)
+    val (annotated, _, _) =
+      saltedBuckets(embs, idCol, vecCol, planes, targetBucket, bucketCap)
     val a = annotated.select(col("bucket"),
       pmod(xxhash64(col("id")), col("nsplit")).cast("int").as("salt"),
       col("id").as("id_a"), col("vec").as("v_a"))
@@ -497,11 +536,15 @@ object Ann {
   /** Shared bucket/salt assignment for [[knnJoin]] and
     * [[knnCandidates]]: SRP bucket per row, hot buckets (over
     * `bucketCap`) annotated with their split factor from one
-    * lightweight occupancy shuffle. Output: (bucket, nsplit, id, vec).
+    * lightweight occupancy shuffle. Returns (annotated frame of
+    * (bucket, nsplit, id, vec), the hot (bucket, nsplit) map — tiny
+    * by construction, broadcastable — and the plane count used),
+    * so the multi-probe path can salt NEIGHBOR buckets by their own
+    * split factors.
     */
   private def saltedBuckets(embs: DataFrame, idCol: String, vecCol: String,
                             planes: Int, targetBucket: Int,
-                            bucketCap: Int): DataFrame = {
+                            bucketCap: Int): (DataFrame, DataFrame, Int) = {
     GraftExtensions.ensureRegistered(embs.sparkSession)
     val n = embs.count()
     val p =
@@ -523,8 +566,9 @@ object Ann {
       .filter(col("bn") > bucketCap)
       .select(col("bucket"),
         ceil(col("bn").cast("double") / bucketCap).cast("int").as("nsplit"))
-    bucketed.join(broadcast(hot), Seq("bucket"), "left")
+    val annotated = bucketed.join(broadcast(hot), Seq("bucket"), "left")
       .withColumn("nsplit", coalesce(col("nsplit"), lit(1)))
       .select(col("bucket"), col("nsplit"), col("id"), col("vec"))
+    (annotated, hot, p)
   }
 }

@@ -304,10 +304,15 @@ object SimilarityQueries {
     // Approximate k-NN self-join over LSH buckets, summarized. Plane
     // count is auto-derived from the corpus size (bounded expected
     // bucket), and over-full buckets salt-split — the same call scales
-    // from sf0.001 to a full corpus without retuning.
+    // from sf0.001 to a full corpus without retuning. r11: multi-probe
+    // (probeBits = 1 — every row also a candidate in its Hamming-1
+    // neighbor buckets) lifts measured recall@3 on the near-orthogonal
+    // gate corpus from 0.125 to 0.499 for a (planes+1)x build-side
+    // cost (R11Probe).
     "knn_join" -> ((s, d) => {
       graft.operators.Ann.knnJoin(
-          Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 3,
+          probeBits = 1)
         .groupBy(col("id_a"))
         .agg(count(lit(1)).as("n_neighbors"),
           max(col("cos")).as("best_cos"))

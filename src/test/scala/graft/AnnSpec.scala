@@ -96,6 +96,44 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("knn join multi-probe: same output shape, strictly better recall vs exact (r11)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val corpus = embs.select(col("vec_id"), col("embedding")).persist()
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    val exact = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), expr("graft_cosine(va, vb)").as("cos"))
+      .filter(!isnan(col("cos")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def recallOf(pb: Int): Double = {
+      val got = Ann.knnJoin(corpus, "vec_id", "embedding", k = 3,
+          planes = 4, probeBits = pb)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r0 = recallOf(0); val r1 = recallOf(1)
+    assert(r1 > r0, s"multi-probe must beat single-bucket: $r1 vs $r0")
+    assert(r1 >= 0.4, s"multi-probe recall floor: $r1")
+    // shape invariants hold under multi-probe: <= k rows per id,
+    // no self pairs, descending rank order
+    val rows = Ann.knnJoin(corpus, "vec_id", "embedding", k = 3,
+      planes = 4, probeBits = 1).collect()
+    val byA = rows.groupBy(_.getLong(0))
+    assert(byA.values.forall(_.length <= 3))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    byA.values.foreach { rs =>
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+    // and a pair never surfaces twice for the same probe id
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      rows.length, "duplicate (id_a, id_b) — a pair met more than once")
+  }
+
   test("knn kernel matches the candidates+window formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

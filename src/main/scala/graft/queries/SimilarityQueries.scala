@@ -309,14 +309,38 @@ object SimilarityQueries {
     // neighbor buckets) lifts measured recall@3 on the near-orthogonal
     // gate corpus from 0.125 to 0.499 for a (planes+1)x build-side
     // cost (R11Probe).
+    // r11 oracle upgrade: multi-probe recall (0.499 measured) makes a
+    // binding contract meaningful where the old 0.125 floor didn't —
+    // the gate output is a SAMPLED recall contract (the ann_ivf
+    // pattern, bounded so the exact side never goes quadratic): the
+    // 100 lowest-id vectors' exact top-3 computes in one corpus scan
+    // (bruteForceTopKEach), and at least 45% of those exact pairs
+    // must surface in the self-join. Floor rationale: multi-probe
+    // covers bitDiff <= 1; 0.45 is the measured 0.499 with ~10%
+    // margin, on a DETERMINISTIC pipeline (seeded planes, fixed
+    // corpus). Per-id neighbor rows stay covered by AnnSpec.
     "knn_join" -> ((s, d) => {
-      graft.operators.Ann.knnJoin(
-          Tables.embeddings(s, d), "vec_id", "embedding", k = 3,
-          probeBits = 1)
-        .groupBy(col("id_a"))
-        .agg(count(lit(1)).as("n_neighbors"),
-          max(col("cos")).as("best_cos"))
-        .orderBy(col("id_a"))
+      val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val knn = graft.operators.Ann.knnJoin(
+        embs, "vec_id", "embedding", k = 3, probeBits = 1)
+      val probes = embs.orderBy(col("vec_id")).limit(100)
+      val truth = Similarity.bruteForceTopKEach(
+          embs, probes, "vec_id", "vec_id", "embedding", k = 4)
+        .filter(col("q_id") =!= col("vec_id")) // self rides along at cos 1
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("q_id").as("id_a"), col("vec_id").as("id_b"))
+        .persist()
+      val nTruth = truth.count()
+      val hits = knn.select(col("id_a"), col("id_b"))
+        .join(truth, Seq("id_a", "id_b"), "left_semi")
+        .count()
+      import s.implicits._
+      Seq((math.min(100L, embs.count()), nTruth,
+          hits * 100 >= nTruth * 45))
+        .toDF("n_probes", "n_truth", "recall_ok")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -361,6 +385,14 @@ object SimilarityQueries {
         |        (SELECT e FROM q)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // sampled recall contract: probe/truth counts SQL-derived from
+    // the corpus, the recall boolean asserted in-engine
+    "knn_join" ->
+      """SELECT LEAST(100, (SELECT count(*) FROM embeddings))
+        |         AS n_probes,
+        |  LEAST(100, (SELECT count(*) FROM embeddings)) * 3 AS n_truth,
+        |  true AS recall_ok""".stripMargin,
 
     // counts contract: n_before SQL-derived from the corpus, the
     // booleans asserted in-engine (id-set equality on both sides)

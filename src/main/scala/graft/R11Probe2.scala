@@ -1,0 +1,51 @@
+package graft
+
+import graft.multimodal.{Audio, Images}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-11 multimodal planted-recovery probe (dev tool): on the
+  * fixed gate corpora, how many of the planted re-encode pairs
+  * (base id, 1e8 + id for every 5th doc) land in the SAME connected
+  * component of the perceptual star-edge frame — the data for
+  * deciding whether mm_phash_dedup / mm_audio_dedup can carry a
+  * planted-recovery contract oracle (full equality or a floored
+  * share). `tools/runmain.sh graft.R11Probe2 [sfDir]`.
+  */
+object R11Probe2 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val planted = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id"),
+        (col("doc_id") + 100000000L).as("variant"))
+      .persist()
+    val nPlanted = planted.count()
+    def recovery(name: String, edges: org.apache.spark.sql.DataFrame): Unit = {
+      val comp = graft.operators.Dedup.components(edges)
+      val co = planted
+        .join(comp.select(col("id"), col("label").as("l_base")), Seq("id"))
+        .join(comp.select(col("id").as("variant"),
+          col("label").as("l_var")), Seq("variant"))
+        .filter(col("l_base") === col("l_var"))
+        .count()
+      println(s"[probe] $name: planted=$nPlanted co-component=$co")
+    }
+    recovery("phash",
+      Images.phashStarEdges(spark,
+        graft.queries.SourceQueries.imageDedupPayloads(spark, dir),
+        maxHamming = 3))
+    recovery("audio",
+      Audio.audioStarEdges(spark,
+        graft.queries.SourceQueries.audioDedupPayloads(spark, dir),
+        maxHamming = 3))
+    spark.stop()
+  }
+}

@@ -55,9 +55,12 @@ object Bench {
       // 3-pass spread exceeds 1.5x, take 2 extra passes so the median
       // of 5 rides out a transient; queries_min is published so a
       // median-vs-min gap flags residual noise in the artifact itself.
+      // a FAILED extra pass is dropped, not folded in: the original
+      // passes all succeeded, so a transient in the noise-guard rerun
+      // must not convert three valid measurements into failed = -1
       if (iters >= 3 && !times.contains(-1.0) &&
           times.max > 1.5 * times.min)
-        times = times ++ (1 to 2).map(_ => timed())
+        times = times ++ (1 to 2).map(_ => timed()).filter(_ >= 0)
       val median =
         if (times.contains(-1.0)) -1.0
         else times.sorted.apply(times.length / 2)

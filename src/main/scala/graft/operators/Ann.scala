@@ -289,8 +289,14 @@ object Ann {
     * vanishes as a partition, which probes handle as an empty scan).
     * The FROZEN centroid metadata is untouched: deletion never
     * shifts the quantizer, so every probe of an unaffected list is
-    * byte-identical. At 100 TB: a 10-id takedown rewrites at most
-    * 10 list partitions, reads nothing else.
+    * byte-identical. At 100 TB: locating the doomed rows costs ONE
+    * skinny semi-join scan of the index (ids carry no list
+    * assignment, so the scan is how they are found — an id->list
+    * sidecar would trade this for index-maintenance complexity), and
+    * the rewrite then touches only the affected list partitions. The
+    * located rows are checkpointed so [[Cdc.upsertPartitioned]]'s
+    * two consumers (touched-partition discovery and the staging
+    * write) do not each re-run the scan.
     *
     * Returns the touched `list_id` partition values.
     */
@@ -301,6 +307,10 @@ object Ann {
     val doomed = spark.read.parquet(indexPath)
       .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
       .withColumn("__delete", lit(true))
+      // takedown-sized by premise; localCheckpoint (not persist) so
+      // the frame is divorced from the index path before the rewrite
+      // mutates it (the ann_ivf_delete cache-key lesson)
+      .localCheckpoint(true)
     Cdc.upsertPartitioned(spark, indexPath, doomed, Seq(idCol), "list_id",
       deleteCol = Some("__delete"))
   }
@@ -561,11 +571,15 @@ object Ann {
       .persist()
     // occupancy pass: one lightweight shuffle of bare bucket ids to
     // find the few buckets that need splitting
+    // persisted: the multi-probe path broadcasts hot a SECOND time
+    // (neighbor-bucket salt lookup) — without this the occupancy
+    // aggregation over the bucketed frame runs once per consumer
     val hot = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") > bucketCap)
       .select(col("bucket"),
         ceil(col("bn").cast("double") / bucketCap).cast("int").as("nsplit"))
+      .persist()
     val annotated = bucketed.join(broadcast(hot), Seq("bucket"), "left")
       .withColumn("nsplit", coalesce(col("nsplit"), lit(1)))
       .select(col("bucket"), col("nsplit"), col("id"), col("vec"))

@@ -73,8 +73,14 @@ object RandomProjection {
   }
 
   /** The BROADCAST-MATRIX JOIN form of [[reduce]] — identical output
-    * (spec-pinned), different plan for matrices too large to inline
-    * as literal arrays (say 4096x512 = 2M expression nodes): the
+    * on a DISTINCT-id input (spec-pinned), different plan for
+    * matrices too large to inline as literal arrays (say 4096x512 =
+    * 2M expression nodes). Precondition, shared with every consumer
+    * of the reduced table: `idCol` must be unique — this form's
+    * (id, j) aggregation would SUM duplicate ids' projections into
+    * one vector where [[reduce]] emits one projection per row, so on
+    * a dup-id frame the two forms diverge silently. Dedup first
+    * (the reduced table is keyed by id downstream anyway). The
     * (i, j, s) sign frame is a broadcast side (dIn*dOut rows of three
     * ints — megabytes into the thousands of dims), the vector
     * posexplodes to (id, i, xe), the join is broadcast-hash, and the

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * deterministically exact on the gate corpus) carry exact DuckDB
   * oracles; the approximate-by-design variants (LSH, IVF, and their
   * stored-index forms) bind through the recall-contract gate output
-  * ([[recallSummary]]); only knn_join stays justified rows-only
-  * (its honest 0.13 recall floor makes a binding contract
-  * meaningless).
+  * ([[recallSummary]]), and knn_join — whose multi-probe recall
+  * (0.499 measured, r11) made a contract meaningful where the old
+  * single-bucket 0.125 floor didn't — through a SAMPLED recall
+  * contract (100 probes' exact top-3, >= 45% must surface).
   */
 object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame

@@ -319,7 +319,8 @@ object SourceQueries {
       // r11 oracle upgrade: the gate output keeps exactly the columns
       // the fixture corpus makes SQL-DERIVABLE — decode flags (every
       // id % 7 == 0 payload is deliberately not a PNG) and the
-      // constant 16x16 fixture dims — so the REAL decode path
+      // constant 8x8 fixture dims (deterministicPng's default; the
+      // 16 px corpus belongs to mm_phash_dedup) — so the REAL decode path
       // hash-verifies per row. Luma/perceptual hashes are the
       // genuinely non-derivable remainder; ImagesSpec pins their
       // exact values on hand fixtures.

@@ -774,7 +774,15 @@ object StreamIngest {
     import graft.operators.Ann
     val spark = stream.sparkSession
     val nlist = Ann.indexCentroids(spark, indexPath).length
-    val share = if (triggerShare > 0) triggerShare else 3.0 / nlist
+    // default clamped below 1: for nlist <= 3 the 3x-design rule
+    // exceeds/meets 1.0 (a share can never exceed 1), which would
+    // either fail this require for a parameter the caller never set
+    // or leave the flag silently unfirable — at such tiny list
+    // counts occupancy skew is not a meaningful drift signal anyway,
+    // so the clamped default only fires on near-total collapse
+    val share =
+      if (triggerShare > 0) triggerShare
+      else math.min(0.95, 3.0 / nlist)
     require(share > 0 && share <= 1, s"triggerShare out of (0, 1]: $share")
     stream.writeStream
       .option("checkpointLocation", checkpoint)

@@ -557,16 +557,30 @@ object TextQueries {
     // sf dir so the bench separates encode cost from bpe_train's
     // training cost). Sub-word token counts per source plus a
     // compression summary vs whitespace tokens.
+    // r11 oracle upgrade: the corpus-TRAINED token counts stay
+    // non-derivable, but the tokenizer's CONSERVATION SANDWICH is —
+    // every word emits >= 1 token and <= len(word)+1 symbols (chars
+    // + terminal marker; merges only shrink), which telescopes per
+    // non-empty doc to ws_tokens <= bpe_tokens <= len(normalized)+1.
+    // The gate binds (source, n_docs, ws_tokens, max_tokens) by
+    // value and the sandwich as a boolean; exact bpe counts stay
+    // BpeSpec territory (round-tripped encodes).
     "text_bpe_tokenize" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("text").isNotNull)
       val m = bpeModel(s, d)
+      import graft.functions.{TextFunctions => T}
       graft.operators.Bpe.tokenize(docs, "text", m)
         .select(col("source"), size(col("tokens")).as("n_bpe"),
-          tokenCount(col("text")).as("n_ws"))
+          tokenCount(col("text")).as("n_ws"),
+          when(length(T.normalizeText(col("text"))) > 0,
+            length(T.normalizeText(col("text"))) + 1)
+            .otherwise(0).as("n_max"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_bpe")).cast("long").as("bpe_tokens"),
-          sum(col("n_ws")).cast("long").as("ws_tokens"))
+          sum(col("n_ws")).cast("long").as("ws_tokens"),
+          sum(col("n_max")).cast("long").as("max_tokens"),
+          (sum(col("n_bpe")) >= sum(col("n_ws")) &&
+            sum(col("n_bpe")) <= sum(col("n_max"))).as("bounds_ok"))
         .orderBy(col("source"))
     }))
 
@@ -1203,6 +1217,18 @@ object TextQueries {
         |SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS copy_idx
         |FROM j WHERE n >= 1
         |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // the conservation sandwich: counts and bounds SQL-derived, the
+    // in-bounds boolean asserted in-engine
+    "text_bpe_tokenize" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum($tokSql) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(CASE WHEN length($normSql) > 0
+         |                THEN length($normSql) + 1 ELSE 0 END) AS BIGINT)
+         |    AS max_tokens,
+         |  true AS bounds_ok
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "mix_temperature" ->
       s"""WITH tok AS (

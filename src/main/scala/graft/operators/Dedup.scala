@@ -53,16 +53,29 @@ object Dedup {
     *
     * Scale shape: one map-side-combined groupBy(fp) — NOT a window
     * over fp, which would funnel a million-copy clump through one
-    * task — then one fp-keyed join back (AQE skew-join splits the
-    * clump's join side; the aggregate side is one row per group by
-    * construction).
+    * task — then one fp-keyed join back whose strategy is GATED
+    * ([[TextFilters.useMinedBroadcast]] on the corpus: the group
+    * frame is one row per distinct fingerprint, corpus-mined and
+    * unbounded by contract). Below the ceiling the group frame
+    * broadcasts and the corpus pays ZERO exchanges — R11Probe3
+    * measured the ungated form leaving a pre-AQE ENSURE_REQUIREMENTS
+    * fp-shuffle in place even after AQE converted the join to
+    * broadcast, parking a 1 M-copy clump in one task; the explicit
+    * hint plans the broadcast up front, so the clump never leaves
+    * its scan partitions. Above the ceiling it degrades to a plain
+    * shuffle join where AQE's skew split engages once the clump
+    * partition crosses the skew threshold.
     */
-  def softWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def softWeights(docs: DataFrame, idCol: String, textCol: String,
+                  strategy: String = "auto"): DataFrame = {
     val keyed = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
     val groups = keyed.groupBy(col("fp"))
       .agg(count(lit(1)).as("group_n"), min(col(idCol)).as("__canon"))
-    keyed.join(groups, Seq("fp"))
+    val hinted =
+      if (TextFilters.useMinedBroadcast(docs, strategy)) broadcast(groups)
+      else groups
+    keyed.join(hinted, Seq("fp"))
       .select(col(idCol),
         col("group_n"),
         floor(lit(1000000L) / col("group_n")).cast("long").as("weight_e6"),

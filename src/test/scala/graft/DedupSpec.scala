@@ -41,6 +41,12 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 1000000L, true), (4L, 2L, 500000L, false),
       (5L, 3L, 333333L, true), (6L, 3L, 333333L, false),
       (7L, 3L, 333333L, false)), out.toSeq.toString)
+    // the broadcast-ceiling gate's two strategies are output-identical
+    val shuffled = Dedup.softWeights(docs, "doc_id", "text",
+        strategy = "shuffle")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(shuffled.toSeq == out.toSeq)
   }
 
   test("minhash LSH surfaces near-dup and exact-dup pairs") {

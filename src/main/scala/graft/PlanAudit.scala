@@ -309,11 +309,16 @@ object PlanAudit {
     "dedup_soft_weights" -> (
       "Duplicate-aware weighting without the per-group window " +
         "funnel: one map-side-combined groupBy(fp) builds the " +
-        "group-size frame (one row per distinct fingerprint), then " +
-        "one fp-keyed join back — AQE splits a million-copy clump's " +
-        "join side, while a window over fp would put the whole clump " +
-        "in one task. Weight arithmetic is integer floor division, " +
-        "row-local."),
+        "group-size frame (one row per distinct fingerprint), joined " +
+        "back through the broadcast-ceiling gate. The audit point is " +
+        "the corpus side carrying ZERO exchanges below the ceiling — " +
+        "R11Probe3 caught the ungated form leaving a pre-AQE " +
+        "ENSURE_REQUIREMENTS fp-shuffle in place even after AQE's " +
+        "broadcast conversion, parking a 1M-copy clump in one task " +
+        "(AQE skew split never engages on a broadcast probe side). " +
+        "Above the ceiling: plain shuffle join, where the skew split " +
+        "DOES engage past the threshold. Weight arithmetic is " +
+        "integer floor division, row-local."),
     "topk_group" -> (
       "The row_number-top-k cousin of window_ntile's shape, kept on " +
         "the plain window BY DESIGN: with rk <= 3 Spark plants " +

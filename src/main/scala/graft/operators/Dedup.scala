@@ -898,13 +898,23 @@ object Dedup {
     * minimum is a groupBy over that same bounded subset. The corpus
     * pays two joins against small, AQE-broadcastable sides.
     */
-  def resolve(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+  def resolve(docs: DataFrame, pairs: DataFrame, idCol: String,
+              strategy: String = "auto"): DataFrame = {
     val labels = components(pairs)
       .select(col("id").as(idCol), col("label").as("group_label"))
     val paired = docs.join(labels, Seq(idCol))
     val presentMin = paired.groupBy(col("group_label"))
       .agg(min(col(idCol)).as("__gmin"))
-    val pairedFlagged = paired.join(presentMin, Seq("group_label"))
+    // gated like softWeights' group join (R11Probe3): presentMin is
+    // one row per group — broadcast it below the ceiling so the
+    // group_label join adds NO exchange and a million-member dup
+    // group never parks in one task via the leftover pre-AQE
+    // shuffle; above the ceiling, plain join + AQE skew split
+    val minHinted =
+      if (TextFilters.useMinedBroadcast(docs, strategy))
+        broadcast(presentMin)
+      else presentMin
+    val pairedFlagged = paired.join(minHinted, Seq("group_label"))
       .withColumn("is_survivor", col(idCol) === col("__gmin"))
       .drop("__gmin")
       // restore the caller's column order (docs cols, then the

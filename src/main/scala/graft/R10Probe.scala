@@ -136,10 +136,15 @@ object R10Probe {
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     println(s"[probe] pq searchRefined == bruteforce: ${pq == bf}")
 
-    // 7. ann_lsh / knn_join shape (context only)
+    // 7. ann_lsh / knn_join shape (context only). r11: the gate
+    // queries now emit contract summaries, so the shape probe reads
+    // the operator directly
     println(s"[probe] ann_lsh rows=${SparkEntry.queries("ann_lsh")(spark, dir).count()}")
-    SparkEntry.queries("knn_join")(spark, dir)
-      .groupBy(col("n_neighbors")).count().orderBy(col("n_neighbors")).show()
+    graft.operators.Ann.knnJoin(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 3, probeBits = 1)
+      .groupBy(col("id_a")).count()
+      .groupBy(col("count")).count().orderBy(col("count")).show()
     spark.stop()
   }
 }

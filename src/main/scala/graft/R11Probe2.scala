@@ -22,20 +22,9 @@ object R11Probe2 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    val planted = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id").as("id"),
-        (col("doc_id") + 100000000L).as("variant"))
-      .persist()
-    val nPlanted = planted.count()
     def recovery(name: String, edges: org.apache.spark.sql.DataFrame): Unit = {
-      val comp = graft.operators.Dedup.components(edges)
-      val co = planted
-        .join(comp.select(col("id"), col("label").as("l_base")), Seq("id"))
-        .join(comp.select(col("id").as("variant"),
-          col("label").as("l_var")), Seq("variant"))
-        .filter(col("l_base") === col("l_var"))
-        .count()
+      val (nPlanted, co) =
+        graft.queries.SourceQueries.plantedRecovery(spark, dir, edges)
       println(s"[probe] $name: planted=$nPlanted co-component=$co")
     }
     recovery("phash",

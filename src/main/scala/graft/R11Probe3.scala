@@ -26,8 +26,7 @@ object R11Probe3 {
       // thresholds to model the BILLION-copy regime where the clump
       // crosses them, and asserts AQE then actually splits it.
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        if (sys.env.get("SPARK_GRAFT_PROBE_SKEW").isDefined ||
-            args.contains("skew")) "8m" else "256m")
+        if (args.contains("skew")) "8m" else "256m")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         if (args.contains("skew")) "4m" else "64m")
       .config("spark.ui.enabled", "false").getOrCreate()

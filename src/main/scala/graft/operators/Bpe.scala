@@ -70,7 +70,7 @@ object Bpe {
     // driver merge loop over the dictionary: each word is a symbol
     // array; one merge rewrites every adjacent occurrence in place
     var words: Array[(Array[String], Long)] = dict.map { case (w, n) =>
-      ((w.map(_.toString) :+ EndMark).toArray, n)
+      (initialSymbols(w), n)
     }
     val merges = Vector.newBuilder[(String, String)]
     var i = 0
@@ -99,6 +99,26 @@ object Bpe {
     Model(merges.result())
   }
 
+  /** Initial symbol stream: CODE POINTS + the terminal marker — not
+    * UTF-16 units (r11 review): `word.map(_.toString)` split
+    * supplementary-plane characters (emoji etc.) into surrogate
+    * halves, which never merge (no trained pair spans them), so a
+    * single 😀 cost TWO tokens and broke the conservation bound
+    * tokens <= codepoints + 1 that text_bpe_tokenize's oracle (and
+    * both engines' length()) count in code points.
+    */
+  private def initialSymbols(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndMark
+    out.result()
+  }
+
   private def pairLt(a: (String, String), b: (String, String)): Boolean =
     a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
 
@@ -121,7 +141,7 @@ object Bpe {
     */
   private[operators] def encodeWord(word: String,
                                     ranks: Map[(String, String), Int]): Seq[String] = {
-    var syms: Array[String] = (word.map(_.toString) :+ EndMark).toArray
+    var syms: Array[String] = initialSymbols(word)
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue

@@ -72,8 +72,13 @@ object Dedup {
       .select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
     val groups = keyed.groupBy(col("fp"))
       .agg(count(lit(1)).as("group_n"), min(col(idCol)).as("__canon"))
+    // factor 4, not the mined-shingle 32 (r11 review): groups has NO
+    // minDf divisor — worst case (all-unique corpus of tiny docs) is
+    // ~one 48-byte row per corpus row, so the ceiling must stay within
+    // a few broadcast thresholds of the corpus bytes themselves
     val hinted =
-      if (TextFilters.useMinedBroadcast(docs, strategy)) broadcast(groups)
+      if (TextFilters.useMinedBroadcast(docs, strategy, factor = 4))
+        broadcast(groups)
       else groups
     keyed.join(hinted, Seq("fp"))
       .select(col(idCol),
@@ -902,26 +907,30 @@ object Dedup {
               strategy: String = "auto"): DataFrame = {
     val labels = components(pairs)
       .select(col("id").as(idCol), col("label").as("group_label"))
-    val paired = docs.join(labels, Seq(idCol))
+    // gate BOTH joins on the LABELS frame (r11 review): labels is
+    // pairs-bounded (one row per paired node — the dup rate, not the
+    // corpus) and its stats are ACCURATE (components returns off a
+    // localCheckpoint), so the gate holds exactly where it matters:
+    // a 100 TB corpus with a modest dup set still broadcasts, and
+    // the corpus pays ZERO exchanges in either join (the R11Probe3
+    // leftover-shuffle finding — a pre-AQE SMJ plan parks a
+    // million-member dup group in one task even after AQE converts
+    // to broadcast). presentMin is a projection of labels' groups,
+    // so one decision covers both sides. Above the ceiling: plain
+    // joins, AQE skew split past the threshold.
+    val bcast = TextFilters.useMinedBroadcast(labels, strategy, factor = 4)
+    def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val paired = docs.join(hinted(labels), Seq(idCol))
     val presentMin = paired.groupBy(col("group_label"))
       .agg(min(col(idCol)).as("__gmin"))
-    // gated like softWeights' group join (R11Probe3): presentMin is
-    // one row per group — broadcast it below the ceiling so the
-    // group_label join adds NO exchange and a million-member dup
-    // group never parks in one task via the leftover pre-AQE
-    // shuffle; above the ceiling, plain join + AQE skew split
-    val minHinted =
-      if (TextFilters.useMinedBroadcast(docs, strategy))
-        broadcast(presentMin)
-      else presentMin
-    val pairedFlagged = paired.join(minHinted, Seq("group_label"))
+    val pairedFlagged = paired.join(hinted(presentMin), Seq("group_label"))
       .withColumn("is_survivor", col(idCol) === col("__gmin"))
       .drop("__gmin")
       // restore the caller's column order (docs cols, then the
       // annotations) — the group_label join key moved it to the front
       .select(docs.columns.map(col).toIndexedSeq :+
         col("group_label") :+ col("is_survivor"): _*)
-    val singletons = docs.join(labels, Seq(idCol), "left_anti")
+    val singletons = docs.join(hinted(labels), Seq(idCol), "left_anti")
       .withColumn("group_label", col(idCol))
       .withColumn("is_survivor", lit(true))
     pairedFlagged.unionByName(singletons)

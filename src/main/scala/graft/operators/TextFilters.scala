@@ -59,13 +59,23 @@ object TextFilters {
     * broadcast would not survive. Both strategies are output-
     * identical (spec-pinned in TextFiltersSpec).
     */
+  /** `factor` scales the ceiling per call site (r11 review): the 32x
+    * default is justified ONLY where the mined frame is provably a
+    * 1/minDf slice of the measured frame's bytes; a per-row-derived
+    * frame with NO divisor (one row per distinct fingerprint /
+    * group) must use a tighter factor — its worst case is ~one
+    * short row per measured row, so 32x the threshold of measured
+    * bytes could broadcast several hundred MB.
+    */
   private[operators] def useMinedBroadcast(corpus: DataFrame,
-      strategy: String): Boolean = strategy match {
+      strategy: String, factor: Int = 32): Boolean = strategy match {
     case "broadcast" => true
     case "shuffle" => false
     case "auto" =>
       val t = corpus.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      val ceiling = if (t >= 0) BigInt(t) * 32 else BigInt(256L << 20)
+      val ceiling =
+        if (t >= 0) BigInt(t) * factor
+        else BigInt(256L << 20) * factor / 32
       corpus.queryExecution.optimizedPlan.stats.sizeInBytes <= ceiling
     case other => throw new IllegalArgumentException(
       s"strategy must be auto|broadcast|shuffle: $other")

@@ -358,21 +358,8 @@ object SourceQueries {
       // (one-shot query lifecycle); loops over many corpora should
       // use the feats-taking form + explicit unpersist instead
       // (Images.dhashFeats doc)
-      val edges = Images.phashStarEdges(s, imageDedupPayloads(s, d),
-        maxHamming = 3)
-      val comp = graft.operators.Dedup.components(edges)
-      val planted = Tables.documents(s, d)
-        .filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("id"),
-          (col("doc_id") + 100000000L).as("variant"))
-        .persist()
-      val nPlanted = planted.count()
-      val co = planted
-        .join(comp.select(col("id"), col("label").as("l_base")), Seq("id"))
-        .join(comp.select(col("id").as("variant"),
-          col("label").as("l_var")), Seq("variant"))
-        .filter(col("l_base") === col("l_var"))
-        .count()
+      val (nPlanted, co) = plantedRecovery(s, d,
+        Images.phashStarEdges(s, imageDedupPayloads(s, d), maxHamming = 3))
       Seq((nPlanted, co * 100 >= nPlanted * 90))
         .toDF("n_planted", "recovery_ok")
     }),
@@ -436,23 +423,36 @@ object SourceQueries {
       import s.implicits._
       // internally-persisted feats released by Bench/Verify's
       // per-query clearCache — same lifecycle note as mm_phash_dedup
-      val edges = Audio.audioStarEdges(s, audioDedupPayloads(s, d),
-        maxHamming = 3)
-      val comp = graft.operators.Dedup.components(edges)
-      val planted = Tables.documents(s, d)
-        .filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("id"),
-          (col("doc_id") + 100000000L).as("variant"))
-        .persist()
-      val nPlanted = planted.count()
-      val co = planted
-        .join(comp.select(col("id"), col("label").as("l_base")), Seq("id"))
-        .join(comp.select(col("id").as("variant"),
-          col("label").as("l_var")), Seq("variant"))
-        .filter(col("l_base") === col("l_var"))
-        .count()
+      val (nPlanted, co) = plantedRecovery(s, d,
+        Audio.audioStarEdges(s, audioDedupPayloads(s, d), maxHamming = 3))
       Seq((nPlanted, co)).toDF("n_planted", "n_co_component")
     }))
+
+  /** Shared planted-recovery measurement for the perceptual-dedup
+    * contracts (r11 review: one copy of the planting rule instead of
+    * three hand-synced ones — [[imageDedupPayloads]] /
+    * [[audioDedupPayloads]] plant a re-encode at doc_id + 1e8 for
+    * every 5th doc, and this must match them): returns (n_planted,
+    * n whose base and variant share a connected component of
+    * `edges`).
+    */
+  private[graft] def plantedRecovery(s: SparkSession, d: String,
+                                     edges: DataFrame): (Long, Long) = {
+    val comp = graft.operators.Dedup.components(edges)
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id"),
+        (col("doc_id") + 100000000L).as("variant"))
+      .persist()
+    val nPlanted = planted.count()
+    val co = planted
+      .join(comp.select(col("id"), col("label").as("l_base")), Seq("id"))
+      .join(comp.select(col("id").as("variant"),
+        col("label").as("l_var")), Seq("variant"))
+      .filter(col("l_base") === col("l_var"))
+      .count()
+    (nPlanted, co)
+  }
 
   /** The mm_phash_dedup corpus: one deterministic 16-px PNG per
     * document plus a brightness-scaled re-encode (different bytes,

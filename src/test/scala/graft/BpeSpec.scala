@@ -43,6 +43,21 @@ class BpeSpec extends SparkSpec {
     assert(out(2L) == Seq("n", "e", "w", "l", "y", "</w>"))
   }
 
+  test("supplementary-plane chars are single symbols: tokens <= codepoints + 1 (r11)") {
+    // 😀 is one code point in two UTF-16 units; the old unit-level
+    // split emitted surrogate halves (2 tokens + marker = 3 > 1+1),
+    // breaking the conservation bound the gate oracle counts in
+    // code points
+    val m = Bpe.Model(Vector.empty)
+    val out = Bpe.tokenize(
+        Seq((1L, "😀"), (2L, "a😀b")).toDF("id", "text"),
+        "text", m)
+      .select(col("id"), col("tokens"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("😀", "</w>"), out(1L).toString)
+    assert(out(2L) == Seq("a", "😀", "b", "</w>"), out(2L).toString)
+  }
+
   test("tokenization is lossless: concatenated tokens rebuild the words") {
     val m = Bpe.train(corpus, "text", numMerges = 3)
     val docs = Seq((1L, "The  Newest LOWER widest"), (2L, ""), (3L, "   "))

@@ -264,6 +264,10 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(
       1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
       4L -> (4L, true), 9L -> (9L, true)), s"wrong resolution: $got")
+    // the r11 broadcast-ceiling gate's strategies are output-identical
+    val shuffled = Dedup.resolve(docs, pairs, "doc_id", strategy = "shuffle")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(shuffled == got, s"strategy divergence: $shuffled vs $got")
   }
 
   test("resolve: a group whose minimum is absent from docs still keeps a survivor") {

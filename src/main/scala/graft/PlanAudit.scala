@@ -31,7 +31,11 @@ object PlanAudit {
     "quality_classifier", "dedup_incremental_near", "text_markup_strip",
     "mix_curriculum", "embed_rp_reduce",
     "q19_disjunct", "q21_late_supplier", "q22_idle_rich",
-    "ann_filtered", "ann_range", "dedup_soft_weights")
+    "ann_filtered", "ann_range", "dedup_soft_weights",
+    "q2_min_cost_supp", "q7_volume", "q8_market_share", "q9_profit",
+    "q10_returns", "q11_share_threshold", "q13_order_dist",
+    "q14_promo_share", "q15_top_supplier", "q16_supplier_count",
+    "q20_qty_surplus")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -284,6 +288,28 @@ object PlanAudit {
         "anti-pattern this pins against is a per-branch " +
         "union-of-joins (three fact scans); if a future rewrite " +
         "splits the OR into a union, this plan is the canary."),
+    "q2_min_cost_supp" -> (
+      "The correlated '= (SELECT min ...)' decorrelates to a window " +
+        "min over the ALREADY-AGGREGATED (part, supplier) frame: the " +
+        "fact is scanned once (PlanSpec asserts it), pays one " +
+        "groupBy shuffle, and the window's repartition moves only " +
+        "distinct (part, supplier) pairs — bounded by |part| x " +
+        "|suppliers per part|, orders of magnitude under the fact. " +
+        "The EU supplier slice semi-joins as a broadcast BEFORE the " +
+        "aggregate so non-qualifying rows never shuffle. min over " +
+        "per-row IEEE divisions has no summation-order term, so the " +
+        "value-equality filter is engine-stable (oracle hash-binds)."),
+    "q20_qty_surplus" -> (
+      "Per-part totals come from a window over the aggregated " +
+        "(part, supplier) frame — the textbook alternative is a " +
+        "self-join of the fact against its own per-part rollup, " +
+        "which scans lineitem twice and shuffles it once more. " +
+        "Integral quantities make the >50% threshold exact in both " +
+        "engines (20 exactly-at-half pairs at sf0.01 are excluded " +
+        "identically). The oracle binds on per-supplier dominated- " +
+        "part COUNTS because the bare qualifying-supplier list is " +
+        "near-constant at every SF (single-supplier parts are " +
+        "trivially dominated) and would not discriminate."),
     "q21_late_supplier" -> (
       "Double correlated EXISTS/NOT-EXISTS with zero extra fact " +
         "joins: per-(order, supplier) lateness and the per-order " +

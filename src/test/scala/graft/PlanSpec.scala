@@ -254,4 +254,52 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin LeftAnti"),
       s"anti join shuffled — orders must be the broadcast build side:\n$plan")
   }
+
+  // sparkPlan (pre-AQE) — the adaptive wrapper hides exchange
+  // subtrees from collect until stages materialize
+  private def lineitemScans(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+    }.length
+
+  test("q2/q20 decorrelate the per-key min/total as a WINDOW over the aggregated frame — fact scanned once, never self-joined (r11)") {
+    // the naive correlated form scans lineitem twice (once for the
+    // costs, once inside the subquery); the window rewrite pays one
+    // scan + one groupBy shuffle, and the window runs on the SMALL
+    // aggregated (part, supplier) frame
+    for (q <- Seq("q2_min_cost_supp", "q20_qty_surplus")) {
+      val df = RelationalQueries.queries(q)(spark, sf0001)
+      assert(lineitemScans(df) == 1, s"$q scans lineitem more than once")
+      assert(planString(df).contains("Window"), s"$q: no window decorrelation")
+    }
+  }
+
+  test("q15 max-of-view joins back by value through a 1-row broadcast (r11)") {
+    val plan = planString(
+      RelationalQueries.queries("q15_top_supplier")(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"max not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"rev-max join shuffled:\n$plan")
+  }
+
+  test("q16 NOT-IN exclusion is a broadcast anti join before the distinct aggregate (r11)") {
+    val plan = planString(
+      RelationalQueries.queries("q16_supplier_count")(spark, sf0001))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin LeftAnti"),
+      s"exclusion list must broadcast:\n$plan")
+  }
+
+  test("q7/q8/q9 star shapes: every dimension broadcasts; at most the lineitem-orders join shuffles (r11)") {
+    for ((q, maxShuffled) <- Seq("q7_volume" -> 1, "q8_market_share" -> 1,
+      "q9_profit" -> 0)) {
+      val plan = planString(RelationalQueries.queries(q)(spark, sf0001))
+      val smj = "SortMergeJoin".r.findAllIn(plan).length +
+        "ShuffledHashJoin".r.findAllIn(plan).length
+      assert(smj <= maxShuffled,
+        s"$q: expected <=$maxShuffled shuffled joins, got $smj:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$q: no broadcast dims:\n$plan")
+    }
+  }
 }

@@ -528,15 +528,23 @@ object RelationalQueries {
 
     // TPC-H Q7 shape (r11): bilateral nation-pair shipping volume.
     // Both endpoint dimensions (supplier->nation, customer->nation)
-    // broadcast; the pair disjunction filters AFTER the broadcasts so
-    // the fact joins once, not per direction. One lineitem<->orders
-    // shuffle + a 4-row final groupBy.
+    // pre-filter to the pair's nation DOMAIN (the disjunction implies
+    // both endpoints are in {n1, n2}) — the broadcasts carry ~2/25 of
+    // each dim and the joins prune non-qualifying fact rows at join
+    // time. The cross-direction pair disjunction then filters AFTER
+    // the joins so the fact still joins once, not per direction. One
+    // lineitem<->orders shuffle + a 4-row final groupBy.
     "q7_volume" -> ((s, d) => {
+      val pairNations = Seq("NATION_12", "NATION_10")
       val suppN = Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name").isin(pairNations: _*))),
+          col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
       val custN = Tables.customer(s, d)
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name").isin(pairNations: _*))),
+          col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name").as("cust_nation"))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&

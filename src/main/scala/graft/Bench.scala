@@ -103,9 +103,16 @@ object Bench {
     // timing survives each round; path overridable for side runs.
     // SUBSET runs default elsewhere — a 4-query ladder probe must
     // not clobber the committed full-suite artifact (it did, r10).
+    // Same for full-suite runs at a NON-driver scale dir: the sf10/
+    // sf100 ladder runs were silently overwriting the committed
+    // sf0.1 record (it did, twice, r11) — only a full run on the
+    // driver's own /root/testdata rung writes the canonical path.
+    val driverRung = sfDir.startsWith("/root/testdata/")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (subset.isEmpty) "/root/repo/BENCH_QUERIES.json"
-      else "/tmp/BENCH_QUERIES_subset.json")
+      if (subset.nonEmpty) "/tmp/BENCH_QUERIES_subset.json"
+      else if (driverRung) "/root/repo/BENCH_QUERIES.json"
+      else "/tmp/BENCH_QUERIES_" +
+        java.nio.file.Paths.get(sfDir).getFileName.toString + ".json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch {

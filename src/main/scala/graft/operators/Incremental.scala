@@ -104,10 +104,17 @@ object Incremental {
 
   /** COUNT DISTINCT cannot be maintained from (n, sum, min, max) —
     * it is not distributive — but it IS mergeable as an HLL sketch:
-    * the register-wise max of two sketches is exactly the sketch of
-    * the union, so `sketch(history) ∪ sketch(delta)` loses nothing
-    * relative to sketching the full data (spec-asserted). The state
-    * stores one Datasketches HLL blob per group.
+    * the register-wise max of two sketches is exactly the register
+    * state of the union's sketch. The ESTIMATE read off that state
+    * is not guaranteed identical to a direct single-pass build:
+    * Datasketches reads a direct-built sketch through the HIP
+    * estimator (insertion-history dependent) but a union result
+    * through the composite estimator, so once the sketch leaves
+    * coupon (exact) mode the two estimates diverge within the
+    * sketch's error class (measured 0.2-0.7% at 1 500 distinct,
+    * lgK=12; coupon-mode cardinalities compare exactly —
+    * spec-asserted both ways in IncrementalSpec). The state stores
+    * one Datasketches HLL blob per group.
     */
   def distinctPartials(df: DataFrame, keys: Seq[String],
                        valueCol: String): DataFrame = {

@@ -52,16 +52,25 @@ object EtlQueries {
 
   val queries: Map[String, Q] = Map(
     // Incremental DISTINCT maintenance: count-distinct is not
-    // distributive, but its HLL sketch is losslessly mergeable —
-    // history's sketch state unions with each delta's, never
-    // rescanning history. r10 oracle upgrade: the estimate value is
-    // engine-specific, but two facts about it are SQL-verifiable and
-    // the gate output carries exactly those —
-    //  - merge_lossless: the history+delta MERGED estimate equals the
-    //    single-pass full-data estimate (the sketch-union algebra is
-    //    exact, also spec'd in IncrementalSpec);
+    // distributive, but its HLL sketch merges without rescanning
+    // history — the register algebra (register-wise max) is exact.
+    // r10 oracle upgrade, r11 contract correction: the estimate value
+    // is engine-specific, but two facts about it are SQL-verifiable
+    // and the gate output carries exactly those —
+    //  - merge_consistent: the history+delta MERGED estimate agrees
+    //    with the single-pass full-data estimate to within 2%. NOT
+    //    exact equality: Datasketches' direct-built sketch reads out
+    //    through the HIP estimator (insertion-history dependent)
+    //    while a union result falls back to the composite estimator,
+    //    so the two ESTIMATES of the identical register state diverge
+    //    once the sketch leaves coupon (exact) mode — first observed
+    //    at the sf0.1 rung (1 500 distinct/group, measured divergence
+    //    0.2-0.7%; coupon-mode cardinalities compare exactly, which
+    //    is what the sf0.01 gate and IncrementalSpec's small-corpus
+    //    test see). 2% bounds the estimator-method gap, well inside
+    //    the sketch's own lgK=12 RSE (~1.6% 1-sigma);
     //  - within_5pct: the estimate is within 5% of the exact distinct
-    //    count (the sketch's lgK=12 RSE is ~1.6%, so 5% is ~3 sigma).
+    //    count (~3 sigma).
     // The exact count itself hash-verifies against DuckDB.
     "incr_distinct" -> ((s, d) => {
       import graft.operators.Incremental
@@ -81,7 +90,8 @@ object EtlQueries {
           .agg(countDistinct(col("user_id")).as("exact_distinct")),
           keys)
         .select(col("event_type"), col("exact_distinct"),
-          (col("approx_distinct") === col("full_approx")).as("merge_lossless"),
+          (abs(col("approx_distinct") - col("full_approx")) /
+            col("full_approx") <= 0.02).as("merge_consistent"),
           (abs(col("approx_distinct") - col("exact_distinct")) /
             col("exact_distinct") <= 0.05).as("within_5pct"))
         .orderBy(col("event_type"))
@@ -519,7 +529,7 @@ object EtlQueries {
   val oracles: Map[String, String] = Map(
     "incr_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
-        |  true AS merge_lossless, true AS within_5pct
+        |  true AS merge_consistent, true AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // exact replay of the histogram sketch: same bucketing divide,

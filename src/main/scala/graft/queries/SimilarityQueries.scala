@@ -238,20 +238,29 @@ object SimilarityQueries {
     // Product quantization (the memory-scale ANN path: 64-dim floats
     // -> 16 shorts per vector): codebooks train in-query like
     // ann_ivf, encoding is one shuffle-free scan, probe = ADC over
-    // codes then exact re-rank of a 100-wide shortlist only.
+    // codes then exact re-rank of a bounded shortlist only.
     // r10 oracle upgrade: with no list pruning (PQ scans every code)
-    // the ADC shortlist at 100 wide deterministically contains the
-    // true top-10 on the gate corpus (R10Probe: refined top-10 ==
-    // brute-force top-10, cos values identical — the re-rank computes
-    // EXACT cosines), so this hash-verifies against the same exact
-    // oracle as ann_bruteforce. PqSpec still pins
+    // a wide-enough ADC shortlist deterministically contains the
+    // true top-10, so the refined result hash-verifies against the
+    // same exact oracle as ann_bruteforce (the re-rank computes
+    // EXACT cosines). r11 fix: a FIXED 100-wide shortlist is a
+    // rung-local property, not a policy — it covered the top-10 at
+    // the sf0.01 gate corpus but missed 2/10 at sf0.1 (ADC rank
+    // displacement grows with corpus size). The shortlist now scales
+    // with the corpus, re-rank budget = n/10 floats (PqShortlistProbe:
+    // minimal covering shortlist measured 100 @ n=499, 150 @ n=1999,
+    // 999 @ n=19999 — n/10 holds with >= 2x margin at every measured
+    // rung). Plain PQ is the full-scan ADC baseline by construction;
+    // the pruned scale path is ann_pq_indexed, which carries the
+    // recall contract instead. PqSpec still pins
     // exactness-at-centroids and shortlist recall.
     "ann_pq" -> ((s, d) => {
       val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       val cb = pqCodebooks(s, d, m = 16, ksub = 32, iters = 10)
       val encoded = graft.operators.Pq.encode(embs, "vec_id", "embedding", cb)
+      val shortlist = math.max(100L, embs.count() / 10).toInt
       graft.operators.Pq.searchRefined(encoded, embs, queryVec(s, d),
-        "vec_id", "embedding", cb, k = 10, shortlist = 100)
+        "vec_id", "embedding", cb, k = 10, shortlist = shortlist)
     }),
 
     // Stored IVF+PQ index (the composed FAISS-style 100 TB shape):

@@ -857,7 +857,11 @@ object TextQueries {
          |  GROUP BY doc_id)
          |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
          |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
-         |  array_to_string(kept, ' ') AS text_clean
+         |  -- a fully-covered doc keeps []; DuckDB's array_to_string
+         |  -- renders the empty list as NULL where Spark's concat_ws
+         |  -- gives '' — coalesce to the Spark semantics (first
+         |  -- reachable at sf0.1, where some doc IS fully removed)
+         |  coalesce(array_to_string(kept, ' '), '') AS text_clean
          |FROM (
          |  SELECT b.doc_id, b.w,
          |    CASE WHEN c.covered IS NULL THEN b.w

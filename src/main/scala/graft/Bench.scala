@@ -106,8 +106,11 @@ object Bench {
     // Same for full-suite runs at a NON-driver scale dir: the sf10/
     // sf100 ladder runs were silently overwriting the committed
     // sf0.1 record (it did, twice, r11) — only a full run on the
-    // driver's own /root/testdata rung writes the canonical path.
-    val driverRung = sfDir.startsWith("/root/testdata/")
+    // driver's own rung writes the canonical path. Pinned to the
+    // EXACT driver rung (r12 advisor finding): a prefix match on
+    // /root/testdata/ let a full run at sf0.001/sf0.01 clobber the
+    // committed sf0.1 record too.
+    val driverRung = sfDir == "/root/testdata/sf0.1"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (subset.nonEmpty) "/tmp/BENCH_QUERIES_subset.json"
       else if (driverRung) "/root/repo/BENCH_QUERIES.json"

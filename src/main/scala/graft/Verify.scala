@@ -16,7 +16,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional subset (comma-separated names, same contract as Bench):
+    // iterating on ONE oracle shouldn't re-dump all ~150, and the
+    // cross-rung insurance runs at sf10 re-check targeted contracts.
+    // The driver leaves this unset = full dump (queries.json below
+    // still lists the full roster ONLY on full runs, so a subset dump
+    // can't masquerade as a clean full gate).
+    val subset = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { qs =>
+      val unknown = qs -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown verify queries: ${unknown.mkString(", ")}")
+    }
+    val selected = subset.fold(SparkEntry.queries)(qs =>
+      SparkEntry.queries.view.filterKeys(qs).toMap)
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -44,9 +58,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // full query roster: lets the comparator flag a query that crashed
-    // (no output dir) as FAIL instead of silently dropping it
+    // (no output dir) as FAIL instead of silently dropping it. On a
+    // subset run the roster is the SUBSET — the full roster would make
+    // the comparator report every unselected query as crashed.
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -690,13 +690,21 @@ object RelationalQueries {
     // aggregated view joined back by VALUE equality. The max is a
     // 1-row broadcast; ties would all surface (no arbitrary pick).
     // Measured winner margin at sf0.01 is ~1% of revenue, far above
-    // float summation noise, so the equality cut is engine-stable.
+    // float summation noise — but that argues distance to the
+    // RUNNER-UP, not bit-identical self-recomputation: unpersisted,
+    // the double-sum aggregate evaluates independently on both sides
+    // of the crossJoin, and on a distributed shuffle the final-merge
+    // fetch order can differ in the last ulp between the mx build and
+    // the probe, silently returning zero rows (r12 advisor finding).
+    // persist() makes both consumers read ONE materialization, so the
+    // equality compares a value against itself.
     "q15_top_supplier" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
+        .persist()
       val mx = rev.agg(max(col("r")).as("mx"))
       rev.crossJoin(broadcast(mx)).filter(col("r") === col("mx"))
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))

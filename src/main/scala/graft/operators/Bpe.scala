@@ -42,8 +42,16 @@ import scala.collection.concurrent.TrieMap
   */
 object Bpe {
 
-  /** Ranked merge rules; rank i merged before rank i+1. */
-  final case class Model(merges: Vector[(String, String)]) {
+  /** Ranked merge rules; rank i merged before rank i+1.
+    * `mergeCounts` (r12): the winning pair's weighted count at each
+    * rank — free to record during training, and it turns a merge
+    * table into a HASH-BINDABLE artifact (an oracle replaying the
+    * count-argmax-rewrite loop must reproduce count AND pair at every
+    * rank, not just the final sequence). Empty for loaded/frozen
+    * models.
+    */
+  final case class Model(merges: Vector[(String, String)],
+                         mergeCounts: Vector[Long] = Vector.empty) {
     /** rank lookup used by the encoder */
     lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
   }
@@ -73,6 +81,7 @@ object Bpe {
       (initialSymbols(w), n)
     }
     val merges = Vector.newBuilder[(String, String)]
+    val mergeCounts = Vector.newBuilder[Long]
     var i = 0
     var done = false
     while (i < numMerges && !done) {
@@ -92,11 +101,12 @@ object Bpe {
           if (n > bestN || (n == bestN && pairLt(p, best))) { best = p; bestN = n }
         }
         merges += best
+        mergeCounts += bestN
         words = words.map { case (syms, n) => (mergePair(syms, best), n) }
         i += 1
       }
     }
-    Model(merges.result())
+    Model(merges.result(), mergeCounts.result())
   }
 
   /** Initial symbol stream: CODE POINTS + the terminal marker — not

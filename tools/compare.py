@@ -33,7 +33,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver rungs are single files; ScaleUp rungs (testdata-sf10/
+        # sf100, used by the r12 cross-rung insurance) are Spark-written
+        # DIRECTORIES of part files
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     # every query Verify attempted must have produced an output dir —
     # a query that throws in Verify writes nothing, and iterating only

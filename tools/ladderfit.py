@@ -45,35 +45,55 @@ def family(q):
             return name
     raise AssertionError(q)
 
-def main(p01, p10, p100):
-    t01 = json.load(open(p01))["queries"]
-    t10 = json.load(open(p10))["queries"]
-    t100 = json.load(open(p100))["queries"]
-    common = sorted(set(t01) & set(t10) & set(t100))
-    rows = []
+def fit(label, m01, m10, m100, unit, zero_note):
+    """Per-query and per-family decade exponents for one metric map."""
+    common = sorted(set(m01) & set(m10) & set(m100))
+    rows, zeros = [], []
     for q in common:
-        a, b, c = t01[q], t10[q], t100[q]
+        a, b, c = m01[q], m10[q], m100[q]
         if min(a, b, c) <= 0:
+            zeros.append(q)
             continue
         rows.append((q, family(q), a, b, c,
                      math.log10(b / a), math.log10(c / b)))
 
     rows.sort(key=lambda r: -r[6])
-    print(f"{len(rows)} queries on all three rungs\n")
-    print(f"{'query':34s} {'family':24s} {'sf0.1':>7s} {'sf10':>8s} {'sf100':>8s} {'a1':>6s} {'a2':>6s}")
+    print(f"==== {label} ====")
+    print(f"{len(rows)} queries on all three rungs"
+          + (f"; {len(zeros)} {zero_note}" if zeros else "") + "\n")
+    print(f"{'query':34s} {'family':24s} {'sf0.1':>9s} {'sf10':>10s} {'sf100':>10s} {'a1':>6s} {'a2':>6s}")
     for q, f, a, b, c, a1, a2 in rows:
         flag = " <-- super-linear decade 2" if a2 > 1.0 else ""
-        print(f"{q:34s} {f:24s} {a:7.2f} {b:8.2f} {c:8.2f} {a1:6.2f} {a2:6.2f}{flag}")
+        print(f"{q:34s} {f:24s} {a:9.2f} {b:10.2f} {c:10.2f} {a1:6.2f} {a2:6.2f}{flag}")
 
     fams = defaultdict(list)
     for q, f, a, b, c, a1, a2 in rows:
         fams[f].append((a1, a2, c))
-    print(f"\n{'family':26s} {'n':>3s} {'med a1':>7s} {'med a2':>7s} {'max a2':>7s} {'sf100 total':>12s}")
+    print(f"\n{'family':26s} {'n':>3s} {'med a1':>7s} {'med a2':>7s} {'max a2':>7s} {'sf100 total':>14s}")
     for f, vals in sorted(fams.items(), key=lambda kv: -len(kv[1])):
         a1s = sorted(v[0] for v in vals); a2s = sorted(v[1] for v in vals)
         tot = sum(v[2] for v in vals)
         print(f"{f:26s} {len(vals):3d} {a1s[len(a1s)//2]:7.2f} {a2s[len(a2s)//2]:7.2f} "
-              f"{max(a2s):7.2f} {tot:11.1f}s")
+              f"{max(a2s):7.2f} {tot:13.1f}{unit}")
+    print()
+
+def main(p01, p10, p100):
+    j01, j10, j100 = (json.load(open(p)) for p in (p01, p10, p100))
+    fit("wall time (steady median, sec)",
+        j01["queries"], j10["queries"], j100["queries"], "s",
+        "failed/absent")
+    # r12: bytes-moved exponents — the cluster-transferable number.
+    # Wall time on local[32] conflates data movement with JVM effects;
+    # shuffle bytes are what a 1000-executor network actually carries.
+    # Queries with ZERO shuffle at every rung (scan->broadcast->local
+    # plans) are reported as a count: zero bytes moved is the BEST
+    # scaling answer, not missing data.
+    for key, label in (("queries_shuffle_write", "shuffle bytes WRITTEN (steady pass, MB)"),
+                       ("queries_spill_disk", "disk spill bytes (steady pass, MB)")):
+        if key in j01 and key in j10 and key in j100:
+            mb = lambda m: {q: v / 1e6 for q, v in m.items()}
+            fit(label, mb(j01[key]), mb(j10[key]), mb(j100[key]), "MB",
+                "zero at some rung (no shuffle / no spill — reported, not fitted)")
 
 if __name__ == "__main__":
     main(*sys.argv[1:4])

@@ -4,7 +4,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-up generator for benchmark data beyond the driver-provided
-  * scale factors: `runMain graft.ScaleUp <inDir> <outDir> <copies>`.
+  * scale factors: `runMain graft.ScaleUp <inDir> <outDir> <copies>
+  * [table,table,...]` — the optional 4th arg regenerates only the
+  * named tables (used when one table's physical convention changes:
+  * the transforms are deterministic, so a partial regen is identical
+  * to a full one restricted to those tables).
   *
   * Each copy k shifts every key domain by k * 100M so the union is a
   * k-times larger dataset with the same join fan-outs and the same
@@ -36,6 +40,9 @@ object ScaleUp {
     val inDir = args(0)
     val outDir = args(1)
     val copies = args(2).toInt
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,7 +54,7 @@ object ScaleUp {
 
     def scaled(name: String, keyCols: Seq[String],
                transform: (DataFrame, Int) => DataFrame = (df, _) => df,
-               outParts: Int = 4): Unit = {
+               outParts: Int = 4): Unit = if (wanted(name)) {
       val base = Tables.load(spark, inDir, name)
       val union = (0 until copies).map { k =>
         val shifted = keyCols.foldLeft(base)((df, c) =>
@@ -60,7 +67,7 @@ object ScaleUp {
     }
 
     // bounded dimensions: single copy, unshifted keys
-    Seq("region", "nation").foreach { name =>
+    Seq("region", "nation").filter(wanted).foreach { name =>
       Tables.load(spark, inDir, name).write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/$name.parquet")
       println(s"[scaleup] $name copied")
@@ -72,11 +79,19 @@ object ScaleUp {
     scaled("orders", Seq("o_orderkey", "o_custkey"))
     scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), outParts = 16)
     // events: keep timestamps (session/window distributions), shift ids.
-    // Written back as int64 nanoseconds regardless of the input
-    // generation's physical ts type — Tables.events' long branch
-    // (nanos -> micros) reads every scaled copy identically.
+    // Written as TIMESTAMP(MICROS) without UTC adjustment (timestamp_ntz)
+    // — the driver generation's own physical convention, which
+    // Tables.events normalizes identically at every rung. The first
+    // ladder generation wrote int64 nanos instead (to exercise
+    // Tables.events' long branch); that made `ts` a BIGINT to any
+    // engine reading the raw parquet, so every DuckDB oracle using
+    // date_trunc/epoch on events failed at the scaled rungs — 7 of the
+    // 13 r12 cross-rung failures were this one schema drift. The
+    // oracle contract is over the DRIVER's logical schema; the ladder
+    // must present the same one. (The long branch stays covered by
+    // TablesSpec.)
     scaled("events", Seq("event_id", "user_id"),
-      (df, _) => df.withColumn("ts", unix_micros(col("ts")) * lit(1000L)),
+      (df, _) => df.withColumn("ts", col("ts").cast("timestamp_ntz")),
       outParts = 8)
     scaled("documents", Seq("doc_id"), (df, k) =>
       if (k == 0) df

@@ -59,10 +59,15 @@ object Incremental {
   def finalizeAgg(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select(keys.map(col) ++ Seq(
       col("agg_n").as("n_rows"),
-      round(col("agg_sum"), 2).as("total"),
-      round(col("agg_sum") / col("agg_n"), 4).as("mean"),
-      round(col("agg_min"), 2).as("min_val"),
-      round(col("agg_max"), 2).as("max_val")): _*)
+      // Outputs are DOUBLE regardless of the partials' value type, so
+      // a caller can feed an exact-decimal value column (the money
+      // discipline — merge-order-free sums) without changing the
+      // finalized schema. The mean divides as double on both engines
+      // (identical inputs -> identical IEEE result).
+      round(col("agg_sum"), 2).cast("double").as("total"),
+      round(col("agg_sum").cast("double") / col("agg_n"), 4).as("mean"),
+      round(col("agg_min"), 2).cast("double").as("min_val"),
+      round(col("agg_max"), 2).cast("double").as("max_val")): _*)
 
   /** Incremental TOP-K maintenance: per-group item counts are
     * distributive (sum-mergeable), so the state is the keyed count

@@ -337,15 +337,33 @@ object DedupQueries {
     // query below. Recall vs the exact baseline is spec'd at the same
     // threshold in DedupSpec.
     //
-    // r10 oracle upgrade: the output pair set equals the PLANTED pair
-    // set exactly on the gate corpus (R10Probe, 50 = 50, zero
-    // diff) — precision 1.0 is by construction (exact cosine verify),
-    // the corpus has no natural pair at cosine >= 0.9 (checked
-    // against the exact kernel), and the seeded SRP tables catch
-    // every planted pair. The cos column is dropped from the gate
-    // output: the jitter that builds the planted vectors is xxhash64
-    // bit math DuckDB cannot reproduce, so only the (id_a, id_b)
-    // membership is SQL-expressible; cos values are spec-covered.
+    // r10 oracle upgrade: precision 1.0 is by construction (exact
+    // cosine verify), the corpus has no natural pair at cosine >= 0.9
+    // between DISTINCT stored vectors (checked against the exact
+    // kernel), and the seeded SRP tables catch every planted pair.
+    // The cos column is dropped from the gate output: the jitter that
+    // builds the planted vectors is xxhash64 bit math DuckDB cannot
+    // reproduce, so only the (id_a, id_b) membership is
+    // SQL-expressible; cos values are spec-covered.
+    //
+    // r12 oracle upgrade (cross-rung finding): the r10 oracle was the
+    // planted LITERAL set {(i, i+1e6) : i < 50}, premised on "no
+    // natural >= 0.9 pair in the corpus" — a property of the DRIVER
+    // corpus that identity-copy scaling (ScaleUp) deliberately breaks:
+    // every stored vector gains copies-1 byte-identical twins at
+    // cosine 1.0. At testdata-sf10 the engine correctly returned
+    // 90 500 pairs (C(10,2) x 2000 identity twins + 50 planted copies
+    // x 10 twins of their base) against the literal's 50. The oracle
+    // is now STRUCTURE-DERIVED in SQL over the stored table, valid at
+    // every rung: identity pairs come from an equality self-join on
+    // the embedding bytes (copies are verbatim, so list equality is
+    // exact); planted pairs pair each in-query jittered copy
+    // (plant rule: vec_id < 50 -> copy at vec_id + 1e6, cosine 0.9+
+    // vs its base) with every vector whose bytes equal the base's —
+    // the same cosine, so membership follows without computing it.
+    // At the driver rungs vectors are pairwise distinct (checked:
+    // count = count distinct) and this reduces to exactly the r10
+    // planted set.
     "dedup_embedding_lsh_strict" -> ((s, d) => {
       Dedup.embeddingPairsLsh(embsWithNearDups(s, d), "vec_id", "embedding",
           minCosine = 0.9, targetRecall = 0.98)
@@ -485,8 +503,18 @@ object DedupQueries {
     // The planted near-dup pair set (query comment documents why the
     // LSH output equals it exactly on the gate corpus).
     "dedup_embedding_lsh_strict" ->
-      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
-        |FROM embeddings WHERE vec_id < 50
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |ident AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM emb a JOIN emb b
+        |    ON a.embedding = b.embedding AND a.vec_id < b.vec_id),
+        |planted AS (
+        |  SELECT LEAST(t.vec_id, p.vec_id + 1000000) AS id_a,
+        |         GREATEST(t.vec_id, p.vec_id + 1000000) AS id_b
+        |  FROM emb p JOIN emb t ON t.embedding = p.embedding
+        |  WHERE p.vec_id < 50)
+        |SELECT id_a, id_b
+        |FROM (SELECT * FROM ident UNION SELECT * FROM planted)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Expected planted-pair outcomes (derivation in the query

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{CleanOps, PatternRouter, Quality}
+import graft.queries.Money.{m, msum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -141,7 +142,12 @@ object EtlQueries {
     // of the verified surface.
     "incr_agg" -> ((s, d) => {
       import graft.operators.Incremental
+      // Money discipline: the partial-sum algebra re-associates sums
+      // across (history, d1, d2) batches, so exactness needs a decimal
+      // value column — Incremental is value-type-generic, the cast at
+      // the source makes every partial/merge/finalize sum exact.
       val orders = Tables.orders(s, d)
+        .withColumn("o_totalprice", m(col("o_totalprice")))
       val keys = Seq("o_orderstatus", "o_orderpriority")
       val history = orders.filter(col("o_orderkey") % 10 =!= 0)
       val d1 = orders.filter(col("o_orderkey") % 10 === 0 &&
@@ -310,7 +316,7 @@ object EtlQueries {
       CleanOps.dropEmptyRows(holeyEvents(s, d), Seq("u", "v"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("u")).cast("long").as("sum_u"),
-          round(sum(col("v")), 2).as("sum_v"))
+          msum(col("v")).as("sum_v"))
     }),
 
     // Name-heuristic type coercion with errors->null.
@@ -321,7 +327,7 @@ object EtlQueries {
         count(col("order_date")).as("valid_dates"),
         count(col("total_price")).as("valid_prices"),
         max(col("order_date")).as("max_date"),
-        round(sum(col("total_price")), 2).as("sum_price"))
+        msum(col("total_price")).as("sum_price"))
     }),
 
     // Deterministic metadata enrichment.
@@ -407,7 +413,7 @@ object EtlQueries {
         .groupBy(col("status"), col("source_name"), col("processing_batch"))
         .agg(count(lit(1)).as("n"),
           count(col("order_date")).as("valid_dates"),
-          round(sum(col("total_price")), 2).as("sum_price"))
+          msum(col("total_price")).as("sum_price"))
         .orderBy(col("status"))
     }))
 
@@ -559,8 +565,9 @@ object EtlQueries {
     "incr_agg" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  count(o_totalprice) AS n_rows,
-        |  round(sum(o_totalprice), 2) AS total,
-        |  round(sum(o_totalprice) / count(o_totalprice), 4) AS mean,
+        |  round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS total,
+        |  round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE
+        |        / count(o_totalprice), 4) AS mean,
         |  round(min(o_totalprice), 2) AS min_val,
         |  round(max(o_totalprice), 2) AS max_val
         |FROM orders GROUP BY o_orderstatus, o_orderpriority
@@ -580,7 +587,7 @@ object EtlQueries {
     "etl_drop_empty" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(u) AS BIGINT) AS sum_u,
-        |  round(sum(v), 2) AS sum_v
+        |  round(sum(CAST(v AS DECIMAL(18,2))), 2)::DOUBLE AS sum_v
         |FROM (SELECT CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS u,
         |             CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 4) END AS v
         |      FROM events)
@@ -591,7 +598,8 @@ object EtlQueries {
          |  count(TRY_CAST(order_date AS TIMESTAMP)) AS valid_dates,
          |  count(TRY_CAST(total_price AS DOUBLE)) AS valid_prices,
          |  max(TRY_CAST(order_date AS TIMESTAMP)) AS max_date,
-         |  round(sum(TRY_CAST(total_price AS DOUBLE)), 2) AS sum_price
+         |  round(sum(TRY_CAST(total_price AS DECIMAL(18,2))), 2)::DOUBLE
+         |    AS sum_price
          |FROM ($dirtyCleanSql)""".stripMargin,
 
     "etl_metadata" ->
@@ -667,7 +675,8 @@ object EtlQueries {
       s"""SELECT status, 'orders_drop.csv' AS source_name,
          |  'batch_0001' AS processing_batch, count(*) AS n,
          |  count(TRY_CAST(order_date AS TIMESTAMP)) AS valid_dates,
-         |  round(sum(TRY_CAST(total_price AS DOUBLE)), 2) AS sum_price
+         |  round(sum(TRY_CAST(total_price AS DECIMAL(18,2))), 2)::DOUBLE
+         |    AS sum_price
          |FROM ($dirtyCleanSql)
          |WHERE order_date IS NOT NULL OR total_price IS NOT NULL
          |GROUP BY status ORDER BY status""".stripMargin,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Layout
+import graft.queries.Money.{m, discounted, rsum, msum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -123,7 +124,7 @@ object LayoutQueries {
       graft.operators.Bucketing.bucketedJoin(s, liT, ordT, Seq("l_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          rsum(discounted(col("l_extendedprice"), col("l_discount")))
             .as("revenue"))
         .orderBy(col("o_orderstatus"))
     }),
@@ -142,7 +143,7 @@ object LayoutQueries {
         .join(broadcast(dim), Seq("om"))
         .groupBy(col("om"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total_price"))
+          msum(col("o_totalprice")).as("total_price"))
         .orderBy(col("om"))
     }),
 
@@ -183,6 +184,19 @@ object LayoutQueries {
     // The raw per-layout skip COUNTS stay in SCALING.md/LayoutSpec —
     // pinning them in an oracle would couple the gate to the data
     // generator's key distribution rather than to the layout claims.
+    //
+    // RUNG SCOPE (r12 cross-rung finding): the `prunes` literals hold
+    // for ~uniform, INDEPENDENT key domains — the driver generator's
+    // contract. ScaleUp's identity-copy rungs violate it two ways:
+    // (a) partkey and suppkey are CORRELATED there (both carry the
+    // same copy offset k*1e8), so a partkey-sorted layout accidentally
+    // clusters suppkey too and "linear prunes only its sort column"
+    // legitimately flips — a true statement about layouts on
+    // correlated keys, not a defect; (b) the [0.45, 0.55] x max(dim)
+    // span falls between copy clusters (keys live just above each
+    // k*1e8 offset), so n_match drops to 0. The contract is therefore
+    // DECLARED driver-rung-scoped in tools/crossrung_compare.py; the
+    // z-order rows (prunes on BOTH dims) held at sf10 regardless.
     "layout_zorder" -> ((s, d) => {
       import s.implicits._
       val (zDir, linDir) = layoutDirs(s, d)
@@ -244,14 +258,17 @@ object LayoutQueries {
 
     "layout_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (1.00 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE
+        |    AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "layout_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS om,
         |  count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total_price
+        |  round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE
+        |    AS total_price
         |FROM orders
         |WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 2
         |GROUP BY om ORDER BY om""".stripMargin,

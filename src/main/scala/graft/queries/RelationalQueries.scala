@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Rank
+import graft.queries.Money.{m, discounted, rsum, msum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -14,8 +15,12 @@ import org.apache.spark.sql.expressions.Window
   *  - aggregates are plain groupBys (partial aggregation is free);
   *  - LIMIT queries order with a unique tiebreaker so results are
   *    deterministic under any partitioning;
-  *  - doubles are rounded on both sides to absorb summation-order
-  *    differences between engines.
+  *  - monetary sums go through exact decimal ([[Money]]): rounding
+  *    doubles "on both sides" only absorbs summation-order noise
+  *    while the accumulated ulp error stays under the half-cent
+  *    boundary — the r12 cross-rung gate at testdata-sf10 measured
+  *    q5/q7/q9/q15 crossing it. Decimal sums are associative, so the
+  *    oracle equality is exact at every rung by construction.
   */
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -29,8 +34,8 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          msum(col("l_extendedprice")).as("sum_base_price"),
+          rsum(discounted(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -42,7 +47,8 @@ object RelationalQueries {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+        .agg(rsum(m(col("l_extendedprice")) * col("l_discount").cast("decimal(3,2)"))
+          .as("revenue"))
     }),
 
     // TPC-H Q3 shape: selective dims, join + agg + deterministic topN.
@@ -55,7 +61,7 @@ object RelationalQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(rsum(discounted(col("l_extendedprice"), col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -76,7 +82,7 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(rsum(discounted(col("l_extendedprice"), col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -153,7 +159,7 @@ object RelationalQueries {
       graft.operators.Skew.saltedJoin(ev, dim, Seq("k"), buckets = 16)
         .groupBy((col("k") % 5).as("grp"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value") * col("w")), 2).as("wsum"))
+          rsum(m(col("value")) * col("w").cast("decimal(4,0)")).as("wsum"))
         .orderBy(col("grp"))
     }),
 
@@ -213,16 +219,16 @@ object RelationalQueries {
     "window_running" -> ((s, d) => {
       val daily = Tables.orders(s, d)
         .groupBy(col("o_custkey"), date_trunc("day", col("o_orderdate")).as("day"))
-        .agg(sum(col("o_totalprice")).as("day_total"))
+        .agg(sum(m(col("o_totalprice"))).as("day_total"))
         .filter(col("o_custkey") <= 50)
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
       daily
         .withColumn("running_total", sum(col("day_total")).over(w))
         .withColumn("prev_total", lag(col("day_total"), 1).over(w))
         .select(col("o_custkey"), col("day"),
-          round(col("day_total"), 2).as("day_total"),
-          round(col("running_total"), 2).as("running_total"),
-          round(coalesce(col("prev_total"), lit(0.0)), 2).as("prev_total"))
+          col("day_total").cast("double").as("day_total"),
+          col("running_total").cast("double").as("running_total"),
+          coalesce(col("prev_total").cast("double"), lit(0.0)).as("prev_total"))
         .orderBy(col("o_custkey"), col("day"))
     }),
 
@@ -232,7 +238,7 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(round(sum(col("c_acctbal")), 2).as("total_bal"),
+        .agg(msum(col("c_acctbal")).as("total_bal"),
           count(lit(1)).as("n_cust"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
@@ -242,7 +248,7 @@ object RelationalQueries {
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total_price"))
+          msum(col("o_totalprice")).as("total_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     }),
@@ -308,7 +314,7 @@ object RelationalQueries {
           "metric", "value")
         .groupBy(col("metric"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 2).as("total"),
+          msum(col("value")).as("total"),
           round(avg(col("value")), 4).as("mean"))
         .orderBy(col("metric"))
     }),
@@ -364,7 +370,8 @@ object RelationalQueries {
         .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
         .withColumn("part_avg_qty", avg(col("l_quantity")).over(w))
         .filter(col("l_quantity") < col("part_avg_qty") * 0.5)
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        .agg(round(sum(m(col("l_extendedprice"))).cast("double") / 7.0, 2)
+          .as("avg_yearly"))
     }),
 
     // TPC-H Q19 shape (r11): disjunctive multi-branch predicate over
@@ -387,7 +394,7 @@ object RelationalQueries {
             col("l_quantity").between(5, 35)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(1, 40) &&
             col("l_quantity").between(10, 45)))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(rsum(discounted(col("l_extendedprice"), col("l_discount")))
           .as("revenue"))
     }),
 
@@ -445,7 +452,7 @@ object RelationalQueries {
         .join(urgent98, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"),
-          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          msum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("c_nationkey"))
     }),
 
@@ -459,7 +466,7 @@ object RelationalQueries {
         .groupingSets(
           Seq(Seq(col("r_name")), Seq(col("r_name"), col("n_name")), Seq()),
           col("r_name"), col("n_name"))
-        .agg(round(sum(col("c_acctbal")), 2).as("total_bal"),
+        .agg(msum(col("c_acctbal")).as("total_bal"),
           count(lit(1)).as("n_cust"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
@@ -475,7 +482,8 @@ object RelationalQueries {
       Tables.events(s, d)
         .filter(col("user_id") <= 20)
         .withColumn("epoch_s", unix_timestamp(col("ts")))
-        .withColumn("trailing_1h_sum", round(sum(col("value")).over(w), 2))
+        .withColumn("trailing_1h_sum",
+          sum(m(col("value"))).over(w).cast("double"))
         .withColumn("trailing_1h_n", count(lit(1)).over(w))
         .select(col("user_id"), col("event_id"), col("epoch_s"),
           col("trailing_1h_sum"), col("trailing_1h_n"))
@@ -557,7 +565,7 @@ object RelationalQueries {
           (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(rsum(discounted(col("l_extendedprice"), col("l_discount")))
           .as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
@@ -585,11 +593,17 @@ object RelationalQueries {
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(amCust), col("o_custkey") === col("c_custkey"), "left_semi")
         .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
-        .withColumn("vol", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .withColumn("vol", discounted(col("l_extendedprice"), col("l_discount")))
         .groupBy(year(col("o_orderdate")).as("o_year"))
+        // Both decimal sums are exact; the ratio divides the two
+        // resulting doubles (identical in both engines), so the only
+        // remaining cross-engine hazard is round()'s half-way case on
+        // an identical input — measure-zero, and strictly tighter than
+        // the double-sum ratio this replaced. when() without otherwise
+        // yields NULLs, which sum() skips — keeps the branch decimal.
         .agg(round(
-          sum(when(col("supp_nation") === "NATION_5", col("vol")).otherwise(lit(0.0))) /
-            sum(col("vol")), 4).as("mkt_share"))
+          sum(when(col("supp_nation") === "NATION_5", col("vol"))).cast("double") /
+            sum(col("vol")).cast("double"), 4).as("mkt_share"))
         .orderBy(col("o_year"))
     }),
 
@@ -608,10 +622,11 @@ object RelationalQueries {
         .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
         .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
         .withColumn("profit",
-          col("l_extendedprice") * (lit(1) - col("l_discount")) -
-            col("p_retailprice") * col("l_quantity") * lit(0.1))
+          discounted(col("l_extendedprice"), col("l_discount")) -
+            m(col("p_retailprice")) * col("l_quantity").cast("decimal(10,0)") *
+              lit(0.1).cast("decimal(2,1)"))
         .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
-        .agg(round(sum(col("profit")), 2).as("sum_profit"))
+        .agg(rsum(col("profit")).as("sum_profit"))
         .orderBy(col("n_name"), col("o_year").desc)
     }),
 
@@ -628,7 +643,7 @@ object RelationalQueries {
           .select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(rsum(discounted(col("l_extendedprice"), col("l_discount")))
           .as("revenue"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -680,10 +695,10 @@ object RelationalQueries {
           col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
         .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
           col("l_partkey") === col("p_partkey"))
-        .withColumn("vol", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .withColumn("vol", discounted(col("l_extendedprice"), col("l_discount")))
         .agg(round(lit(100.0) *
-          sum(when(col("p_type") === "PROMO", col("vol")).otherwise(lit(0.0))) /
-          sum(col("vol")), 4).as("promo_share"))
+          sum(when(col("p_type") === "PROMO", col("vol"))).cast("double") /
+          sum(col("vol")).cast("double"), 4).as("promo_share"))
     }),
 
     // TPC-H Q15 shape (r11): top revenue supplier — the max of an
@@ -697,18 +712,24 @@ object RelationalQueries {
     // fetch order can differ in the last ulp between the mx build and
     // the probe, silently returning zero rows (r12 advisor finding).
     // persist() makes both consumers read ONE materialization, so the
-    // equality compares a value against itself.
+    // equality compares a value against itself. The r12 decimal sweep
+    // makes `r` an exact decimal sum on top of that: the equality is
+    // now exact ARITHMETIC, not just a shared materialization, and the
+    // tie SET is engine- and rung-stable (the cross-rung sf10 gate
+    // caught the double form returning 6-vs-5 rows on the identity-
+    // copy rung's exact revenue ties).
     "q15_top_supplier" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount"))).as("r"))
         .persist()
       val mx = rev.agg(max(col("r")).as("mx"))
       rev.crossJoin(broadcast(mx)).filter(col("r") === col("mx"))
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), round(col("r"), 2).as("total_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("r"), 2).cast("double").as("total_rev"))
         .orderBy(col("s_suppkey"))
     }),
 
@@ -807,8 +828,11 @@ object RelationalQueries {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE
+        |    AS sum_base_price,
+        |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (1.00 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE
+        |    AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
@@ -816,7 +840,9 @@ object RelationalQueries {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q6_filter_agg" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                 CAST(l_discount AS DECIMAL(3,2))), 2)::DOUBLE
+        |  AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -824,7 +850,9 @@ object RelationalQueries {
 
     "q3_topn" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (1.00 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE
+        |    AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -836,7 +864,9 @@ object RelationalQueries {
 
     "q5_multijoin" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (1.00 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE
+        |    AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -900,7 +930,8 @@ object RelationalQueries {
         |dim AS (SELECT DISTINCT k FROM ev),
         |dimw AS (SELECT k, CAST(k % 100 AS DOUBLE) AS w FROM dim)
         |SELECT e.k % 5 AS grp, count(*) AS n,
-        |  round(sum(e.v * d.w), 2) AS wsum
+        |  round(sum(CAST(e.v AS DECIMAL(18,2)) * CAST(d.w AS DECIMAL(4,0))),
+        |        2)::DOUBLE AS wsum
         |FROM ev e JOIN dimw d ON e.k = d.k
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -923,16 +954,20 @@ object RelationalQueries {
 
     "window_running" ->
       """SELECT o_custkey, day,
-        |  round(day_total, 2) AS day_total,
-        |  round(sum(day_total) OVER (PARTITION BY o_custkey ORDER BY day), 2) AS running_total,
-        |  round(coalesce(lag(day_total, 1) OVER (PARTITION BY o_custkey ORDER BY day), 0), 2) AS prev_total
+        |  day_total::DOUBLE AS day_total,
+        |  sum(day_total) OVER (PARTITION BY o_custkey ORDER BY day)::DOUBLE
+        |    AS running_total,
+        |  coalesce(lag(day_total, 1) OVER (PARTITION BY o_custkey ORDER BY day)
+        |             ::DOUBLE, 0) AS prev_total
         |FROM (SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-        |        sum(o_totalprice) AS day_total
+        |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total
         |      FROM orders GROUP BY 1, 2)
         |WHERE o_custkey <= 50 ORDER BY o_custkey, day""".stripMargin,
 
     "agg_rollup" ->
-      """SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal,
+      """SELECT r_name, n_name,
+        |  round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE
+        |    AS total_bal,
         |  count(*) AS n_cust
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -942,7 +977,8 @@ object RelationalQueries {
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total_price
+        |  round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE
+        |    AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
@@ -966,7 +1002,8 @@ object RelationalQueries {
         |FROM lineitem""".stripMargin,
 
     "unpivot_long" ->
-      """SELECT metric, count(*) AS n, round(sum(value), 2) AS total,
+      """SELECT metric, count(*) AS n,
+        |  round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS total,
         |  round(avg(value), 4) AS mean
         |FROM (
         |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
@@ -1009,14 +1046,17 @@ object RelationalQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q17_scalar" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE
+        |         / 7.0, 2) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#4'
         |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
         |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
 
     "q19_disjunct" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               (1.00 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE
+        |  AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 30
         |       AND l_quantity BETWEEN 1 AND 25)
@@ -1049,7 +1089,8 @@ object RelationalQueries {
 
     "q22_idle_rich" ->
       """SELECT c_nationkey, count(*) AS numcust,
-        |  round(sum(c_acctbal), 2) AS totacctbal
+        |  round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE
+        |    AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
         |                   WHERE c_acctbal > 0)
@@ -1060,7 +1101,9 @@ object RelationalQueries {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "agg_grouping_sets" ->
-      """SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal,
+      """SELECT r_name, n_name,
+        |  round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE
+        |    AS total_bal,
         |  count(*) AS n_cust
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -1070,8 +1113,10 @@ object RelationalQueries {
 
     "window_range_frame" ->
       """SELECT user_id, event_id, epoch_s,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_s
-        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trailing_1h_sum,
+        |  sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_s
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)::DOUBLE
+        |    AS trailing_1h_sum,
         |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_s
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_1h_n
         |FROM (SELECT user_id, event_id, value,
@@ -1107,7 +1152,9 @@ object RelationalQueries {
     "q7_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (1.00 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE
+        |    AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -1123,8 +1170,12 @@ object RelationalQueries {
     "q8_market_share" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
         |  round(sum(CASE WHEN sn.n_name = 'NATION_5'
-        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |    / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        |                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                      (1.00 - CAST(l_discount AS DECIMAL(3,2))) END
+        |           )::DOUBLE
+        |    / sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |          (1.00 - CAST(l_discount AS DECIMAL(3,2))))::DOUBLE,
+        |    4) AS mkt_share
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1143,8 +1194,11 @@ object RelationalQueries {
     "q9_profit" ->
       """SELECT n_name,
         |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)
-        |    - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+        |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |              (1.00 - CAST(l_discount AS DECIMAL(3,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2)) *
+        |        CAST(l_quantity AS DECIMAL(10,0)) * 0.1), 2)::DOUBLE
+        |    AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -1154,7 +1208,9 @@ object RelationalQueries {
 
     "q10_returns" ->
       """SELECT c_custkey, c_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (1.00 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE
+        |    AS revenue,
         |  round(c_acctbal, 2) AS c_acctbal, n_name
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1182,20 +1238,24 @@ object RelationalQueries {
 
     "q14_promo_share" ->
       """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (1.00 - CAST(l_discount AS DECIMAL(3,2))) END)::DOUBLE
+        |  / sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (1.00 - CAST(l_discount AS DECIMAL(3,2))))::DOUBLE,
+        |  4) AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
         |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (
-        |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS r
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                        (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS r
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
         |  GROUP BY 1)
-        |SELECT s_suppkey, s_name, round(r, 2) AS total_rev
+        |SELECT s_suppkey, s_name, round(r, 2)::DOUBLE AS total_rev
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE r = (SELECT max(r) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,

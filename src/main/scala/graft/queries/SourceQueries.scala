@@ -201,7 +201,7 @@ object SourceQueries {
       s.read.option("mergeSchema", "true").parquet(dir)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
+          graft.queries.Money.msum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first)
     }),
 
@@ -576,7 +576,8 @@ object SourceQueries {
       """SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
         |       ELSE o_orderstatus END AS o_orderstatus,
         |  count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price
+        |  round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE
+        |    AS sum_price
         |FROM orders
         |GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
 

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Cross-rung ORACLE insurance driver (r12 judge ask #6).
+
+Runs tools/compare.py ONE QUERY AT A TIME against a ScaleUp rung's
+Verify dump, each under a wall-clock budget, and prints a summary
+table. Per-query isolation matters at 10x the driver rung: a single
+DuckDB oracle that is infeasible at the larger corpus (the declared
+O(n^2) pair kernels) must time out and be RECORDED as such instead of
+hanging the whole insurance run or masking the other 140+ contracts.
+
+Usage: crossrung_compare.py <sfDir> <verifyOut> [timeoutSec]
+"""
+import json, os, subprocess, sys, time
+
+# Contracts DECLARED rung-scoped: valid at the driver rungs, known to
+# differ at ScaleUp's identity-copy rungs for a NAMED generator-
+# structure reason (not an engine defect). Each runs and is reported,
+# but a mismatch counts as "declared", not a failure.
+DRIVER_RUNG_SCOPED = {
+    # The prune-combination literals assume INDEPENDENT ~uniform key
+    # domains; ScaleUp's copy offset correlates partkey and suppkey
+    # (both shifted by k*1e8), so a partkey-sorted layout accidentally
+    # clusters suppkey and "linear prunes only its sort column" flips;
+    # the middle-decile span also lands between copy clusters
+    # (n_match=0). See the layout_zorder query comment.
+    "layout_zorder",
+}
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    budget = int(sys.argv[3]) if len(sys.argv) > 3 else 900
+    here = os.path.dirname(os.path.abspath(__file__))
+    is_driver_rung = sf_dir.rstrip("/").startswith("/root/testdata/")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    queries = sorted(oracles)
+    passed, failed, timed_out, declared = [], [], [], []
+    for q in queries:
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(here, "compare.py"),
+                 sf_dir, out_dir, q],
+                capture_output=True, text=True, timeout=budget)
+            dt = time.time() - t0
+            ok = r.returncode == 0
+            scoped = (not ok) and (not is_driver_rung) \
+                and q in DRIVER_RUNG_SCOPED
+            (passed if ok else declared if scoped else failed).append((q, dt))
+            tag = "pass" if ok else "decl" if scoped else "FAIL"
+            print(f"[{tag}] {q:34s} {dt:7.1f}s", flush=True)
+            if not ok:
+                tail = (r.stdout + r.stderr).strip().splitlines()[-12:]
+                for line in tail:
+                    print("       " + line, flush=True)
+        except subprocess.TimeoutExpired:
+            timed_out.append((q, budget))
+            print(f"[TIME] {q:34s} >{budget}s (oracle infeasible at "
+                  "this rung; record + justify)", flush=True)
+    print(f"\n== {len(passed)} pass, {len(failed)} fail, "
+          f"{len(declared)} declared-rung-scoped, "
+          f"{len(timed_out)} timeout of {len(queries)} ==")
+    slow = sorted(passed, key=lambda kv: -kv[1])[:10]
+    print("slowest oracles:", ", ".join(f"{q}={t:.0f}s" for q, t in slow))
+    if failed:
+        print("FAILED:", ", ".join(q for q, _ in failed))
+    if declared:
+        print("DECLARED (see DRIVER_RUNG_SCOPED):",
+              ", ".join(q for q, _ in declared))
+    if timed_out:
+        print("TIMED OUT:", ", ".join(q for q, _ in timed_out))
+    sys.exit(1 if failed else 0)
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,8 @@ object PlanAudit {
     "q2_min_cost_supp", "q7_volume", "q8_market_share", "q9_profit",
     "q10_returns", "q11_share_threshold", "q13_order_dist",
     "q14_promo_share", "q15_top_supplier", "q16_supplier_count",
-    "q20_qty_surplus", "q12_shipmode")
+    "q20_qty_surplus", "q12_shipmode",
+    "bm25_topk", "hybrid_rank_fusion", "sample_reservoir", "bm25_batch")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -266,6 +267,48 @@ object PlanAudit {
         "arithmetic from the global rank. The plan shows the range " +
         "exchange + one broadcast join + the final group-by — no " +
         "single-key sort anywhere. sf10: 12.9 s → 2.8 s."),
+    "bm25_topk" -> (
+      "Full-corpus keyword scoring whose plan moves O(1) corpus " +
+        "bytes: tf/dl are row-local HOF projections over the word " +
+        "split (no tokenize-explode — per-(doc,term) counts never " +
+        "leave the scan projection); corpus stats (n_docs, sum_dl, " +
+        "per-term df, all INTEGER aggregates) are one partial-" +
+        "aggregated 1-row frame broadcast back via crossJoin; top-k " +
+        "is TakeOrderedAndProject (per-partition heaps, no global " +
+        "sort). The only Exchange in the tree carries ONE row, so " +
+        "retrieval cost tracks the scan at any corpus size."),
+    "bm25_batch" -> (
+      "The many-queries term-TABLE shape: the corpus explodes, but " +
+        "every exploded word rides a broadcast SEMI-join against the " +
+        "query vocabulary IN THE SCAN STAGE, so the only corpus-" +
+        "derived exchange carries (doc, query-term) matches — at a " +
+        "realistic vocabulary hit rate that is a few percent of the " +
+        "token stream, and it is map-side combined to distinct " +
+        "(doc, term) pairs first. Contributions are e6-quantized " +
+        "LONGS so the per-(query, doc) score sum is an integer " +
+        "aggregation (merge-order-free at any parallelism); the " +
+        "per-query top-k plans as WindowGroupLimit, k rows per query " +
+        "per map partition. Shuffled bytes scale with matches, not " +
+        "corpus — the right asymptote for an eval-suite of hundreds " +
+        "of keyword queries at 100 TB."),
+    "hybrid_rank_fusion" -> (
+      "Two independent corpus scans (BM25 lexical leg, brute-force " +
+        "cosine leg), each ending in TakeOrderedAndProject(100); " +
+        "everything after the two limits — the rank windows and the " +
+        "full-outer RRF join — runs on <=100-row frames (the " +
+        "unpartitioned windows are deliberate and safe: they sort " +
+        "post-limit frames, never the corpus). At 100 TB the cost is " +
+        "exactly two scans; the fusion is free."),
+    "sample_reservoir" -> (
+      "Exact k-per-group sampling WITHOUT sorting the corpus: a " +
+        "broadcast per-group threshold join + row-local hash-prefix " +
+        "filter keeps ~margin*k rows per group (Binomial-concentrated), " +
+        "and only the survivor frame rides the partitionBy(group) " +
+        "window Exchange. hash < t selects a PREFIX of the group's " +
+        "(hash, key) order, so survivor ranks equal global ranks; " +
+        "coverage is CHECKED (loud require naming the margin), not " +
+        "assumed. At 100 TB the window sorts thousands of rows per " +
+        "group while the corpus is scanned exactly once."),
     "embed_rp_reduce" -> (
       "JL random projection, entirely ROW-LOCAL: the ±1 sign matrix " +
         "is hash-derived and compiled into the expression as literal " +

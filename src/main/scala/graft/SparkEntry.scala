@@ -28,6 +28,7 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++
+      RetrievalQueries.queries ++
       SourceQueries.queries ++
       LayoutQueries.queries)
       .map { case (name, fn) =>
@@ -47,6 +48,7 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
+      RetrievalQueries.oracles ++
       SourceQueries.oracles ++
       LayoutQueries.oracles
 }

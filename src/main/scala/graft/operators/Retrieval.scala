@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval and rank fusion — the data-selection primitives
+  * a training pipeline uses to MINE a corpus (find the documents
+  * that match a topic/eval query) as opposed to filtering it. The
+  * reference has no retrieval surface at all (its only query is the
+  * audit-stats aggregation, `tasks_postgres.py:245`); these extend
+  * the similarity-search family (SURVEY §2) with the lexical leg and
+  * the standard lexical+vector fusion.
+  *
+  * Scale shape, by construction:
+  *
+  *  - BM25 term frequencies and document length are ROW-LOCAL
+  *    higher-order-function expressions over the normalized word
+  *    list (no tokenize-explode-shuffle: the per-(doc, term) counts
+  *    never leave the scan projection);
+  *  - the corpus statistics BM25 needs (N, Σdl, per-term df) are one
+  *    partial-aggregated 1-row frame, broadcast back via crossJoin —
+  *    the only exchange in the plan carries ONE row;
+  *  - top-k is `orderBy(...).limit(k)` = TakeOrdered: per-partition
+  *    heaps, no global sort, no corpus shuffle;
+  *  - fusion joins two ≤k-row frames — broadcast territory at any
+  *    corpus size.
+  *
+  * So the whole retrieval plan moves O(1) corpus bytes: it scales
+  * with the scan, which is the best possible answer at 100 TB.
+  *
+  * Determinism discipline (the r12 money lesson applied up front):
+  * every corpus-cardinality aggregate is INTEGER (counts, Σdl);
+  * per-document scores are scalar IEEE expressions of those integers
+  * with a fixed operation order, summed over the FIXED query-term
+  * list left-to-right (never a merge-order-dependent float
+  * aggregation), then e6-quantized with the repo's floor convention.
+  * The one transcendental (ln in the idf) is evaluated on identical
+  * rational inputs by both engines; at the e6 grain a last-ulp libm
+  * difference cannot flip the quantization (verified at three rungs).
+  */
+object Retrieval {
+
+  /** k1/b are the standard Robertson defaults. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Adds `dl` (whitespace token count of the normalized text) and
+    * one `tf_<term>` column per query term — all row-local. Rows
+    * with null/blank text are dropped (no content to rank).
+    */
+  def withTermFrequencies(df: DataFrame, textCol: String,
+                          terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16,
+      s"query has ${terms.size} terms — BM25 scoring inlines one " +
+        "codegen'd filter per term; beyond ~16 use a broadcast " +
+        "term-table join instead")
+    val w = graft.functions.TextFunctions.words(col(textCol))
+    val base = df
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .withColumn("dl", size(w).cast("long"))
+    terms.foldLeft(base) { (acc, t) =>
+      acc.withColumn(s"tf_$t",
+        size(filter(w, x => x === lit(t))).cast("long"))
+    }
+  }
+
+  /** BM25 score over `terms`, e6-quantized as `score_e6`, plus
+    * `n_terms` (how many query terms the document contains). Input
+    * must already carry `dl` and `tf_<term>` ([[withTermFrequencies]]).
+    * `statsRow` is the 1-row corpus-stats frame (n_docs, sum_dl,
+    * df_<term>) — broadcast-crossJoined, the plan's only exchange.
+    */
+  def bm25(scored: DataFrame, terms: Seq[String], statsRow: DataFrame): DataFrame = {
+    val joined = scored.crossJoin(broadcast(statsRow))
+    val n = col("n_docs").cast("double")
+    val dlNorm = lit(K1) * (lit(1.0 - B) +
+      lit(B) * (col("dl").cast("double") * n / col("sum_dl").cast("double")))
+    // fixed left-to-right sum over the term list: no float
+    // aggregation, so no merge-order dependence
+    val perTerm = terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val dfT = col(s"df_$t").cast("double")
+      val idf = log(lit(1.0) + (n - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      when(col(s"tf_$t") > 0,
+        idf * (tf * lit(K1 + 1.0)) / (tf + dlNorm)).otherwise(lit(0.0))
+    }
+    val score = perTerm.reduceLeft(_ + _)
+    val nTerms = terms.map(t => when(col(s"tf_$t") > 0, 1).otherwise(0))
+      .reduceLeft(_ + _)
+    joined
+      .withColumn("n_terms", nTerms.cast("long"))
+      .withColumn("score_e6",
+        floor(score * 1000000.0 + 0.5).cast("long"))
+  }
+
+  /** One-row integer corpus stats for `terms`: n_docs, sum_dl and a
+    * df_<term> column each. All integer aggregates — associative and
+    * merge-order-free at any rung.
+    */
+  def corpusStats(scored: DataFrame, terms: Seq[String]): DataFrame = {
+    val aggs =
+      sum(col("dl")).cast("long").as("sum_dl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("long")
+            .as(s"df_$t"))
+    scored.agg(count(lit(1)).cast("long").as("n_docs"), aggs: _*)
+  }
+
+  /** End-to-end BM25 top-k: (id, n_terms, score_e6), score desc then
+    * id asc. Documents matching NO query term are excluded (their
+    * score is 0 by construction and they would flood the tail with
+    * ties).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    val scored = withTermFrequencies(df, textCol, terms)
+    val stats = corpusStats(scored, terms)
+    bm25(scored, terms, stats)
+      .filter(col("n_terms") > 0)
+      .select(col(idCol), col("n_terms"), col("score_e6"))
+      .orderBy(col("score_e6").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Batch BM25: MANY queries against the corpus in one pass — the
+    * term-TABLE shape [[withTermFrequencies]]'s 16-term precondition
+    * points at (per-term inline columns stop scaling when the term
+    * set is a table, not a literal list). `queries` is a
+    * (query_id: long, term: string) frame — an eval-suite of keyword
+    * queries, a topic taxonomy, a contamination probe list.
+    *
+    * Scale shape — shuffled bytes ∝ query-term MATCHES, not corpus:
+    *
+    *  1. the corpus tokenizes row-local and explodes, but the
+    *     exploded stream is broadcast-SEMI-joined to the distinct
+    *     query vocabulary BEFORE any exchange — non-query words die
+    *     in the scan stage;
+    *  2. per-(doc, term) tf is one partial-aggregated groupBy of the
+    *     survivors (persisted: it feeds both the df frame and the
+    *     scoring join);
+    *  3. per-term df and the 1-row integer corpus stats broadcast
+    *     back; per-(doc, term) contributions are e6-quantized LONGS
+    *     so the per-(query, doc) score sum is an INTEGER aggregation
+    *     — associative, merge-order-free, exactly replayable (the
+    *     r12 exact-decimal discipline applied to retrieval);
+    *  4. per-query top-k via row_number <= k, which Spark plans as a
+    *     WindowGroupLimit: each map partition forwards at most k rows
+    *     per query to the window shuffle.
+    *
+    * Output: (query_id, <idCol>, n_terms, score_e6, rk), rk 1-based.
+    */
+  def bm25BatchTopK(df: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, k: Int,
+                    maxQueryTerms: Long = 100000L): DataFrame = {
+    val qTerms = queries
+      .select(col("query_id").cast("long").as("query_id"),
+        col("term").cast("string").as("term"))
+      .distinct()
+    val nq = qTerms.count()
+    require(nq > 0 && nq <= maxQueryTerms,
+      s"bm25BatchTopK: $nq distinct (query, term) pairs — the query " +
+        s"frame is broadcast by contract (probe list, not a corpus); " +
+        s"cap $maxQueryTerms")
+    val vocab = qTerms.select(col("term")).distinct()
+    val w = graft.functions.TextFunctions.words(col(textCol))
+    val base = df
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), w.as("__w"))
+    val stats = base.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(col("__w"))).cast("long").as("sum_dl"))
+    val matches = base
+      .select(col(idCol), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("word"))
+      .join(broadcast(vocab), col("word") === col("term"), "left_semi")
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+      .persist() // feeds df frame AND scoring join: one corpus explode
+    val dfFrame = matches.groupBy(col("word"))
+      .agg(count(lit(1)).cast("long").as("df_t"))
+    val n = col("n_docs").cast("double")
+    val tf = col("tf").cast("double")
+    val dfT = col("df_t").cast("double")
+    val contrib = floor(
+      log(lit(1.0) + (n - dfT + lit(0.5)) / (dfT + lit(0.5))) *
+        (tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) +
+          lit(B) * (col("dl").cast("double") * n / col("sum_dl").cast("double")))) *
+        1000000.0 + 0.5).cast("long")
+    val perQuery = matches
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfFrame), "word")
+      .withColumn("c_e6", contrib)
+      .join(broadcast(qTerms), qTerms("term") === col("word"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("c_e6")).cast("long").as("score_e6"),
+        count(lit(1)).cast("long").as("n_terms"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_e6").desc, col(idCol))
+    perQuery
+      .withColumn("rk", row_number().over(wnd).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol), col("n_terms"),
+        col("score_e6"), col("rk"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (`rank` column each,
+    * 1-based, ≤ k rows each — contract-small). Output: item id, both
+    * ranks (null when absent from a leg), and `rrf_e6` =
+    * e6-quantized Σ 1/(rrfK + rank) in fixed a-then-b order.
+    * The join is two ≤k-row frames — broadcast by construction.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rrfK: Int = 60): DataFrame = {
+    val aa = a.select(col(idCol), col("rank").as("rank_a"))
+    val bb = b.select(col(idCol), col("rank").as("rank_b"))
+    val contrib = (r: Column) =>
+      coalesce(lit(1.0) / (lit(rrfK).cast("double") + r.cast("double")),
+        lit(0.0))
+    aa.join(bb, Seq(idCol), "full_outer")
+      .withColumn("rrf_e6",
+        floor((contrib(col("rank_a")) + contrib(col("rank_b"))) *
+          1000000.0 + 0.5).cast("long"))
+  }
+}

@@ -163,6 +163,90 @@ object Sampling {
       .drop("__floor", "__thr", "__n")
   }
 
+  /** Deterministic EXACTLY-k-per-group sample — the fixed-budget
+    * variant of [[stratified]] (which keeps a RATE; a human-review
+    * queue or an eval slice wants "exactly 20 per source" however
+    * big the source is). Semantically: rank each group's rows by
+    * md5(salt || key) (key breaks hash ties) and keep ranks ≤ k —
+    * a seeded reservoir that is reproducible on any partitioning,
+    * any engine, any rerun.
+    *
+    * Scale shape — exact top-k-per-group WITHOUT sorting the corpus:
+    *
+    *  1. per-group counts: one partial-aggregated groupBy, collected
+    *     (bounded by `maxGroups`, loud overflow — same low-
+    *     cardinality precondition discipline as Rank.keyedRank);
+    *  2. PREFILTER at a margined hash threshold (min(1, margin·k/n_g)
+    *     per group, broadcast threshold frame): hash < t selects
+    *     exactly a PREFIX of the group's (hash, key) order, so ranks
+    *     computed over survivors equal global ranks whenever every
+    *     group keeps ≥ min(k, n_g) survivors. The corpus is scanned,
+    *     never shuffled; only ~margin·k rows per group continue;
+    *  3. exact rank via a window over the survivor frame — bounded
+    *     by construction (Binomial(n_g, margin·k/n_g) concentrates
+    *     hard around margin·k), so the per-group window sorts
+    *     thousands of rows, not the corpus;
+    *  4. the prefix-coverage guard is CHECKED, not assumed: if any
+    *     group's survivor count fell below min(k, n_g) (probability
+    *     ~e^-k at margin 4, but a guard beats a prayer), fail loudly
+    *     naming the margin to raise.
+    *
+    * Output: input columns + `rk` (1-based within-group rank).
+    */
+  def reservoirByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                       k: Int, salt: String = "graft-rsv",
+                       margin: Double = 4.0,
+                       maxGroups: Int = 4096): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    require(margin >= 2.0, s"margin $margin < 2: the prefix-coverage " +
+      "guard would trip routinely; use >= 2 (4 is comfortable)")
+    require(df.schema(groupCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"reservoirByGroup: group column $groupCol must be a string " +
+        "(the driver-built threshold frame joins on it)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n_g"))
+      .limit(maxGroups + 1).collect()
+    require(counts.length <= maxGroups,
+      s"reservoirByGroup: more than $maxGroups groups — the per-group " +
+        "threshold frame is driver-built under a low-cardinality " +
+        "precondition; for high-cardinality groups use " +
+        "Window.partitionBy(group) row_number directly")
+    val thrRows = counts.toSeq.map { r =>
+      val n = r.getLong(1)
+      (r.getString(0), n, thresholdHex(math.min(1.0, margin * k / n.toDouble)))
+    }
+    val thrDf = thrRows.toDF(groupCol, "__n_g", "__thr")
+    val hp = hashPrefix(col(keyCol), salt)
+    val survivors = df
+      .join(broadcast(thrDf.drop("__n_g")), Seq(groupCol))
+      .filter(hp < col("__thr"))
+      .withColumn("__hp", hp)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__hp"), col(keyCol))
+    val ranked = survivors
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .persist()
+    // prefix-coverage guard, CHECKED against the full group list (a
+    // group with zero survivors is absent from the ranked frame and
+    // must still fail): every group keeps >= min(k, n_g) survivors,
+    // else the margined prefilter cut into the would-be sample and
+    // the ranks below are not global ranks
+    val gotMap = ranked.groupBy(col(groupCol))
+      .agg(max(col("rk")).as("__kept")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val short = thrRows.filter { case (g, n, _) =>
+      gotMap.getOrElse(g, 0L) < math.min(k.toLong, n)
+    }
+    require(short.isEmpty,
+      s"reservoirByGroup: margin $margin left ${short.length} group(s) " +
+        s"with fewer than min(k, n) survivors " +
+        s"(${short.take(3).map(_._1).mkString(", ")}) — raise margin")
+    ranked.filter(col("rk") <= k).drop("__hp", "__thr")
+  }
+
   /** TEMPERATURE mixing (the multilingual-training recipe): given
     * per-source token shares p_s, the target mix is q_s ∝ p_s^α —
     * α = 1 keeps natural proportions, α → 0 flattens toward uniform,

@@ -45,6 +45,22 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Deterministic EXACTLY-k-per-group reservoir (r12): the fixed-
+    // budget face of sampling (eval slices, human-review queues) —
+    // rank by md5(salt || doc_id) within each source, keep rank <= 20.
+    // Scale shape: margined hash-prefix PREFILTER (broadcast per-group
+    // thresholds) so the window sorts ~margin*k rows per group, never
+    // the corpus; prefix coverage is CHECKED, not assumed. The oracle
+    // replays the SEMANTICS as a full row_number window — equality
+    // holds because hash < t selects a prefix of the (hash, id) order.
+    "sample_reservoir" -> ((s, d) => {
+      graft.operators.Sampling.reservoirByGroup(
+          Tables.documents(s, d), groupCol = "source", keyCol = "doc_id",
+          k = 20)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Deterministic content-keyed train/holdout split: 10% holdout,
     // keyed on the normalized text (not doc_id) so exact duplicates
     // can never straddle the split and leak eval data. Row-local
@@ -1112,6 +1128,19 @@ object TextQueries {
         |              WHEN 'src2' THEN '80000000'
         |              ELSE 'c0000000' END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Full row_number window replay: binds reservoirByGroup's SEMANTIC
+    // contract (global within-group hash rank), which the prefiltered
+    // Spark plan must equal whenever the checked coverage guard holds.
+    "sample_reservoir" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5('graft-rsv' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |               doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
 
     "contamination_matrix" ->
       """WITH base AS (

@@ -58,6 +58,44 @@ class PropertySpec extends SparkSpec {
     assert(s2kept == kept1.filter(i => i % 3 == 2), "equal-rate decisions must agree")
   }
 
+  test("reservoirByGroup: equals the full-window rank, layout-invariant, guards loud (r12)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{concat, lit, md5, row_number, substring}
+    val df = (1L to 3000L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
+    val out = Sampling.reservoirByGroup(df, "grp", "id", k = 10)
+      .select("grp", "id", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the prefiltered plan must equal the semantic contract: a full
+    // within-group row_number over the same (hash, key) order
+    val full = df
+      .withColumn("rk", row_number().over(Window.partitionBy($"grp")
+        .orderBy(substring(md5(concat(lit("graft-rsv"), $"id".cast("string"))), 1, 8),
+          $"id")).cast("long"))
+      .filter($"rk" <= 10)
+      .select("grp", "id", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == full, "prefiltered reservoir must equal the global window rank")
+    assert(out.groupBy(_._1).forall(_._2.size == 10), "exactly k per group")
+    // layout invariance
+    val again = Sampling.reservoirByGroup(df.repartition(17), "grp", "id", k = 10)
+      .select("grp", "id", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out)
+    // small groups keep ALL their rows ranked (min(k, n_g))
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    val tout = Sampling.reservoirByGroup(tiny, "grp", "id", k = 10)
+    assert(tout.count() == 3)
+    // cardinality precondition is loud
+    val e = intercept[IllegalArgumentException] {
+      Sampling.reservoirByGroup(
+        df.withColumn("grp", concat(lit("g"), $"id")), "grp", "id",
+        k = 1, maxGroups = 100)
+    }
+    assert(e.getMessage.contains("100"))
+  }
+
   test("repeatFactor upsampling: copy counts, determinism, zero-factor drop (r11)") {
     import spark.implicits._
     import graft.operators.Sampling

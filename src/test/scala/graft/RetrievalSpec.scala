@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** BM25 keyword retrieval + reciprocal-rank fusion. The gate query
+  * binds the exact scores vs DuckDB; these specs pin the RANKING
+  * semantics a score-hash can't explain when it breaks: idf ordering,
+  * tf monotonicity, length normalization, fusion arithmetic.
+  */
+class RetrievalSpec extends SparkSpec with Matchers {
+  import org.apache.spark.sql.DataFrame
+
+  private def corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "cat cat cat dog"),          // tf(cat)=3, dl=4
+      (2L, "cat dog bird fish mouse"),  // tf(cat)=1, dl=5
+      (3L, "cat dog"),                  // tf(cat)=1, dl=2 (shorter than 2)
+      (4L, "dog dog dog dog"),          // no query terms beyond 'dog'
+      (5L, "zebra yak"),                // matches nothing
+      (6L, null.asInstanceOf[String]),  // dropped
+      (7L, "   ")                       // dropped
+    ).toDF("doc_id", "text")
+  }
+
+  test("bm25: tf monotonicity, length normalization, no-match exclusion") {
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("cat", "zebra"), k = 10).collect()
+    val ids = top.map(_.getLong(0))
+    // doc 5 (zebra, rare term: df=1 vs df(cat)=3 of 5 scored docs) must
+    // outrank every cat-only doc — idf dominates
+    assert(ids.head == 5L, s"rare-term doc should rank first, got ${ids.toSeq}")
+    val byId = top.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // tf monotonicity at comparable dl: doc1 (tf=3) > doc2 (tf=1)
+    assert(byId(1L) > byId(2L))
+    // length normalization: doc3 (tf=1, dl=2) > doc2 (tf=1, dl=5)
+    assert(byId(3L) > byId(2L))
+    // docs with zero query-term matches are excluded entirely
+    assert(!byId.contains(4L) && !byId.contains(6L) && !byId.contains(7L))
+    // n_terms counts matched terms: doc5 matched only 'zebra'
+    assert(top.find(_.getLong(0) == 5L).get.getLong(1) == 1L)
+  }
+
+  test("bm25: deterministic under repartitioning (integer stats, fixed-order sum)") {
+    val a = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("cat"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val b = Retrieval.bm25TopK(corpus.repartition(7), "doc_id", "text", Seq("cat"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(a == b)
+  }
+
+  test("bm25: term-count precondition is loud") {
+    val many = (1 to 17).map(i => s"t$i")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.withTermFrequencies(corpus, "text", many)
+    }
+    assert(e.getMessage.contains("17"))
+  }
+
+  test("bm25BatchTopK: single-term query equals the inline-column path exactly") {
+    val s = spark
+    import s.implicits._
+    // for ONE term the batch form's per-term e6 quantization and the
+    // inline form's whole-score e6 quantization coincide, so the two
+    // paths must agree to the last integer
+    val q = Seq((7L, "cat")).toDF("query_id", "term")
+    val batch = Retrieval.bm25BatchTopK(corpus, "doc_id", "text", q, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    val single = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("cat"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(batch == single)
+  }
+
+  test("bm25BatchTopK: per-query isolation, absent terms contribute nothing") {
+    val s = spark
+    import s.implicits._
+    val q = Seq((1L, "cat"), (2L, "cat"), (2L, "qqqabsent")).toDF("query_id", "term")
+    val out = Retrieval.bm25BatchTopK(corpus, "doc_id", "text", q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // an absent term changes NOTHING: queries 1 and 2 rank identically
+    val q1 = out.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSeq.sorted
+    val q2 = out.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toSeq.sorted
+    assert(q1 == q2 && q1.nonEmpty)
+    // rk is 1-based and dense per query
+    val rks = Retrieval.bm25BatchTopK(corpus, "doc_id", "text", q, k = 10)
+      .filter(col("query_id") === 1L).collect().map(_.getLong(4)).sorted
+    assert(rks.toSeq == (1L to rks.length).toSeq)
+  }
+
+  test("rrfFuse: exact contributions, full-outer semantics") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((10L, 1L), (20L, 2L)).toDF("item_id", "rank")
+    val b = Seq((20L, 1L), (30L, 2L)).toDF("item_id", "rank")
+    val out = Retrieval.rrfFuse(a, b, "item_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    def e6(x: Double) = math.floor(x * 1000000.0 + 0.5).toLong
+    // both legs: 1/(60+2) + 1/(60+1)
+    assert(out(20L) == e6(1.0 / 62 + 1.0 / 61))
+    // single leg: missing side contributes exactly 0
+    assert(out(10L) == e6(1.0 / 61))
+    assert(out(30L) == e6(1.0 / 62))
+  }
+}

@@ -36,7 +36,8 @@ object PlanAudit {
     "q10_returns", "q11_share_threshold", "q13_order_dist",
     "q14_promo_share", "q15_top_supplier", "q16_supplier_count",
     "q20_qty_surplus", "q12_shipmode",
-    "bm25_topk", "hybrid_rank_fusion", "sample_reservoir", "bm25_batch")
+    "bm25_topk", "hybrid_rank_fusion", "sample_reservoir", "bm25_batch",
+    "tfidf_source_terms")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -291,6 +292,17 @@ object PlanAudit {
         "per map partition. Shuffled bytes scale with matches, not " +
         "corpus — the right asymptote for an eval-suite of hundreds " +
         "of keyword queries at 100 TB."),
+    "tfidf_source_terms" -> (
+      "Corpus reporting with ONE corpus-sized exchange: the explode " +
+        "is immediately reduced to DISTINCT (group, doc, word) " +
+        "presence pairs by a partial-aggregated groupBy (map-side " +
+        "combine collapses each doc's repeated words in the scan " +
+        "stage), and every later stage — global df, group sizes, the " +
+        "coverage x idf scoring joins — runs on frames bounded by " +
+        "groups x vocabulary, all broadcast. Integer counts, fixed-" +
+        "association e6 scalar, WindowGroupLimit top-k per group: the " +
+        "full report replays exactly in SQL and the corpus never " +
+        "shuffles twice."),
     "hybrid_rank_fusion" -> (
       "Two independent corpus scans (BM25 lexical leg, brute-force " +
         "cosine leg), each ending in TakeOrderedAndProject(100); " +

@@ -205,6 +205,64 @@ object Retrieval {
         col("score_e6"), col("rk"))
   }
 
+  /** Per-group DISTINCTIVE terms — the corpus-reporting face of the
+    * family ("what is each source about"): for every (group, word),
+    * score = coverage × idf where coverage = n_docs_gw / n_docs_g
+    * (share of the group's docs containing the word) and
+    * idf = ln(N / df_w) (global rarity); keep each group's top-k by
+    * the e6-quantized score. High score = common IN the group, rare
+    * OUTSIDE it — the standard TF-IDF reading at group granularity.
+    *
+    * Scale shape: one explode, immediately reduced to DISTINCT
+    * (doc, group, word) by a partial-aggregated groupBy (the only
+    * corpus-sized exchange, map-side combined to presence pairs);
+    * everything after runs on (group, word) / (word) frames bounded
+    * by group-count × vocabulary. All counts integer; the score is a
+    * fixed-association scalar of those integers e6-floored, so the
+    * full top-k table replays exactly in SQL. Per-group top-k is
+    * row_number <= k = WindowGroupLimit.
+    */
+  def distinctiveTerms(df: DataFrame, groupCol: String, idCol: String,
+                       textCol: String, k: Int,
+                       minDf: Long = 2L): DataFrame = {
+    val w = graft.functions.TextFunctions.words(col(textCol))
+    val base = df
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(groupCol), col(idCol), w.as("__w"))
+    // presence pairs: one row per (doc, word) regardless of tf
+    val presence = base
+      .select(col(groupCol), col(idCol), explode(col("__w")).as("word"))
+      .distinct()
+      .persist() // feeds the global-df frame AND the per-group counts
+    // count(*), not countDistinct: presence is distinct and a doc
+    // carries exactly one group, so (id, word) is unique here
+    val globalDf = presence.groupBy(col("word"))
+      .agg(count(lit(1)).cast("long").as("df_w"))
+      .filter(col("df_w") >= minDf)
+    val groupSizes = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs_g"))
+    val nDocs = base.agg(count(lit(1)).cast("long").as("n_docs"))
+    val score = floor(
+      (col("n_docs_gw").cast("double") / col("n_docs_g").cast("double")) *
+        log(col("n_docs").cast("double") / col("df_w").cast("double")) *
+        1000000.0 + 0.5).cast("long")
+    val grouped = presence
+      .groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).cast("long").as("n_docs_gw"))
+      .join(broadcast(globalDf), "word")
+      .join(broadcast(groupSizes), groupCol)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_e6", score)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("score_e6").desc, col("word"))
+    grouped
+      .withColumn("rk", row_number().over(wnd).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("word"), col("n_docs_gw"),
+        col("df_w"), col("score_e6"), col("rk"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (`rank` column each,
     * 1-based, ≤ k rows each — contract-small). Output: item id, both
     * ranks (null when absent from a leg), and `rrf_e6` =

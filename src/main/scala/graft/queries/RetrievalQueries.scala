@@ -73,6 +73,17 @@ object RetrievalQueries {
         Terms, k = 20)
     }),
 
+    // Per-source distinctive terms (coverage x global idf, top-5 per
+    // source) — the "what is each source about" corpus report. One
+    // explode reduced map-side to DISTINCT presence pairs (the only
+    // corpus-sized exchange); scoring joins run on vocab-bounded
+    // frames; integer counts + fixed-association scalar -> exact e6.
+    "tfidf_source_terms" -> ((s, d) => {
+      Retrieval.distinctiveTerms(Tables.documents(s, d), "source",
+        "doc_id", "text", k = 5)
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Lexical + vector hybrid: RRF over the BM25 top-100 and the
     // cosine top-100 (query vec_id=0), the standard two-leg retrieval
     // fusion. doc_id and vec_id share the id space by construction
@@ -212,6 +223,37 @@ object RetrievalQueries {
       s"""${bm25Sql(20)}
          |SELECT doc_id, n_terms, score_e6 FROM top
          |ORDER BY score_e6 DESC, doc_id""".stripMargin,
+
+    "tfidf_source_terms" ->
+      s"""WITH base AS (
+         |  SELECT source, doc_id, string_split($normSql, ' ') AS w
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |p AS (
+         |  SELECT DISTINCT source, doc_id, word
+         |  FROM (SELECT source, doc_id, unnest(w) AS word FROM base)),
+         |g AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS df_w
+         |  FROM p GROUP BY word HAVING count(*) >= 2),
+         |gs AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_g
+         |  FROM base GROUP BY source),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+         |gw AS (
+         |  SELECT source, word, CAST(count(*) AS BIGINT) AS n_docs_gw
+         |  FROM p GROUP BY source, word),
+         |sc AS (
+         |  SELECT gw.source, gw.word, n_docs_gw, df_w,
+         |    CAST(floor(
+         |      (CAST(n_docs_gw AS DOUBLE) / CAST(n_docs_g AS DOUBLE))
+         |      * ln(CAST(n_docs AS DOUBLE) / CAST(df_w AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+         |  FROM gw JOIN g USING (word) JOIN gs USING (source) CROSS JOIN n),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY score_e6 DESC, word) AS rk FROM sc)
+         |SELECT source, word, n_docs_gw, df_w, score_e6, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     "hybrid_rank_fusion" ->
       s"""${bm25Sql(100)},

@@ -90,6 +90,31 @@ class RetrievalSpec extends SparkSpec with Matchers {
     assert(rks.toSeq == (1L to rks.length).toSeq)
   }
 
+  test("distinctiveTerms: group-exclusive words outrank shared ones; minDf drops hapax") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a", "alpha common filler"),
+      (2L, "a", "alpha common other"),
+      (3L, "a", "common other filler"),
+      (4L, "b", "beta common filler"),
+      (5L, "b", "beta common other"),
+      (6L, "b", "common hapaxword filler")
+    ).toDF("doc_id", "grp", "text")
+    val out = Retrieval.distinctiveTerms(df, "grp", "doc_id", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    // 'alpha' is exclusive to a (coverage 2/3, idf ln(6/2)); 'common'
+    // covers everything but idf ln(6/6)=0 -> score 0. Exclusive wins.
+    assert(out.contains(("a", "alpha", 1L)))
+    assert(out.contains(("b", "beta", 1L)))
+    // hapaxword has df 1 < minDf 2 and must be absent entirely
+    assert(!out.exists(_._2 == "hapaxword"))
+    // layout invariance
+    val again = Retrieval.distinctiveTerms(df.repartition(7), "grp", "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("rrfFuse: exact contributions, full-outer semantics") {
     val s = spark
     import s.implicits._

@@ -49,11 +49,12 @@ object Retrieval {
     * with null/blank text are dropped (no content to rank).
     */
   def withTermFrequencies(df: DataFrame, textCol: String,
-                          terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty && terms.size <= 16,
-      s"query has ${terms.size} terms — BM25 scoring inlines one " +
-        "codegen'd filter per term; beyond ~16 use a broadcast " +
-        "term-table join instead")
+                          terms: Seq[String],
+                          maxTerms: Int = 16): DataFrame = {
+    require(terms.nonEmpty && terms.size <= maxTerms,
+      s"query has ${terms.size} terms (cap $maxTerms) — BM25 scoring " +
+        "inlines one codegen'd filter per term; beyond the cap use " +
+        "the broadcast term-table join (bm25BatchTopK) instead")
     val w = graft.functions.TextFunctions.words(col(textCol))
     val base = df
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
@@ -72,11 +73,24 @@ object Retrieval {
     */
   def bm25(scored: DataFrame, terms: Seq[String], statsRow: DataFrame): DataFrame = {
     val joined = scored.crossJoin(broadcast(statsRow))
+    val (score, nTerms) = scoreExprs(terms)
+    joined
+      .withColumn("n_terms", nTerms.cast("long"))
+      .withColumn("score_e6",
+        floor(score * 1000000.0 + 0.5).cast("long"))
+  }
+
+  /** (raw score, matched-term count) expressions over a frame that
+    * carries `dl`, `tf_<term>` and the broadcast stats columns
+    * (n_docs, sum_dl, df_<term>). The score is a fixed left-to-right
+    * sum over the term list — no float aggregation, so no merge-order
+    * dependence. Factored out so the streaming topic router can score
+    * SUBSETS of a shared term/stat frame per topic.
+    */
+  private[graft] def scoreExprs(terms: Seq[String]): (Column, Column) = {
     val n = col("n_docs").cast("double")
     val dlNorm = lit(K1) * (lit(1.0 - B) +
       lit(B) * (col("dl").cast("double") * n / col("sum_dl").cast("double")))
-    // fixed left-to-right sum over the term list: no float
-    // aggregation, so no merge-order dependence
     val perTerm = terms.map { t =>
       val tf = col(s"tf_$t").cast("double")
       val dfT = col(s"df_$t").cast("double")
@@ -87,10 +101,7 @@ object Retrieval {
     val score = perTerm.reduceLeft(_ + _)
     val nTerms = terms.map(t => when(col(s"tf_$t") > 0, 1).otherwise(0))
       .reduceLeft(_ + _)
-    joined
-      .withColumn("n_terms", nTerms.cast("long"))
-      .withColumn("score_e6",
-        floor(score * 1000000.0 + 0.5).cast("long"))
+    (score, nTerms)
   }
 
   /** One-row integer corpus stats for `terms`: n_docs, sum_dl and a

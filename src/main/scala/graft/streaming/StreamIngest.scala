@@ -808,4 +808,83 @@ object StreamIngest {
         ()
       }
   }
+
+  /** BM25 TOPIC router — streaming corpus mining: each micro-batch's
+    * documents are scored against a fixed topic taxonomy (name ->
+    * term list) and written partitioned by their best-scoring topic
+    * (`unmatched` below `minScoreE6`). The same frozen-parameter
+    * discipline as the IVF appends: corpus statistics (N, Σdl,
+    * per-term df) are computed ONCE from `refCorpus` at sink
+    * construction and frozen into the query, so a document scores
+    * identically whichever batch it arrives in — a router whose stats
+    * drifted with the stream would route replays differently and
+    * break the overwrite-idempotence contract.
+    *
+    * Per batch the work is row-local scoring (inline tf columns over
+    * the shared term set, one frozen 1-row broadcast) + a partitioned
+    * write — no aggregation over the stream, no state store. Ties
+    * route to the earliest topic in taxonomy order (deterministic).
+    */
+  def topicRouteSink(stream: DataFrame, idCol: String, textCol: String,
+                     refCorpus: DataFrame, refTextCol: String,
+                     topics: Seq[(String, Seq[String])],
+                     minScoreE6: Long, outDir: String, checkpoint: String,
+                     trigger: Trigger = Trigger.AvailableNow())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Retrieval
+    require(topics.nonEmpty && topics.size <= 32,
+      s"${topics.size} topics — the per-topic score columns are " +
+        "inlined; beyond ~32 route via bm25BatchTopK in foreachBatch")
+    require(topics.map(_._1).distinct.size == topics.size,
+      "duplicate topic names")
+    require(!topics.exists(_._1 == "unmatched"),
+      "'unmatched' is the reserved below-threshold route")
+    topics.foreach { case (name, ts) =>
+      require(ts.nonEmpty && ts.size <= 16, s"topic $name: ${ts.size} terms (cap 16)")
+    }
+    val allTerms = topics.flatMap(_._2).distinct
+    require(allTerms.size <= 64,
+      s"${allTerms.size} distinct terms across topics (cap 64)")
+    // freeze the reference statistics NOW — one integer row
+    val statsSchema = Retrieval.corpusStats(
+      Retrieval.withTermFrequencies(refCorpus, refTextCol, allTerms, 64),
+      allTerms)
+    val frozenStats = statsSchema.collect()
+    require(frozenStats.length == 1, "corpus stats must be one row")
+    val schema = statsSchema.schema
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val statsDf = spark.createDataFrame(
+          java.util.Arrays.asList(frozenStats(0)), schema)
+        val scored = Retrieval
+          .withTermFrequencies(batch, textCol, allTerms, 64)
+          .crossJoin(broadcast(statsDf))
+        val withScores = topics.foldLeft(scored) { case (acc, (name, ts)) =>
+          val (sc, _) = Retrieval.scoreExprs(ts)
+          acc.withColumn(s"__sc_$name",
+            floor(sc * 1000000.0 + 0.5).cast("long"))
+        }
+        // strict > keeps the EARLIEST topic on ties
+        val (bestScore, bestTopic) = topics.tail.foldLeft(
+          (col(s"__sc_${topics.head._1}"), lit(topics.head._1))) {
+          case ((bs, bt), (name, _)) =>
+            val sc = col(s"__sc_$name")
+            (when(sc > bs, sc).otherwise(bs),
+              when(sc > bs, lit(name)).otherwise(bt))
+        }
+        withScores
+          .withColumn("topic",
+            when(bestScore >= lit(minScoreE6), bestTopic)
+              .otherwise(lit("unmatched")))
+          .withColumn("score_e6",
+            when(bestScore >= lit(minScoreE6), bestScore).otherwise(lit(0L)))
+          .select(col(idCol), col(textCol), col("topic"), col("score_e6"))
+          .write.mode("overwrite")
+          .partitionBy("topic")
+          .parquet(s"$outDir/batch=$batchId")
+      }
+  }
 }

@@ -426,4 +426,47 @@ class StreamingSpec extends SparkSpec {
       .collect().head
     assert(hit.getDouble(1) == 1.0, s"appended clump must self-match: $hit")
   }
+
+  test("topic router: best-topic routing, unmatched floor, frozen stats across batches (r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("topic_out").toString
+    val cp = Files.createTempDirectory("topic_cp").toString
+    // reference corpus: every taxonomy term occurs, with different df
+    val ref = Seq(
+      "spark shuffle join runs fast", "spark join plans well",
+      "shuffle bytes dominate cost", "image pixel grids decode",
+      "audio frames resample", "image audio pipelines",
+      "plain filler text here", "more filler words again"
+    ).toDF("text")
+    val topics = Seq(
+      "dataeng" -> Seq("spark", "shuffle", "join"),
+      "media" -> Seq("image", "audio", "pixel"))
+    def sink(s: org.apache.spark.sql.DataFrame) =
+      StreamIngest.topicRouteSink(s, "doc_id", "text", ref, "text",
+        topics, minScoreE6 = 100000L, out, cp)
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "spark shuffle join ahead"), (2L, "image audio pixel show"),
+      (3L, "completely unrelated babble"))
+    StreamIngest.runOnce(sink(in.toDF().toDF("doc_id", "text")))
+    // second batch re-sends doc 1's text under a new id: FROZEN stats
+    // must give it the identical score in a later batch
+    in.addData((4L, "spark shuffle join ahead"))
+    StreamIngest.runOnce(sink(in.toDF().toDF("doc_id", "text")))
+    val b0 = spark.read.parquet(s"$out/batch=0")
+      .collect().map(r => (r.getLong(0), r.getAs[String]("topic"), r.getAs[Long]("score_e6"))).toSeq
+    val b1 = spark.read.parquet(s"$out/batch=1")
+      .collect().map(r => (r.getLong(0), r.getAs[String]("topic"), r.getAs[Long]("score_e6"))).toSeq
+    val byId = (b0 ++ b1).map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(1L)._1 == "dataeng", s"doc 1 routed to ${byId(1L)}")
+    assert(byId(2L)._1 == "media", s"doc 2 routed to ${byId(2L)}")
+    assert(byId(3L)._1 == "unmatched" && byId(3L)._2 == 0L)
+    assert(byId(4L) == byId(1L),
+      s"frozen stats must score replayed text identically: ${byId(4L)} vs ${byId(1L)}")
+    // reserved name and taxonomy-size preconditions are loud
+    intercept[IllegalArgumentException] {
+      StreamIngest.topicRouteSink(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", ref, "text",
+        Seq("unmatched" -> Seq("x")), 0L, out, cp)
+    }
+  }
 }

@@ -47,22 +47,37 @@ object Retrieval {
   /** Adds `dl` (whitespace token count of the normalized text) and
     * one `tf_<term>` column per query term — all row-local. Rows
     * with null/blank text are dropped (no content to rank).
+    *
+    * Counting runs through the native [[graft.plans.TermCounts]]
+    * kernel (semantics bit-identical to the HOF formulation over
+    * TextFunctions.words — spec-pinned): the HOF pipeline is
+    * interpreted (CodegenFallback), which put it OUTSIDE whole-stage
+    * codegen's subexpression elimination, so every tf column and
+    * every pushed-down filter conjunct re-ran the regex
+    * normalization + split — measured flat (no gain) after
+    * single-column materialization because predicate pushdown
+    * re-duplicates the expression into the scan filter. The codegen'd
+    * kernel is CSE-eligible and does one byte scan per row total.
     */
   def withTermFrequencies(df: DataFrame, textCol: String,
                           terms: Seq[String],
                           maxTerms: Int = 16): DataFrame = {
     require(terms.nonEmpty && terms.size <= maxTerms,
       s"query has ${terms.size} terms (cap $maxTerms) — BM25 scoring " +
-        "inlines one codegen'd filter per term; beyond the cap use " +
+        "inlines one codegen'd count per term; beyond the cap use " +
         "the broadcast term-table join (bm25BatchTopK) instead")
-    val w = graft.functions.TextFunctions.words(col(textCol))
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    val termArgs = terms
+      .map(t => "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      .mkString(", ")
+    val tc = expr(s"graft_term_counts(`$textCol`, $termArgs)")
     val base = df
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .withColumn("dl", size(w).cast("long"))
-    terms.foldLeft(base) { (acc, t) =>
-      acc.withColumn(s"tf_$t",
-        size(filter(w, x => x === lit(t))).cast("long"))
-    }
+      .withColumn("__tc", tc)
+      .withColumn("dl", element_at(col("__tc"), terms.size + 1))
+    terms.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
+      acc.withColumn(s"tf_$t", element_at(col("__tc"), i + 1))
+    }.drop("__tc")
   }
 
   /** BM25 score over `terms`, e6-quantized as `score_e6`, plus

@@ -29,6 +29,13 @@ object GraftExtensions {
       s"$name must be an integer literal, got $other")
   }
 
+  private def strLit(e: Expression, name: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
+
   val functions: Seq[FunctionDescription] = Seq(
     (new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -50,7 +57,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => SimHashSignature(children(0))),
     (new FunctionIdentifier("graft_top_word_count"),
       new ExpressionInfo(classOf[WordTopCount].getName, "graft_top_word_count"),
-      (children: Seq[Expression]) => WordTopCount(children(0))))
+      (children: Seq[Expression]) => WordTopCount(children(0))),
+    (new FunctionIdentifier("graft_term_counts"),
+      new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts"),
+      (children: Seq[Expression]) => TermCounts(children(0),
+        children.tail.zipWithIndex.map { case (c, i) => strLit(c, s"term$i") })))
 
   /** Register into an existing session (no-op if already present). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -2,14 +2,13 @@ package graft
 
 import graft.operators.Retrieval
 import org.apache.spark.sql.functions._
-import org.scalatest.matchers.should.Matchers
 
 /** BM25 keyword retrieval + reciprocal-rank fusion. The gate query
   * binds the exact scores vs DuckDB; these specs pin the RANKING
   * semantics a score-hash can't explain when it breaks: idf ordering,
   * tf monotonicity, length normalization, fusion arithmetic.
   */
-class RetrievalSpec extends SparkSpec with Matchers {
+class RetrievalSpec extends SparkSpec {
   import org.apache.spark.sql.DataFrame
 
   private def corpus: DataFrame = {
@@ -50,6 +49,41 @@ class RetrievalSpec extends SparkSpec with Matchers {
     val b = Retrieval.bm25TopK(corpus.repartition(7), "doc_id", "text", Seq("cat"), 10)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(a == b)
+  }
+
+  test("graft_term_counts kernel is bit-identical to the HOF words() formulation") {
+    val s = spark
+    import s.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val tricky = Seq(
+      "cat cat cat dog", "  leading and   trailing  ", "\tcat\ndog\r\nCATcat\f",
+      "CAT Cat cAt", "\u00fanico ca\u00f1\u00f3n CAT", "catapult concat cat", "cat",
+      "a\u00a0cat and cat", // NBSP is NOT Java \s: 'a\u00a0cat' stays one token
+      "12345 #$%! cat-dog cat_dog", "\u00df \u0130 I i", "word " * 200 + "cat"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val terms = Seq("cat", "dog", "\u00fanico")
+    val kernel = Retrieval.withTermFrequencies(tricky, "text", terms)
+      .select(col("id"), col("dl"),
+        col("tf_cat"), col("tf_dog"), col("`tf_\u00fanico`"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val w = graft.functions.TextFunctions.words(col("text"))
+    val hofCols: Seq[org.apache.spark.sql.Column] =
+      Seq(col("id"), size(w).cast("long").as("dl")) ++
+        terms.map(t =>
+          size(filter(w, x => x === lit(t))).cast("long").as(s"tf_$t"))
+    val hof = tricky
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(hofCols: _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(kernel == hof, s"kernel vs HOF diverged:\n${kernel -- hof}\n${hof -- kernel}")
+    // a whitespace-containing term can never equal a token: rejected
+    // loudly instead of silently counting zero forever
+    val e = intercept[Exception] {
+      Retrieval.withTermFrequencies(tricky, "text", Seq("a cat")).collect()
+    }
+    assert(e.getMessage.contains("whitespace"), e.getMessage)
   }
 
   test("bm25: term-count precondition is loud") {

@@ -37,7 +37,7 @@ object PlanAudit {
     "q14_promo_share", "q15_top_supplier", "q16_supplier_count",
     "q20_qty_surplus", "q12_shipmode",
     "bm25_topk", "hybrid_rank_fusion", "sample_reservoir", "bm25_batch",
-    "tfidf_source_terms")
+    "tfidf_source_terms", "sample_weighted")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -317,6 +317,18 @@ object PlanAudit {
         "unpartitioned windows are deliberate and safe: they sort " +
         "post-limit frames, never the corpus). At 100 TB the cost is " +
         "exactly two scans; the fusion is free."),
+    "sample_weighted" -> (
+      "Weight-proportional WOR sampling (Efraimidis-Spirtakis) with " +
+        "the reservoir prefilter discipline: per-row key = min of w " +
+        "md5 draws (row-local, Σw hashes total — linear in total " +
+        "weight), a broadcast scalar threshold at margin*k/Σw keeps " +
+        "~margin*k survivors (P(key<t) ~ w*t), and only that " +
+        "k-bounded frame rides the global rank window. Coverage is " +
+        "CHECKED: >= k survivors certifies every true top-k key " +
+        "cleared the threshold, so the prefiltered ranks ARE the " +
+        "global ranks. min-of-uniforms instead of u^(1/w) is what " +
+        "lets the DuckDB oracle replay the exact selected set — no " +
+        "pow/ln in the sort key."),
     "sample_reservoir" -> (
       "Exact k-per-group sampling WITHOUT sorting the corpus: a " +
         "broadcast per-group threshold join + row-local hash-prefix " +

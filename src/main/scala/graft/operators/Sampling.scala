@@ -247,6 +247,73 @@ object Sampling {
     ranked.filter(col("rk") <= k).drop("__hp", "__thr")
   }
 
+  /** WEIGHT-PROPORTIONAL sample of exactly k rows without
+    * replacement (Efraimidis-Spirtakis 2006), deterministic and
+    * hash-exact: a row with integer weight w gets key =
+    * min over i in 1..w of md5(salt || key || '#' || i), and the k
+    * smallest keys win. The min of w iid uniforms is Beta(1, w) —
+    * stochastically smaller for larger w — which is precisely the
+    * E-S u^(1/w) scheme re-expressed so BOTH engines can replay the
+    * exact selected set (u^(1/w) needs pow/log whose last-ulp
+    * differences could flip ranks; a min of md5 prefixes cannot).
+    * The quality-weighted corpus sample: weight = quality tier,
+    * higher tiers proportionally more likely, no duplicates.
+    *
+    * Scale shape, same prefilter discipline as [[reservoirByGroup]]:
+    * P(key < t) = 1-(1-t)^w ~ w*t, so at t = margin*k/Σw the
+    * expected survivor count is margin*k — the global rank window
+    * sorts a k-bounded frame, never the corpus, and survivorship
+    * (>= k) is CHECKED loudly. Per-row cost is w md5s (Σw total —
+    * linear in total weight, the algorithm's floor); weights are
+    * required integral in [1, maxWeight] by a one-pass integer agg
+    * that also supplies Σw.
+    *
+    * Output: input columns + `rk` (1-based, k rows).
+    */
+  def weightedTopK(df: DataFrame, keyCol: String, weightCol: String,
+                   k: Int, salt: String = "graft-wrs",
+                   margin: Double = 4.0, maxWeight: Int = 16): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    require(margin >= 2.0, s"margin $margin < 2: the coverage guard " +
+      "would trip routinely; use >= 2 (4 is comfortable)")
+    val stats = df.agg(
+      sum(col(weightCol)).cast("long").as("sw"),
+      min(col(weightCol)).cast("long").as("mn"),
+      max(col(weightCol)).cast("long").as("mx"),
+      count(lit(1)).as("n")).collect()(0)
+    require(stats.getLong(3) >= k,
+      s"weightedTopK: corpus has ${stats.getLong(3)} rows < k=$k")
+    require(stats.getLong(1) >= 1 && stats.getLong(2) <= maxWeight,
+      s"weightedTopK: weights must be integers in [1, $maxWeight], " +
+        s"got [${stats.getLong(1)}, ${stats.getLong(2)}] — per-row " +
+        "cost is WEIGHT md5 evaluations; rescale tiers, don't pass " +
+        "raw magnitudes")
+    val sumW = stats.getLong(0)
+    val t = thresholdHex(math.min(1.0, margin * k / sumW.toDouble))
+    val keyExpr = array_min(transform(
+      sequence(lit(1), col(weightCol).cast("int")),
+      i => substring(md5(concat(lit(salt), col(keyCol).cast("string"),
+        lit("#"), i.cast("string"))), 1, 8)))
+    val survivors = df
+      .withColumn("__key", keyExpr)
+      .filter(col("__key") < lit(t))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__key"), col(keyCol))
+    // the empty-partitionBy window is deliberate: it ranks the
+    // margined survivor frame (~margin*k rows, Binomial-concentrated
+    // around margin*k by construction), never the corpus
+    val ranked = survivors
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .persist()
+    val got = ranked.count()
+    require(got >= k,
+      s"weightedTopK: margin $margin left $got survivors < k=$k — " +
+        "raise margin (coverage guard: ranks below are only global " +
+        "when every top-k key clears the threshold, which holding " +
+        s">= k survivors certifies)")
+    ranked.filter(col("rk") <= k).drop("__key")
+  }
+
   /** TEMPERATURE mixing (the multilingual-training recipe): given
     * per-source token shares p_s, the target mix is q_s ∝ p_s^α —
     * α = 1 keeps natural proportions, α → 0 flattens toward uniform,

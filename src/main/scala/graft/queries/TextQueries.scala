@@ -61,6 +61,20 @@ object TextQueries {
         .orderBy(col("source"), col("rk"))
     }),
 
+    // WEIGHT-PROPORTIONAL k-sample without replacement (r12,
+    // Efraimidis-Spirtakis): weight = quality tier (1 + doc_id % 4
+    // here — deterministic so the oracle binds), key = min of w
+    // md5 draws, k smallest keys win. Same margined-prefilter scale
+    // shape as sample_reservoir: the rank window sees ~margin*k rows.
+    "sample_weighted" -> ((s, d) => {
+      graft.operators.Sampling.weightedTopK(
+          Tables.documents(s, d)
+            .withColumn("w", (col("doc_id") % 4 + 1).cast("long")),
+          keyCol = "doc_id", weightCol = "w", k = 50)
+        .select(col("doc_id"), col("w"), col("rk"))
+        .orderBy(col("rk"))
+    }),
+
     // Deterministic content-keyed train/holdout split: 10% holdout,
     // keyed on the normalized text (not doc_id) so exact duplicates
     // can never straddle the split and leak eval data. Row-local
@@ -1141,6 +1155,27 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+
+    // Exact E-S replay: the same min-of-w md5 keys, ranked. The
+    // min-of-uniforms form exists precisely so this oracle can bind
+    // (u^(1/w) would hinge on pow/ln last-ulp agreement; min of hash
+    // prefixes cannot diverge).
+    "sample_weighted" ->
+      """WITH wtab AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS w FROM documents),
+        |keyed AS (
+        |  -- fixed 1..4 series cross-joined then i <= w: DuckDB's
+        |  -- generate_series rejects lateral column parameters
+        |  SELECT doc_id, w,
+        |    min(substr(md5('graft-wrs' || CAST(doc_id AS VARCHAR)
+        |      || '#' || CAST(i AS VARCHAR)), 1, 8)) AS key
+        |  FROM wtab, (SELECT unnest([1, 2, 3, 4]) AS i) s
+        |  WHERE i <= w GROUP BY doc_id, w),
+        |r AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (ORDER BY key, doc_id) AS rk FROM keyed)
+        |SELECT doc_id, w, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin,
 
     "contamination_matrix" ->
       """WITH base AS (

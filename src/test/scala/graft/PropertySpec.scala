@@ -96,6 +96,49 @@ class PropertySpec extends SparkSpec {
     assert(e.getMessage.contains("100"))
   }
 
+  test("weightedTopK: equals the unfiltered E-S rank, weight-biased, guards loud (r12)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{array_min, concat, lit, md5,
+      row_number, sequence, substring, transform}
+    val df = (1L to 4000L).map(i => (i, 1L + i % 4)).toDF("id", "w")
+    val out = Sampling.weightedTopK(df, "id", "w", k = 200)
+      .select("id", "w", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // semantic contract: full (unfiltered) min-of-w-hashes ranking
+    val keyExpr = array_min(transform(
+      sequence(lit(1), $"w".cast("int")),
+      i => substring(md5(concat(lit("graft-wrs"), $"id".cast("string"),
+        lit("#"), i.cast("string"))), 1, 8)))
+    val full = df.withColumn("__key", keyExpr)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"__key", $"id")).cast("long"))
+      .filter($"rk" <= 200).select("id", "w", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == full, "prefiltered E-S sample must equal the global ranking")
+    // weight-proportionality shows as selection bias: population mean
+    // weight is 2.5; the weighted sample's mean must sit clearly above
+    val meanW = out.toSeq.map(_._2).sum.toDouble / out.size
+    // E-S theory: selected-mean approaches sum(w^2)/sum(w) = 3.0 for
+    // this tier mix; one fixed-salt draw at k=200 lands near it
+    assert(meanW > 2.7, s"weighted sample mean weight $meanW not biased above 2.5")
+    // layout invariance
+    val again = Sampling.weightedTopK(df.repartition(17), "id", "w", 200)
+      .select("id", "w", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out)
+    // loud guards: out-of-range weights and k > n
+    val bad = intercept[IllegalArgumentException] {
+      Sampling.weightedTopK(df.withColumn("w", lit(0L)), "id", "w", 10)
+    }
+    assert(bad.getMessage.contains("[1, 16]"))
+    val small = intercept[IllegalArgumentException] {
+      Sampling.weightedTopK(df.limit(5), "id", "w", 10)
+    }
+    assert(small.getMessage.contains("< k"))
+  }
+
   test("repeatFactor upsampling: copy counts, determinism, zero-factor drop (r11)") {
     import spark.implicits._
     import graft.operators.Sampling

@@ -38,9 +38,14 @@ class QueriesSmokeSpec extends SparkSpec {
     // UNREFERENCED — drive a GC cycle so the assertion distinguishes
     // a real leak (still-referenced frame, survives any GC) from
     // cleaner lag (r11: queries now use localCheckpoint by design)
+    // 30 tries / ~6 s ceiling: on a noisy host the ContextCleaner's
+    // reference-queue drain can lag several GC cycles (one full-suite
+    // run flaked here at 10 tries with no leak present); a REAL leak
+    // — a still-referenced frame — survives any number of tries, so
+    // patience costs nothing in detection power
     var leaked = spark.sparkContext.getPersistentRDDs
     var tries = 0
-    while (leaked.nonEmpty && tries < 10) {
+    while (leaked.nonEmpty && tries < 30) {
       System.gc()
       Thread.sleep(200)
       leaked = spark.sparkContext.getPersistentRDDs

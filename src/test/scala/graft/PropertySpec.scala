@@ -58,6 +58,35 @@ class PropertySpec extends SparkSpec {
     assert(s2kept == kept1.filter(i => i % 3 == 2), "equal-rate decisions must agree")
   }
 
+  test("graft_term_counts matches the HOF model on random strings (r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, filter, length, lit, size, trim}
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    // seeded generator over an alphabet that stresses every kernel
+    // branch: all five Java \s whitespace chars, ASCII letters with
+    // mixed case, multi-byte unicode, token-substring traps
+    val rnd = new scala.util.Random(42)
+    val alphabet = "aA bB\tcC\ncat\rCAT\fß年 dog dup"
+    val docs = (1L to 500L).map { i =>
+      val len = rnd.nextInt(60)
+      (i, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("id", "text")
+    val terms = Seq("cat", "dog", "a", "ß", "年")
+    val kernel = graft.operators.Retrieval
+      .withTermFrequencies(docs, "text", terms)
+      .select((col("id") +: col("dl") +: terms.map(t => col(s"`tf_$t`"))): _*)
+      .collect().map(_.toSeq).toSet
+    val w = graft.functions.TextFunctions.words(col("text"))
+    val hofCols = Seq(col("id"), size(w).cast("long").as("dl")) ++
+      terms.map(t => size(filter(w, x => x === lit(t))).cast("long").as(s"tf_$t"))
+    val hof = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(hofCols: _*)
+      .collect().map(_.toSeq).toSet
+    assert(kernel == hof,
+      s"kernel vs HOF diverged on random strings:\n${kernel -- hof}\n${hof -- kernel}")
+  }
+
   test("reservoirByGroup: equals the full-window rank, layout-invariant, guards loud (r12)") {
     import spark.implicits._
     import graft.operators.Sampling

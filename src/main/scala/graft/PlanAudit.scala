@@ -37,7 +37,7 @@ object PlanAudit {
     "q14_promo_share", "q15_top_supplier", "q16_supplier_count",
     "q20_qty_surplus", "q12_shipmode",
     "bm25_topk", "hybrid_rank_fusion", "sample_reservoir", "bm25_batch",
-    "tfidf_source_terms", "sample_weighted")
+    "tfidf_source_terms", "sample_weighted", "hybrid_rank_fusion_indexed")
 
   /** Prose audit argument printed above a query's explain output —
     * the why-this-plan-survives-100x note for queries whose cost is
@@ -296,7 +296,26 @@ object PlanAudit {
         "per-query top-k plans as WindowGroupLimit, k rows per query " +
         "per map partition. Shuffled bytes scale with matches, not " +
         "corpus — the right asymptote for an eval-suite of hundreds " +
-        "of keyword queries at 100 TB."),
+        "of keyword queries at 100 TB. r13: PHRASE terms — the token " +
+        "stream now concatenates word-bigram OCCURRENCES (native " +
+        "WordNgrams kernel, one extra row-local array per doc) for " +
+        "the n-gram grains actually present in the query vocabulary; " +
+        "the semi-join still kills non-query grams inside the scan " +
+        "stage, so the exchange shape is unchanged and an all-unigram " +
+        "batch plans identically to r12 (spec-asserted)."),
+    "hybrid_rank_fusion_indexed" -> (
+      "The deployment shape of two-leg retrieval (r13 ask #5): the " +
+        "vector leg probes the STORED list-partitioned IVF index — " +
+        "the audit point is the index scan's PartitionFilters on " +
+        "list_id, which at nprobe/nlist = 1/2 reads half the index " +
+        "and at production nlist (thousands of lists) reads " +
+        "nprobe/nlist of it, independent of corpus size. The BM25 " +
+        "leg is the bm25_topk plan (one 1-row exchange). Fusion " +
+        "joins two <= 100-row frames; the recall-contract aggregate " +
+        "adds one brute-force exact leg IN THE GATE QUERY ONLY (the " +
+        "referee, priced at gate scale, absent from the deployment " +
+        "plan). New PLAN_HASHES baseline entry 12261dd9317e4589 — " +
+        "a new query, not a drift."),
     "tfidf_source_terms" -> (
       "Corpus reporting with ONE corpus-sized exchange: the explode " +
         "is immediately reduced to DISTINCT (group, doc, word) " +

@@ -10,9 +10,24 @@ import org.apache.spark.sql.functions._
   * the transforms are deterministic, so a partial regen is identical
   * to a full one restricted to those tables).
   *
-  * Each copy k shifts every key domain by k * 100M so the union is a
-  * k-times larger dataset with the same join fan-outs and the same
-  * duplicate RATE (each copy is an independent shard):
+  * Each copy k remaps every key family through the INTERLEAVE
+  * bijection `new = old * copies + sigma_family(k)` (sigma a per-family
+  * rotation of 0..copies-1), so the union is a k-times larger dataset
+  * with the same join fan-outs and the same duplicate RATE (each copy
+  * is an independent shard). Interleaving — rather than the block
+  * shift `old + k * 1e8` used through r12 — makes the scaled key
+  * domain DENSE and uniform over [0, copies * max], which is what a
+  * genuinely bigger uniform generator produces. The block shift
+  * produced `copies` key islands separated by ~1e8-wide voids, which
+  * broke two statistical contracts at the scaled rungs (the r12
+  * cross-rung replay's one declared entry, layout_zorder): partkey
+  * and suppkey became block-correlated (both carried the same copy
+  * offset, so a partkey sort accidentally clustered suppkey), and any
+  * mid-domain range predicate fell into a void (n_match = 0). With
+  * interleaving, two different key families in the same row agree only
+  * in their residue mod `copies` — invisible to every range/box/sort
+  * contract — and the per-family rotations de-phase even that residue.
+  * Notes on the shards:
   *  - document text gets a copy-specific suffix on every word, so
   *    cross-copy shingle similarity is exactly zero — without it every
   *    doc would have `copies` near-identical twins and LSH pair counts
@@ -34,7 +49,19 @@ import org.apache.spark.sql.functions._
   * Dev tool for scaling experiments — not part of the library surface.
   */
 object ScaleUp {
-  private val Offset = 100_000_000L
+  /** Per-key-family rotation for the interleave residue: the same
+    * family (both sides of a foreign key) MUST share one rotation or
+    * joins break; distinct families get distinct rotations so no two
+    * families' residues are in phase. The rotation is reduced mod
+    * `copies` at use, so any distinct small integers work.
+    */
+  private val FamilyRot: Map[String, Int] = Map(
+    "c_custkey" -> 1, "o_custkey" -> 1,
+    "s_suppkey" -> 2, "l_suppkey" -> 2,
+    "p_partkey" -> 3, "l_partkey" -> 3,
+    "o_orderkey" -> 4, "l_orderkey" -> 4,
+    "event_id" -> 5, "user_id" -> 6,
+    "doc_id" -> 7, "vec_id" -> 8)
 
   def main(args: Array[String]): Unit = {
     val inDir = args(0)
@@ -57,8 +84,12 @@ object ScaleUp {
                outParts: Int = 4): Unit = if (wanted(name)) {
       val base = Tables.load(spark, inDir, name)
       val union = (0 until copies).map { k =>
-        val shifted = keyCols.foldLeft(base)((df, c) =>
-          df.withColumn(c, col(c) + lit(k * Offset)))
+        val shifted = keyCols.foldLeft(base) { (df, c) =>
+          val rot = FamilyRot.getOrElse(c,
+            sys.error(s"no key-family rotation registered for $c"))
+          val residue = ((k + rot) % copies).toLong
+          df.withColumn(c, col(c) * lit(copies.toLong) + lit(residue))
+        }
         transform(shifted, k)
       }.reduce(_ unionAll _)
       union.repartition(outParts)

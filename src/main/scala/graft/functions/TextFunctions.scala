@@ -168,4 +168,13 @@ object TextFunctions {
     */
   def shinglesOfWords(wordsCol: Column, n: Int): Column =
     call_function("graft_word_shingles", wordsCol, lit(n))
+
+  /** ALL word n-grams with multiplicity over a word-array column —
+    * the tf-counting face (BM25 phrase terms): no dedup, and a doc
+    * shorter than n words yields an EMPTY array (zero occurrences),
+    * unlike the shingle form's whole-text fallback. Native kernel,
+    * one pass, codegen'd.
+    */
+  def ngramsOfWords(wordsCol: Column, n: Int): Column =
+    call_function("graft_word_ngrams", wordsCol, lit(n))
 }

@@ -52,6 +52,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       (children: Seq[Expression]) => WordShingles(children(0),
         intLit(children(1), "n"))),
+    (new FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (children: Seq[Expression]) => WordNgrams(children(0),
+        intLit(children(1), "n"))),
     (new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashSignature(children(0))),

@@ -36,11 +36,15 @@ object RetrievalQueries {
     df.withColumn("rank",
       row_number().over(Window.orderBy(order: _*)).cast("long"))
 
-  /** Batch fixture: 4 keyword queries over the documents vocabulary —
+  /** Batch fixture: 6 keyword queries over the documents vocabulary —
     * a 4-term query, a rare+common pair ('dup' df ~5%), a 20-term
     * query (the shape the inline-column path's 16-term precondition
-    * rejects), and one containing a term absent from every rung's
-    * corpus (contributes nothing, must not divide by zero).
+    * rejects), one containing a term absent from every rung's
+    * corpus (contributes nothing, must not divide by zero), and two
+    * PHRASE queries (r13): a bigram+unigram mix, and a pure-bigram
+    * query with one bigram absent from every rung (both its words
+    * exist, the adjacency never does — the case unigram matching
+    * would get wrong).
     */
   private val BatchFixture: Seq[(Long, String)] =
     Seq(1L -> "hash", 1L -> "join", 1L -> "filter", 1L -> "scan",
@@ -49,14 +53,18 @@ object RetrievalQueries {
         "hash", "slow", "join", "row", "filter", "merge", "table",
         "stream", "sort", "window", "order", "query", "group")
         .map(3L -> _) ++
-      Seq(4L -> "vector", 4L -> "spark", 4L -> "key", 4L -> "zzzunseen")
+      Seq(4L -> "vector", 4L -> "spark", 4L -> "key", 4L -> "zzzunseen") ++
+      Seq(5L -> "table hash", 5L -> "stream",
+        6L -> "merge order", 6L -> "zzzunseen dup")
 
   val queries: Map[String, Q] = Map(
-    // Batch BM25: 4 keyword queries in ONE corpus pass. Plan shape:
-    // explode survives only through a broadcast semi-join on the query
-    // vocabulary (non-query words die in the scan stage), integer
-    // e6 contributions so the per-(query, doc) sum is merge-order-
-    // free, WindowGroupLimit top-10 per query.
+    // Batch BM25: 6 keyword queries — two of them PHRASE queries
+    // (word bigrams, r13) — in ONE corpus pass. Plan shape: the token
+    // stream carries unigrams + bigram occurrences (native WordNgrams
+    // kernel) and survives only through a broadcast semi-join on the
+    // query vocabulary (non-query grams die in the scan stage),
+    // integer e6 contributions so the per-(query, doc) sum is
+    // merge-order-free, WindowGroupLimit top-10 per query.
     "bm25_batch" -> ((s, d) => {
       import s.implicits._
       Retrieval.bm25BatchTopK(Tables.documents(s, d), "doc_id", "text",
@@ -108,6 +116,56 @@ object RetrievalQueries {
         .select(col("item_id"), col("rank_a").as("rank_kw"),
           col("rank_b").as("rank_vec"), col("rrf_e6"))
         .orderBy(col("rrf_e6").desc, col("item_id"))
+    }),
+
+    // INDEX-BACKED hybrid (r13, the deployment shape of two-leg
+    // retrieval at 100 TB): the vector leg probes the STORED
+    // list-partitioned IVF index (nprobe/nlist partition pruning on
+    // the scan — plan-asserted in RetrievalSpec) instead of brute
+    // force. Which neighbors sit in probed lists is k-means state,
+    // not SQL-expressible, so the gate output is the established
+    // recall-contract shape (ann_ivf/ann_lsh): exact-leg counts plus
+    // three booleans — the vector leg's recall floor vs the exact
+    // brute-force top-100 computed independently in-engine, and two
+    // fusion-algebra invariants (each leg's ranks survive the
+    // full-outer fuse as a dense 1..n permutation — a dropped or
+    // duplicated row flips them). Neighbor-level fused output stays
+    // hash-bound by hybrid_rank_fusion (exact oracle) above.
+    "hybrid_rank_fusion_indexed" -> ((s, d) => {
+      val kw = ranked(
+        Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Terms, k = 100),
+        Seq(col("score_e6").desc, col("doc_id")))
+        .select(col("doc_id").as("item_id"), col("rank"))
+      val vec = ranked(
+        graft.operators.Ann.ivfIndexTopK(s,
+          SimilarityQueries.ivfIndexDir(s, d),
+          SimilarityQueries.queryVec(s, d),
+          "vec_id", "embedding", k = 100, nprobe = 4),
+        Seq(col("cos").desc, col("vec_id")))
+        .select(col("vec_id").as("item_id"), col("rank"))
+      val fused = Retrieval.rrfFuse(kw, vec, "item_id")
+      val exactVec = Similarity.bruteForceTopK(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+        SimilarityQueries.queryVec(s, d), "vec_id", "embedding", k = 100)
+      val hits = vec.select(col("item_id"))
+        .join(exactVec.select(col("vec_id").as("item_id")),
+          Seq("item_id"), "left_semi")
+      // the leg's non-null ranks are exactly the dense set 1..n iff
+      // they are distinct, start at 1 and top out at their count
+      def ranksIntact(r: org.apache.spark.sql.Column) =
+        (countDistinct(r) === count(r)) &&
+          (coalesce(max(r), lit(0L)) === count(r)) &&
+          (coalesce(min(r), lit(1L)) === lit(1L))
+      fused.agg(
+          count(col("rank_a")).cast("long").as("n_kw"),
+          count(col("rank_b")).cast("long").as("n_vec"),
+          ranksIntact(col("rank_a")).as("kw_ranks_intact"),
+          ranksIntact(col("rank_b")).as("vec_ranks_intact"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(lit(100L).as("k"), col("n_kw"), col("n_vec"),
+          col("kw_ranks_intact"), col("vec_ranks_intact"),
+          (col("n_hits") * 2 >= 100L).as("vec_recall_ok"))
     })
   )
 
@@ -189,7 +247,10 @@ object RetrievalQueries {
          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM base),
          |ex AS (
-         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS word
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |    unnest(list_concat(w,
+         |      list_transform(range(1, len(w)),
+         |        i -> w[i] || ' ' || w[i + 1]))) AS word
          |  FROM base),
          |m AS (
          |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
@@ -254,6 +315,20 @@ object RetrievalQueries {
          |    ORDER BY score_e6 DESC, word) AS rk FROM sc)
          |SELECT source, word, n_docs_gw, df_w, score_e6, CAST(rk AS BIGINT) AS rk
          |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    // Recall-contract oracle (the ann_ivf pattern): the exact-leg
+    // counts are SQL-derivable (the kw leg is deterministic BM25; the
+    // vec leg returns min(k, corpus) because the probed half of the
+    // index always holds >= k vectors at every rung); the booleans
+    // are the contract literals the Spark side must earn in-engine.
+    "hybrid_rank_fusion_indexed" ->
+      s"""${bm25Sql(100)}
+         |SELECT CAST(100 AS BIGINT) AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM top) AS n_kw,
+         |  (SELECT CAST(least(100, count(*)) AS BIGINT)
+         |   FROM embeddings WHERE vec_id <> 0) AS n_vec,
+         |  true AS kw_ranks_intact, true AS vec_ranks_intact,
+         |  true AS vec_recall_ok""".stripMargin,
 
     "hybrid_rank_fusion" ->
       s"""${bm25Sql(100)},

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def queryVec(s: SparkSession, d: String): DataFrame =
+  private[queries] def queryVec(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
 
   // Stored indexes are built ONCE per (data dir, JVM) and re-probed:
@@ -39,7 +39,7 @@ object SimilarityQueries {
       })
     }
   private val ivfIndexCache = scala.collection.mutable.Map.empty[String, String]
-  private def ivfIndexDir(s: SparkSession, d: String): String =
+  private[queries] def ivfIndexDir(s: SparkSession, d: String): String =
     ivfIndexCache.synchronized {
       ivfIndexCache.getOrElseUpdate(d, {
         val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString

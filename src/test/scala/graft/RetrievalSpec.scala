@@ -149,6 +149,93 @@ class RetrievalSpec extends SparkSpec {
     assert(again.toSet == out.toSet)
   }
 
+  test("graft_word_ngrams: multiplicity kept, document order, short doc empty") {
+    val s = spark
+    import s.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val df = Seq(
+      (1L, "cat dog cat dog"), // 'cat dog' occurs twice (overlapping walk)
+      (2L, "cat"),             // shorter than n=2 -> ZERO bigram occurrences
+      (3L, "a b c")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        graft.functions.TextFunctions.ngramsOfWords(
+          graft.functions.TextFunctions.words(col("text")), 2).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out(1L) == List("cat dog", "dog cat", "cat dog"),
+      s"expected multiplicity + order, got ${out(1L)}")
+    assert(out(2L) == Nil, "short doc must yield zero n-gram occurrences")
+    assert(out(3L) == List("a b", "b c"))
+    // contrast with the distinct shingle form: dedup + whole-text fallback
+    val sh = df.select(col("id"),
+        graft.functions.TextFunctions.shingles(col("text"), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(sh(1L) == List("cat dog", "dog cat") && sh(2L) == List("cat"))
+  }
+
+  test("bm25BatchTopK: phrase terms match adjacency, not co-occurrence") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "cat dog cat dog"),   // 'cat dog' tf=2
+      (2L, "cat dog bird"),      // 'cat dog' tf=1
+      (3L, "cat bird dog"),      // both words, NEVER adjacent -> no match
+      (4L, "dog cat")            // reverse order only -> no match
+    ).toDF("doc_id", "text")
+    val q = Seq((1L, "cat dog")).toDF("query_id", "term")
+    val out = Retrieval.bm25BatchTopK(docs, "doc_id", "text", q, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    val ids = out.map(_._1).toSet
+    assert(ids == Set(1L, 2L), s"adjacency must decide membership, got $ids")
+    // tf monotonicity carries over to the phrase grain (equal dl here
+    // would be ideal; dl 4 vs 3 slightly favors doc 2, tf 2 vs 1 wins)
+    val byId = out.toMap
+    assert(byId(1L) > byId(2L))
+    // a phrase whose words all exist but are never adjacent scores on
+    // NO doc — and a mixed unigram+bigram query still ranks
+    val q2 = Seq((1L, "bird cat"), (2L, "bird"), (2L, "cat dog"))
+      .toDF("query_id", "term")
+    val out2 = Retrieval.bm25BatchTopK(docs, "doc_id", "text", q2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!out2.exists(_._1 == 1L), "never-adjacent phrase must match nothing")
+    assert(out2.filter(_._1 == 2L).map(_._2).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("bm25BatchTopK: phrase grain precondition is loud; unigram batches unchanged") {
+    val s = spark
+    import s.implicits._
+    val q = Seq((1L, "a b c d e")).toDF("query_id", "term")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25BatchTopK(corpus, "doc_id", "text", q, k = 5).collect()
+    }
+    assert(e.getMessage.contains("1..4"), e.getMessage)
+    // an all-unigram batch must not pay any n-gram generation: the
+    // analyzed plan contains no graft_word_ngrams call
+    val uq = Seq((1L, "cat")).toDF("query_id", "term")
+    val plan = Retrieval.bm25BatchTopK(corpus, "doc_id", "text", uq, k = 5)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("graft_word_ngrams"), "unigram batch grew an n-gram stream")
+  }
+
+  test("hybrid_rank_fusion_indexed gate query: IVF partition pruning + contract row") {
+    val sf0001 = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("hybrid_rank_fusion_indexed")(spark, sf0001)
+    // the vector leg must probe the STORED index through partition
+    // pruning — the nprobe list filter lands on the scan, so the
+    // executed plan's index scan lists only probed directories
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"vector leg not partition-pruned:\n${plan.take(4000)}")
+    val row = df.collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getLong(0) == 100L)
+    assert(r.getLong(1) > 0L && r.getLong(1) <= 100L, s"n_kw ${r.getLong(1)}")
+    assert(r.getLong(2) == 100L, s"n_vec ${r.getLong(2)}")
+    assert(r.getBoolean(3) && r.getBoolean(4), "leg ranks not a dense 1..n")
+    assert(r.getBoolean(5), "vector-leg recall below the 0.5 contract floor")
+  }
+
   test("rrfFuse: exact contributions, full-outer semantics") {
     val s = spark
     import s.implicits._

@@ -23,20 +23,51 @@ object DedupQueries {
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
-  /** embeddings plus planted near-duplicates of vec_id < 50 (new ids
-    * offset by 1000000): per-dimension multiplicative jitter drawn
-    * deterministically from xxhash64(vec_id, dim), uniform in
-    * [0.4, 1.6] — the planted pair's cosine lands ~0.9-0.99, so a
-    * 0.9-threshold dedup has real rows to find on both engines.
+  /** embeddings plus planted near-duplicates of the 50 smallest
+    * CANONICAL vectors (new ids offset by 1000000): per-dimension
+    * multiplicative jitter drawn deterministically from
+    * xxhash64(rank, dim), uniform in [0.4, 1.6] — the planted pair's
+    * cosine lands ~0.9-0.99, so a 0.9-threshold dedup has real rows
+    * to find on both engines.
+    *
+    * Structure-robust plant rule (r13 cross-rung finding): through
+    * r12 the rule was `vec_id < 50`, premised on "the 50 smallest ids
+    * are 50 DISTINCT vectors" — true at the driver rungs (vectors
+    * there are pairwise distinct) but broken by ScaleUp's r13
+    * interleave mapping, where ids 10i..10i+9 are byte-identical
+    * twins of one original: the 50 smallest ids were 5 distinct
+    * vectors x 10 twins, so "originals always survive" and "no
+    * copy-copy pair >= 0.9" both collapsed (two jitters of the SAME
+    * base correlate). The base set is now one representative per
+    * embedding-byte class (min id), smallest 50 — which IS `vec_id <
+    * 50` at the driver rungs — and the jitter is keyed on the
+    * representative's RANK (0..49), so the planted VECTORS are
+    * byte-identical at every rung to the driver-rung ones and every
+    * empirically-checked premise (all 50 planted pairs >= 0.9, no
+    * cross-base pair >= 0.9) carries to the scaled rungs by
+    * construction. Planted ids stay collision-free while
+    * max(vec_id) < 1e6 (2e5 at the largest ladder rung).
     */
+  /** The 50 plant-base representatives: (vec_id, embedding, rank),
+    * rank 0..49 in id order. The 50-row frame is tiny at every rung
+    * (one groupBy over the embeddings table, distinct classes bounded
+    * by the 2000 original vectors).
+    */
+  private def plantBases(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .orderBy(col("vec_id")).limit(50)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - lit(1))
+
   private[graft] def embsWithNearDups(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
     embs.select(col("vec_id"), col("embedding")).union(
-      embs.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000).as("vec_id"),
-          expr("transform(embedding, (x, i) -> x * (0.4 + 1.2 * " +
-            "(pmod(xxhash64(vec_id * 64 + i), 1000) / 1000.0)))")
-            .cast("array<float>").as("embedding")))
+      plantBases(s, d).select((col("vec_id") + 1000000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * (0.4 + 1.2 * " +
+          "(pmod(xxhash64(rank * 64 + i), 1000) / 1000.0)))")
+          .cast("array<float>").as("embedding")))
   }
 
   /** Persisted near-dup EDGE frame per (dir, threshold) — the same
@@ -358,12 +389,19 @@ object DedupQueries {
     // every rung: identity pairs come from an equality self-join on
     // the embedding bytes (copies are verbatim, so list equality is
     // exact); planted pairs pair each in-query jittered copy
-    // (plant rule: vec_id < 50 -> copy at vec_id + 1e6, cosine 0.9+
-    // vs its base) with every vector whose bytes equal the base's —
-    // the same cosine, so membership follows without computing it.
+    // (plant rule: see plantBases — one representative per byte
+    // class, smallest 50, copy at vec_id + 1e6, cosine 0.9+ vs its
+    // base) with every vector whose bytes equal the base's — the
+    // same cosine, so membership follows without computing it.
     // At the driver rungs vectors are pairwise distinct (checked:
     // count = count distinct) and this reduces to exactly the r10
-    // planted set.
+    // planted set. r13: the plant rule itself became structure-
+    // derived too (the interleaved ScaleUp rungs made `vec_id < 50`
+    // select twins — 5 distinct vectors, not 50 — which both broke
+    // the no-copy-copy-pair premise here and dropped semdedup's
+    // "originals survive" premise); rank-keyed jitter makes the
+    // planted VECTORS byte-identical across rungs, so the r10/r12
+    // empirical checks carry everywhere by construction.
     "dedup_embedding_lsh_strict" -> ((s, d) => {
       Dedup.embeddingPairsLsh(embsWithNearDups(s, d), "vec_id", "embedding",
           minCosine = 0.9, targetRecall = 0.98)
@@ -393,7 +431,14 @@ object DedupQueries {
     "semdedup" -> ((s, d) => {
       val sd = graft.operators.SemDedup.semdedup(embsWithNearDups(s, d),
         "vec_id", "embedding", nlist = 16, minCosine = 0.9)
-      val orig = sd.filter(col("vec_id") < 50)
+      // orig rows = the plant-base representatives (vec_id < 50 at
+      // the driver rungs; min-id-per-byte-class elsewhere — see
+      // plantBases). A representative is the smallest id of its
+      // identity class, so its byte-twins at the scaled rungs cannot
+      // drop it (they have larger ids) and "originals survive" holds
+      // at every rung.
+      val baseIds = plantBases(s, d).select(col("vec_id"))
+      val orig = sd.join(broadcast(baseIds), Seq("vec_id"))
         .select(col("vec_id"), col("list_id").as("list_o"),
           col("is_survivor").as("surv_o"))
       val copy = sd.filter(col("vec_id") >= 1000000)
@@ -504,6 +549,9 @@ object DedupQueries {
     // LSH output equals it exactly on the gate corpus).
     "dedup_embedding_lsh_strict" ->
       """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |canon AS (
+        |  SELECT embedding, min(vec_id) AS vec_id FROM emb
+        |  GROUP BY embedding ORDER BY min(vec_id) LIMIT 50),
         |ident AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM emb a JOIN emb b
@@ -511,8 +559,7 @@ object DedupQueries {
         |planted AS (
         |  SELECT LEAST(t.vec_id, p.vec_id + 1000000) AS id_a,
         |         GREATEST(t.vec_id, p.vec_id + 1000000) AS id_b
-        |  FROM emb p JOIN emb t ON t.embedding = p.embedding
-        |  WHERE p.vec_id < 50)
+        |  FROM canon p JOIN emb t ON t.embedding = p.embedding)
         |SELECT id_a, id_b
         |FROM (SELECT * FROM ident UNION SELECT * FROM planted)
         |ORDER BY id_a, id_b""".stripMargin,
@@ -521,8 +568,11 @@ object DedupQueries {
     // comment: originals always survive, co-clustered copies are
     // always dropped, boundary-straddling copies pass vacuously).
     "semdedup" ->
-      """SELECT vec_id, true AS orig_survived, true AS copy_handled
-        |FROM embeddings WHERE vec_id < 50
+      """WITH canon AS (
+        |  SELECT min(vec_id) AS vec_id FROM embeddings
+        |  GROUP BY embedding ORDER BY min(vec_id) LIMIT 50)
+        |SELECT vec_id, true AS orig_survived, true AS copy_handled
+        |FROM canon
         |ORDER BY vec_id""".stripMargin,
 
     "fuzzy_canonicalize" ->

@@ -185,18 +185,19 @@ object LayoutQueries {
     // pinning them in an oracle would couple the gate to the data
     // generator's key distribution rather than to the layout claims.
     //
-    // RUNG SCOPE (r12 cross-rung finding): the `prunes` literals hold
-    // for ~uniform, INDEPENDENT key domains — the driver generator's
-    // contract. ScaleUp's identity-copy rungs violate it two ways:
-    // (a) partkey and suppkey are CORRELATED there (both carry the
-    // same copy offset k*1e8), so a partkey-sorted layout accidentally
-    // clusters suppkey too and "linear prunes only its sort column"
-    // legitimately flips — a true statement about layouts on
-    // correlated keys, not a defect; (b) the [0.45, 0.55] x max(dim)
-    // span falls between copy clusters (keys live just above each
-    // k*1e8 offset), so n_match drops to 0. The contract is therefore
-    // DECLARED driver-rung-scoped in tools/crossrung_compare.py; the
-    // z-order rows (prunes on BOTH dims) held at sf10 regardless.
+    // RUNG SCOPE, resolved (r12 finding, r13 fix): the `prunes`
+    // literals hold for ~uniform, INDEPENDENT key domains — the
+    // driver generator's contract. ScaleUp's former block offsets
+    // (key + k*1e8) violated it two ways at the scaled rungs —
+    // partkey/suppkey block-correlated (a partkey sort accidentally
+    // clustered suppkey, flipping "linear prunes only its sort
+    // column") and the [0.45, 0.55] x max(dim) span falling into an
+    // inter-island void (n_match = 0) — so r12 DECLARED the contract
+    // driver-rung-scoped. r13 fixed the GENERATOR instead of the
+    // contract: ScaleUp now interleaves (key * copies + per-family
+    // rotation), giving dense uniform de-correlated scaled domains,
+    // and the contract binds un-declared at every rung (sf10 replay
+    // green; removed from crossrung_compare.py's scoped set).
     "layout_zorder" -> ((s, d) => {
       import s.implicits._
       val (zDir, linDir) = layoutDirs(s, d)

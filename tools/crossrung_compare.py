@@ -16,15 +16,12 @@ import json, os, subprocess, sys, time
 # differ at ScaleUp's identity-copy rungs for a NAMED generator-
 # structure reason (not an engine defect). Each runs and is reported,
 # but a mismatch counts as "declared", not a failure.
-DRIVER_RUNG_SCOPED = {
-    # The prune-combination literals assume INDEPENDENT ~uniform key
-    # domains; ScaleUp's copy offset correlates partkey and suppkey
-    # (both shifted by k*1e8), so a partkey-sorted layout accidentally
-    # clusters suppkey and "linear prunes only its sort column" flips;
-    # the middle-decile span also lands between copy clusters
-    # (n_match=0). See the layout_zorder query comment.
-    "layout_zorder",
-}
+# r12 had one entry (layout_zorder: ScaleUp's block copy-offsets
+# correlated partkey/suppkey and left the middle-decile span in an
+# inter-island void). r13 fixed the GENERATOR (interleaved key
+# mapping, see ScaleUp.scala) instead of relaxing the contract, so
+# the set is empty — every oracle binds at every measured rung.
+DRIVER_RUNG_SCOPED: set = set()
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -56,6 +53,23 @@ def main():
             timed_out.append((q, budget))
             print(f"[TIME] {q:34s} >{budget}s (oracle infeasible at "
                   "this rung; record + justify)", flush=True)
+    # per-rung plan-fingerprint gate (r13 judge ask #3): each measured
+    # rung has its own committed baseline, so the stats-driven
+    # broadcast flips between rungs are explicit per-rung entries and
+    # drift WITHIN a rung still fails loudly.
+    plan_drift = False
+    rung = os.path.basename(sf_dir.rstrip("/"))
+    baseline = {"sf0.01": "PLAN_HASHES.json",
+                "sf0.1": "PLAN_HASHES_sf0.1.json",
+                "testdata-sf10": "PLAN_HASHES_sf10.json"}.get(rung)
+    hashes = os.path.join(out_dir, "plan_hashes.json")
+    if baseline and os.path.exists(baseline) and os.path.exists(hashes):
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "planhash_diff.py"),
+             baseline, hashes], capture_output=True, text=True)
+        print()
+        print(r.stdout.strip())
+        plan_drift = r.returncode != 0
     print(f"\n== {len(passed)} pass, {len(failed)} fail, "
           f"{len(declared)} declared-rung-scoped, "
           f"{len(timed_out)} timeout of {len(queries)} ==")
@@ -68,7 +82,7 @@ def main():
               ", ".join(q for q, _ in declared))
     if timed_out:
         print("TIMED OUT:", ", ".join(q for q, _ in timed_out))
-    sys.exit(1 if failed else 0)
+    sys.exit(1 if failed or plan_drift else 0)
 
 if __name__ == "__main__":
     main()

@@ -16,9 +16,17 @@ if [ $# -gt 0 ]; then
 fi
 SPARK_GRAFT_CPUS=8 sbt "runMain graft.Verify $SF $OUT" 2>&1 | grep -E "\[verify\]|error|Exception" || true
 python3 tools/compare.py "$SF" "$OUT" "$@"
-# plan-fingerprint gate (r12): static-plan drift fails loudly. The
-# committed baseline is generated at sf0.01 — only gate at that rung
-# (broadcast decisions legitimately differ at other scales).
-if [ "$SF" = "/root/testdata/sf0.01" ] && [ -f PLAN_HASHES.json ]; then
-  python3 tools/planhash_diff.py PLAN_HASHES.json "$OUT/plan_hashes.json" "$@"
+# plan-fingerprint gate (r12; r13 made it PER-RUNG): static-plan
+# drift fails loudly. Broadcast decisions legitimately differ across
+# scales, so each measured rung carries its OWN committed baseline —
+# the 5 stats-driven flips are explicit per-rung entries now instead
+# of a prose note in SCALING.
+case "$SF" in
+  /root/testdata/sf0.01) BASELINE=PLAN_HASHES.json ;;
+  /root/testdata/sf0.1)  BASELINE=PLAN_HASHES_sf0.1.json ;;
+  *testdata-sf10)        BASELINE=PLAN_HASHES_sf10.json ;;
+  *)                     BASELINE= ;;
+esac
+if [ -n "$BASELINE" ] && [ -f "$BASELINE" ]; then
+  python3 tools/planhash_diff.py "$BASELINE" "$OUT/plan_hashes.json" "$@"
 fi

@@ -44,6 +44,18 @@ object PlanAudit {
     * not obvious from the operator tree alone.
     */
   val notes: Map[String, String] = Map(
+    "semdedup" -> (
+      "Baseline refresh r13 (a965384a -> 3ab833bf): the gate query's " +
+        "orig-row filter moved from the literal `vec_id < 50` to a " +
+        "broadcast semi-join with the 50-row plantBases frame — the " +
+        "structure-robust plant rule (min-id representative per " +
+        "embedding-byte class, rank-keyed jitter) that keeps the " +
+        "planted fixture identical at the interleaved ScaleUp rungs, " +
+        "where `vec_id < 50` had become 5 vectors x 10 byte-twins and " +
+        "broke the \"originals survive\" premise. One extra 50-row " +
+        "broadcast (plus the tiny plantBases groupBy over the " +
+        "embeddings table, distinct classes bounded by the 2000 " +
+        "original vectors); the semdedup operator plan is unchanged."),
     "dedup_incremental" -> (
       "The audit point is what is ABSENT: neither the corpus nor the " +
         "batch rides an Exchange. The corpus is scanned (text column " +

@@ -38,16 +38,18 @@ class QueriesSmokeSpec extends SparkSpec {
     // UNREFERENCED — drive a GC cycle so the assertion distinguishes
     // a real leak (still-referenced frame, survives any GC) from
     // cleaner lag (r11: queries now use localCheckpoint by design)
-    // 30 tries / ~6 s ceiling: on a noisy host the ContextCleaner's
+    // 100 tries / ~30 s ceiling: on a noisy host the ContextCleaner's
     // reference-queue drain can lag several GC cycles (one full-suite
-    // run flaked here at 10 tries with no leak present); a REAL leak
-    // — a still-referenced frame — survives any number of tries, so
-    // patience costs nothing in detection power
+    // run flaked at 10 tries, r13 another at 30 — the cleaner's ONE
+    // thread drains shuffle/broadcast cleanups for all 150+ queries
+    // before it reaches these RDDs); a REAL leak — a still-referenced
+    // frame — survives any number of tries, so patience costs nothing
+    // in detection power and only the flake pays the wait
     var leaked = spark.sparkContext.getPersistentRDDs
     var tries = 0
-    while (leaked.nonEmpty && tries < 30) {
+    while (leaked.nonEmpty && tries < 100) {
       System.gc()
-      Thread.sleep(200)
+      Thread.sleep(300)
       leaked = spark.sparkContext.getPersistentRDDs
       tries += 1
     }

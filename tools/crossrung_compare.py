@@ -29,7 +29,14 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     is_driver_rung = sf_dir.rstrip("/").startswith("/root/testdata/")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    queries = sorted(oracles)
+    # Verify writes oracle_sql.json for the FULL inventory even on a
+    # subset dump; queries.json is the roster of what was actually
+    # dumped — intersect, or a subset insurance run would burn a full
+    # timeout per undumped heavy oracle (r13).
+    roster_path = os.path.join(out_dir, "queries.json")
+    roster = set(json.load(open(roster_path))) \
+        if os.path.exists(roster_path) else set(oracles)
+    queries = sorted(set(oracles) & roster)
     passed, failed, timed_out, declared = [], [], [], []
     for q in queries:
         t0 = time.time()

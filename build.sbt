@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver runs `sbt "runMain graft.Bench"` and parses the
+// LAST line of the captured stdout tail as JSON. Two sbt behaviors
+// broke that (r13 judge "what's wrong" #3): the forked process's
+// output was routed through the logger (prefixed "[info] ") and sbt
+// appended its "[success] Total time" trailer after it. Raw stdout
+// pass-through + suppressing the success line makes Bench's compact
+// summary the literal last line of the sbt invocation.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

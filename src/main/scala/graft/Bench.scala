@@ -195,12 +195,18 @@ object Bench {
     // the run does not deserve to become the canonical record, so it
     // is diverted to /tmp and the previous committed snapshot stands.
     val totalMin = results.values.map(_.minT).filter(_ >= 0).sum
-    val noisy = nFailed == 0 && totalMin > 0 && total > 1.15 * totalMin
+    val noisy = totalMin > 0 && total > 1.15 * totalMin
     if (noisy)
       System.err.println(f"[bench] NOISY WINDOW: suite median total $total%.1f s > 1.15x min total $totalMin%.1f s - not overwriting the canonical snapshot")
+    // a run with FAILED queries is disqualified outright (r13 advisor:
+    // the old nFailed==0 guard on `noisy` meant a failing run skipped
+    // the noise gate and still overwrote the canonical snapshot)
+    if (nFailed > 0)
+      System.err.println(s"[bench] $nFailed FAILED queries - not overwriting the canonical snapshot")
+    val disqualified = noisy || nFailed > 0
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (subset.nonEmpty) "/tmp/BENCH_QUERIES_subset.json"
-      else if (driverRung && !noisy) "/root/repo/BENCH_QUERIES.json"
+      else if (driverRung && !disqualified) "/root/repo/BENCH_QUERIES.json"
       else if (driverRung) "/tmp/BENCH_QUERIES_noisy.json"
       else "/tmp/BENCH_QUERIES_" +
         java.nio.file.Paths.get(sfDir).getFileName.toString + ".json")

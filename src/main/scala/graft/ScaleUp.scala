@@ -67,6 +67,14 @@ object ScaleUp {
     val inDir = args(0)
     val outDir = args(1)
     val copies = args(2).toInt
+    // rotations are reduced mod `copies`, so the documented de-phasing
+    // property ("distinct families get distinct residue phases") only
+    // holds when the reduced rotations stay pairwise distinct — i.e.
+    // copies > max rotation (r13 advisor: at copies=4, c_custkey(1)
+    // and event_id(5) would share a phase)
+    require(copies > FamilyRot.values.max,
+      s"copies must exceed ${FamilyRot.values.max} so per-family " +
+        s"rotations stay pairwise distinct mod copies, got $copies")
     val only: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     def wanted(name: String): Boolean = only.isEmpty || only(name)

@@ -202,6 +202,10 @@ object Retrieval {
     val grains = qTerms
       .select(size(split(col("term"), " ")).as("n")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
+    // COUPLING: the bm25_batch DuckDB oracle (RetrievalQueries)
+    // generates exactly this 1..4 grain set — widening the cap here
+    // requires widening the oracle's gram stream in lockstep, or an
+    // oracle-checked fixture with a longer phrase silently diverges
     require(grains.head >= 1 && grains.last <= 4,
       s"phrase terms span 1..4 words, got grains ${grains.mkString(",")} " +
         "— longer phrases explode the candidate-gram stream for no " +

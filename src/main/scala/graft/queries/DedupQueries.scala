@@ -14,13 +14,22 @@ object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** documents plus planted exact duplicates of doc_id < 50 (new ids
-    * offset by 100000) — deterministic on both engines.
+    * offset by max(doc_id) + 100000) — deterministic on both engines.
+    *
+    * The offset is derived from the data, not a fixed constant (r13
+    * advisor): ScaleUp's interleave mapping makes scaled doc_id
+    * domains DENSE over [0, copies*max), so at testdata-sf100 a fixed
+    * +100000 plant would collide with real ids 100000..100049 and
+    * silently break the fixture premise (doc_id unique, planted id -
+    * offset = original). max(doc_id)+100000 is collision-free by
+    * construction at every rung; the oracles derive the same offset.
     */
   private def docsWithDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 100000L
     docs.select(col("doc_id"), col("text")).union(
       docs.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
   }
 
   /** embeddings plus planted near-duplicates of the 50 smallest
@@ -123,11 +132,15 @@ object DedupQueries {
     // no corpus or batch shuffle anywhere in the plan.
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // re-submission ids offset past max(doc_id) — same dynamic-offset
+      // rule as docsWithDups (r13 advisor: fixed +300000 collides with
+      // real ids at the interleaved top rung)
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 300000L
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("text"))
         .union(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
-          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
       // strategy pinned to "bloom": this query demonstrates (and the
       // PLANS.md audit documents) the no-shuffle shape a 100 TB
       // corpus needs; "auto" would pick the plain broadcast anti-join
@@ -498,7 +511,7 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |  SELECT doc_id + (SELECT max(doc_id) + 100000 FROM documents) AS doc_id, text FROM documents WHERE doc_id < 50),
         |sh AS (
         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
         |           FOR i IN generate_series(1, greatest(len(w) - 2, 0))]) AS s
@@ -524,7 +537,7 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |  SELECT doc_id + (SELECT max(doc_id) + 100000 FROM documents) AS doc_id, text FROM documents WHERE doc_id < 50),
         |fp AS (
         |  SELECT doc_id,
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
@@ -585,7 +598,7 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        |  SELECT doc_id + (SELECT max(doc_id) + 100000 FROM documents) AS doc_id, text FROM documents WHERE doc_id < 50)
         |SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies
         |FROM (SELECT doc_id,
         |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
@@ -596,7 +609,7 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |  SELECT doc_id + (SELECT max(doc_id) + 100000 FROM documents) AS doc_id, text FROM documents WHERE doc_id < 50),
         |keyed AS (
         |  SELECT doc_id,
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
@@ -647,7 +660,8 @@ object DedupQueries {
         |batch AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
         |  UNION ALL
-        |  SELECT doc_id + 300000 AS doc_id, text FROM documents
+        |  SELECT doc_id + (SELECT max(doc_id) + 300000 FROM documents) AS doc_id,
+        |    text FROM documents
         |  WHERE doc_id % 2 = 0 AND doc_id < 40),
         |bfp AS (
         |  SELECT doc_id,
@@ -718,7 +732,7 @@ object DedupQueries {
         |corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |  SELECT doc_id + (SELECT max(doc_id) + 100000 FROM documents) AS doc_id, text FROM documents WHERE doc_id < 50),
         |sh AS (
         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
         |           FOR i IN generate_series(1, greatest(len(w) - 2, 0))]) AS s
@@ -851,7 +865,7 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |  SELECT doc_id + (SELECT max(doc_id) + 100000 FROM documents) AS doc_id, text FROM documents WHERE doc_id < 50),
         |sh AS (
         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
         |           FOR i IN generate_series(1, greatest(len(w) - 2, 0))]) AS s

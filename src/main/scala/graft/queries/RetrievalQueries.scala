@@ -55,7 +55,13 @@ object RetrievalQueries {
         .map(3L -> _) ++
       Seq(4L -> "vector", 4L -> "spark", 4L -> "key", 4L -> "zzzunseen") ++
       Seq(5L -> "table hash", 5L -> "stream",
-        6L -> "merge order", 6L -> "zzzunseen dup")
+        6L -> "merge order", 6L -> "zzzunseen dup") ++
+      // r14 (advisor): trigram and 4-gram queries — the kernel accepts
+      // grains 1..4 and the oracle now generates the same grain set,
+      // so the longer phrases are gate-checked, not just spec-checked.
+      // Both phrases occur in the sf0.01 corpus (df 8 / df 4).
+      Seq(7L -> "slow hash batch",
+        8L -> "value slow hash data", 8L -> "dup")
 
   val queries: Map[String, Q] = Map(
     // Batch BM25: 6 keyword queries — two of them PHRASE queries
@@ -248,9 +254,15 @@ object RetrievalQueries {
          |    CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM base),
          |ex AS (
          |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
-         |    unnest(list_concat(w,
+         |    unnest(list_concat(list_concat(w,
          |      list_transform(range(1, len(w)),
-         |        i -> w[i] || ' ' || w[i + 1]))) AS word
+         |        i -> w[i] || ' ' || w[i + 1])),
+         |      list_concat(
+         |        list_transform(range(1, len(w) - 1),
+         |          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]),
+         |        list_transform(range(1, len(w) - 2),
+         |          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+         |               || ' ' || w[i + 3])))) AS word
          |  FROM base),
          |m AS (
          |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl

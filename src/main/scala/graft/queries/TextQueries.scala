@@ -307,9 +307,12 @@ object TextQueries {
     // ever fails is a gate the oracle can't see break.
     "pipeline_training_data" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // plant offset derived from the data (r13 advisor): a fixed
+      // +100000 collides with real doc_ids at the interleaved top rung
+      val off = base.agg(max(col("doc_id"))).head().getLong(0) + 100000L
       val docs = base.union(
         Tables.documents(s, d).filter(col("doc_id") < 50)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
       val validated = graft.operators.CleanOps.validateRows(docs, "text", maxChars = 500)
       val deduped = validated
         .withColumn("fp", fingerprint(col("text")))
@@ -1274,7 +1277,8 @@ object TextQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+         |  SELECT doc_id + (SELECT max(doc_id) + 100000 FROM documents)
+         |    AS doc_id, text FROM documents
          |  WHERE doc_id < 50),
          |validated AS (
          |  SELECT doc_id, text, $normSql AS n

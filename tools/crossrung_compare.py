@@ -71,9 +71,18 @@ def main():
                 "testdata-sf10": "PLAN_HASHES_sf10.json"}.get(rung)
     hashes = os.path.join(out_dir, "plan_hashes.json")
     if baseline and os.path.exists(baseline) and os.path.exists(hashes):
-        r = subprocess.run(
-            [sys.executable, os.path.join(here, "planhash_diff.py"),
-             baseline, hashes], capture_output=True, text=True)
+        # on a SUBSET insurance run (roster < full oracle set) pass the
+        # dumped-query list so planhash_diff runs in subset mode —
+        # otherwise every undumped query reads as PLAN GONE against the
+        # full committed baseline and the run exits 1 spuriously (r13
+        # advisor). Intersect with the hashes actually dumped, like
+        # localverify.sh forwarding "$@".
+        hashed = set(json.load(open(hashes)))
+        argv = [sys.executable, os.path.join(here, "planhash_diff.py"),
+                baseline, hashes]
+        if roster < set(oracles):
+            argv += sorted(roster & hashed)
+        r = subprocess.run(argv, capture_output=True, text=True)
         print()
         print(r.stdout.strip())
         plan_drift = r.returncode != 0

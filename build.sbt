@@ -21,6 +21,29 @@ run / fork := true
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// ClusterFaultSpec builds a local-cluster SparkSession (REAL executor
+// JVMs, one of which it kills mid-query) — that context can't coexist
+// with the shared local[4] session every other suite uses, so it gets
+// its own forked test JVM. local-cluster launches executors through
+// SPARK_HOME scripts, hence the env vars (the same recipe as the
+// Verify/Bench multi-JVM gate).
+Test / testGrouping := {
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars(Map(
+      "SPARK_HOME" -> "/opt/spark",
+      "SPARK_SCALA_VERSION" -> "2.13"))
+  val (cluster, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.ClusterFaultSpec")
+  Seq(
+    Tests.Group("cluster-fault", cluster, Tests.SubProcess(forkOpts)),
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts))
+  ).filter(_.tests.nonEmpty)
+}
+// the two forked groups must not run concurrently: two Spark-heavy
+// JVMs contending for one host skews the streaming specs' timing
+// assertions
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

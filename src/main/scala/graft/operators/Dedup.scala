@@ -795,17 +795,31 @@ object Dedup {
     * returns the convergence signal. Zero chg rows ⟺ neither star
     * changed an edge ⟺ star-forest fixpoint. Superseded round
     * checkpoints are freed by the ContextCleaner once the driver
-    * drops the reference; each is O(|E|) ids. On a cluster with
-    * dynamic allocation prefer a reliable `checkpoint()` dir —
-    * localCheckpoint blocks die with their executor.
+    * drops the reference; each is O(|E|) ids.
+    *
+    * `checkpointDir` selects the truncation policy (see
+    * [[IterCheckpoint]]): None (default) = localCheckpoint — fastest,
+    * but the blocks die with their executor, so a 15-round run on a
+    * cluster with executor loss or dynamic allocation fails
+    * unrecoverably mid-iteration; Some(dir) = reliable checkpoint —
+    * each round lands on shared storage and an executor killed
+    * mid-loop costs one stage retry, not the run (ClusterFaultSpec
+    * kills a real executor JVM between rounds under local-cluster and
+    * asserts identical convergence). The caller owns `dir` cleanup.
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    componentsWithRounds(pairs, maxIter)._1
+  def components(pairs: DataFrame, maxIter: Int = 20,
+                 checkpointDir: Option[String] = None): DataFrame =
+    componentsWithRounds(pairs, maxIter, checkpointDir)._1
 
   /** [[components]] plus the number of rounds it took — exposed for
-    * specs asserting the O(log) convergence behavior.
+    * specs asserting the O(log) convergence behavior. `onRound` fires
+    * after each round's action (the fault spec injects its executor
+    * kill there — deterministic mid-iteration timing).
     */
-  private[graft] def componentsWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+  private[graft] def componentsWithRounds(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None,
+      onRound: Int => Unit = _ => ()): (DataFrame, Int) = {
+    val ck = new IterCheckpoint(pairs.sparkSession, checkpointDir)
     // ONE scan of the (possibly expensive) pairs input: self-pairs
     // ride along into the checkpoint so the label-extraction step can
     // recover self-paired-only nodes without re-running the pair
@@ -818,8 +832,8 @@ object Dedup {
       .filter(col("u").isNotNull && col("v").isNotNull)
       .distinct()
       .withColumn("chg", lit(true))
-      .localCheckpoint(false)
-    var edges = init.filter(col("u") =!= col("v"))
+    val initCk = ck(init)
+    var edges = initCk.filter(col("u") =!= col("v"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -851,16 +865,17 @@ object Dedup {
         .select(col("v").as("u2"), col("m").as("v2"), lit(true).as("chg"))
       val self = sMin.select(col("u").as("u2"), col("m").as("v2"),
         col("chg_l").as("chg"))
-      val next = rewrites.union(self)
+      val next = ck(rewrites.union(self)
         .groupBy(col("u2"), col("v2")).agg(max(col("chg")).as("chg"))
-        .select(col("u2").as("u"), col("v2").as("v"), col("chg"))
-        .localCheckpoint(false)
+        .select(col("u2").as("u"), col("v2").as("v"), col("chg")))
       // the ONE action per round: materializes the checkpoint and
       // reads the convergence signal off the same job
       val changed = next.filter(col("chg")).count()
+      ck.roundDone()
       edges = next
       converged = changed == 0
       i += 1
+      onRound(i)
     }
     if (!converged) throw new IllegalStateException(
       s"components did not converge within $maxIter rounds — the " +
@@ -876,7 +891,7 @@ object Dedup {
     // that appears in a pair, and a self-paired node is its own
     // component minimum. Read off the materialized init checkpoint,
     // NOT the raw pairs input (that would re-run the pair pipeline).
-    val selfOnly = init.filter(col("u") === col("v"))
+    val selfOnly = initCk.filter(col("u") === col("v"))
       .select(col("u").as("id"))
       .join(starLabels, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))

@@ -217,13 +217,21 @@ object TextFilters {
     */
   def removeRepeatedSpansFixpoint(docs: DataFrame, idCol: String,
       textCol: String, n: Int, minDf: Long, maxPasses: Int = 8,
-      strategy: String = "auto"): (DataFrame, Seq[Long]) = {
+      strategy: String = "auto",
+      checkpointDir: Option[String] = None): (DataFrame, Seq[Long]) = {
     require(maxPasses >= 1, s"maxPasses must be >= 1: $maxPasses")
-    def cumRemoved(df: DataFrame): Long =
-      Option(df.agg(sum(col("n_removed"))).head().get(0))
+    // same truncation-policy switch as Dedup.components: default
+    // localCheckpoint (fast, executor-bound blocks), reliable file
+    // checkpoints when a dir is given — survives executor loss
+    // mid-fixpoint (see IterCheckpoint / ClusterFaultSpec)
+    val ck = new IterCheckpoint(docs.sparkSession, checkpointDir)
+    def cumRemoved(df: DataFrame): Long = {
+      val c = Option(df.agg(sum(col("n_removed"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-    var cur = removeRepeatedSpans(docs, idCol, textCol, n, minDf, strategy)
-      .localCheckpoint(false)
+      ck.roundDone()
+      c
+    }
+    var cur = ck(removeRepeatedSpans(docs, idCol, textCol, n, minDf, strategy))
     var lastCum = cumRemoved(cur)
     val perPass = scala.collection.mutable.ArrayBuffer(lastCum)
     var pass = 1
@@ -235,13 +243,12 @@ object TextFilters {
       // left join: emptied docs have no `next` row and keep their
       // accumulated state; re-cleaned docs fold this pass's removals
       // into the running totals
-      cur = cur
+      cur = ck(cur
         .join(next.select(col(idCol), col("n_removed").as("__nr"),
           col("text_clean").as("__tc")), Seq(idCol), "left_outer")
         .select(col(idCol), col("n_words"),
           (col("n_removed") + coalesce(col("__nr"), lit(0L))).as("n_removed"),
-          coalesce(col("__tc"), col("text_clean")).as("text_clean"))
-        .localCheckpoint(false)
+          coalesce(col("__tc"), col("text_clean")).as("text_clean")))
       val cumNow = cumRemoved(cur)
       perPass += (cumNow - lastCum)
       lastCum = cumNow

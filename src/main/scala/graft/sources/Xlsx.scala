@@ -49,24 +49,50 @@ object Xlsx {
     * preview read, file_access.py:59 `read_excel(nrows=...)`): the
     * StAX loop short-circuits after header + nrows, so previewing a
     * huge workbook does not parse it whole.
+    *
+    * `skipRows`/`useCols` complete the reference fileserver's
+    * parameterized read contract (fileserver.py:201-240
+    * `read_excel(sheet_name, nrows, skiprows, usecols)`), applied at
+    * PARSE time like pandas, not as a post-read projection:
+    *  - `skipRows = n` discards the sheet's first n physical rows
+    *    before the header — the header-at-row-N workbook (title +
+    *    blank preamble above the real table) that a post-read
+    *    `.filter` cannot express, because the junk rows poison the
+    *    schema itself;
+    *  - `useCols = Some("A:C,E")` keeps only the named Excel column
+    *    positions (pandas' usecols string form: letters and
+    *    inclusive letter ranges, comma-separated). Positions index
+    *    the ORIGINAL sheet columns, header and data alike. With
+    *    useCols set, `strict` overflow checking is skipped — row
+    *    width beyond the selection is the point of selecting.
     */
   def read(spark: SparkSession, path: String,
            sheetName: Option[String] = None,
            strict: Boolean = false,
            nrows: Option[Int] = None,
+           skipRows: Int = 0,
+           useCols: Option[String] = None,
            maxFileBytes: Long = Sources.DefaultRescueCapBytes): DataFrame = {
     nrows.foreach(n => require(n >= 0, s"nrows must be >= 0, got $n"))
+    require(skipRows >= 0, s"skipRows must be >= 0, got $skipRows")
+    val keep = useCols.map(parseUseCols)
+    def project(cells: Seq[String]): Seq[String] = keep match {
+      case None => cells
+      case Some(idx) => idx.map(i => if (i < cells.length) cells(i) else null)
+    }
     val files = sizedWorkbooks(spark, path, maxFileBytes)
     import spark.implicits._
-    // header: first row of the lexicographically first file; only
-    // that one row is parsed (maxRows short-circuits the StAX loop)
+    // header: first kept row of the lexicographically first file; only
+    // the skipped preamble + that one row is parsed (maxRows
+    // short-circuits the StAX loop)
     val firstFile = files.orderBy("path")
       .as[(String, Array[Byte])].take(1).toSeq
     val header = firstFile
       .flatMap { case (p, bytes) =>
-        parseSheetRows(bytes, sheetName, maxRows = 1, source = p).toSeq
-      }.headOption.getOrElse(Seq.empty)
-    if (header.isEmpty) {
+        parseSheetRows(bytes, sheetName, maxRows = skipRows + 1, source = p)
+          .drop(skipRows).toSeq
+      }.headOption.map(project).getOrElse(Seq.empty)
+    if (header.isEmpty || header.forall(_ == null)) {
       // a headerless FIRST file defines a width-0 schema for the whole
       // glob — every row of every other file would be dropped. strict
       // mode fails loudly instead of returning that empty frame.
@@ -76,22 +102,55 @@ object Xlsx {
           "or read with strict=false")
       return spark.emptyDataFrame
     }
-    val maxRows = nrows.map(n => if (n >= Int.MaxValue - 1) Int.MaxValue else n + 1)
+    val maxRows = nrows.map(n =>
+      if (n >= Int.MaxValue - 1 - skipRows) Int.MaxValue else skipRows + n + 1)
       .getOrElse(Int.MaxValue)
     val rowsDs = files.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
       parseSheetRows(bytes, sheetName, maxRows = maxRows, source = p)
-        .drop(1).map(cells => (p, cells))
+        .drop(skipRows + 1).map(cells => (p, cells))
     }
-    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    // a selected position past the header row's width has no name —
+    // Spark CSV's `_c<i>` convention, not a null/empty field name
+    val schema = StructType(header.zipWithIndex.map { case (h, i) =>
+      StructField(if (h == null) s"_c$i" else h, StringType, nullable = true)
+    })
     val width = header.length
+    val checkOverflow = strict && keep.isEmpty
     val rdd = rowsDs.rdd.map { case (p, cells) =>
-      if (strict && cells.length > width) throw new IllegalStateException(
+      if (checkOverflow && cells.length > width) throw new IllegalStateException(
         s"$p: row has ${cells.length} cells but the header (from the " +
           s"lexicographically first file) has $width — overflow cells would " +
           "be dropped; widen the header file or read with strict=false")
-      Row.fromSeq(cells.padTo(width, null).take(width))
+      Row.fromSeq(project(cells).padTo(width, null).take(width))
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Parse pandas' usecols STRING form for Excel reads: single
+    * letters and inclusive letter ranges, comma-separated —
+    * "A:C,E" -> Seq(0, 1, 2, 4). Output is sorted and deduplicated
+    * (pandas keeps sheet order regardless of spec order).
+    */
+  private[graft] def parseUseCols(spec: String): Seq[Int] = {
+    def idx(ref: String): Int = {
+      val t = ref.trim.toUpperCase
+      require(t.nonEmpty && t.forall(c => c >= 'A' && c <= 'Z'),
+        s"usecols: '$ref' is not an Excel column letter")
+      colIndex(t)
+    }
+    val cols = spec.split(",").filter(_.trim.nonEmpty).flatMap { part =>
+      part.split(":", -1) match {
+        case Array(one) => Seq(idx(one))
+        case Array(a, b) =>
+          val (lo, hi) = (idx(a), idx(b))
+          require(lo <= hi, s"usecols: descending range '$part'")
+          lo to hi
+        case _ => throw new IllegalArgumentException(
+          s"usecols: malformed range '$part' (expect A, A:C, comma-separated)")
+      }
+    }
+    require(cols.nonEmpty, s"usecols selected no columns: '$spec'")
+    cols.distinct.sorted.toSeq
   }
 
   /** Per-file audit of rows wider than the header — the rows

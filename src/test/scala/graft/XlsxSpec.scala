@@ -142,4 +142,56 @@ class XlsxSpec extends SparkSpec {
     val garbage = "not,a,workbook".getBytes("UTF-8")
     intercept[IllegalArgumentException] { Xlsx.sheetNames(garbage) }
   }
+
+  test("skipRows: header-at-row-N workbook reads through the preamble") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_skip").toString
+    // row 1 = report title, row 2 = blank, row 3 = the real header
+    Xlsx.write(s"$dir/r.xlsx", Seq("Quarterly report"),
+      Seq(Seq(), Seq("id", "name"), Seq(1, "a"), Seq(2, "b")))
+    val df = Xlsx.read(spark, s"$dir/r.xlsx", skipRows = 2)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    // skipRows composes with nrows: preview 1 DATA row after the skip
+    assert(Xlsx.read(spark, s"$dir/r.xlsx", skipRows = 2,
+      nrows = Some(1)).count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.read(spark, s"$dir/r.xlsx", skipRows = -1)
+    }
+    assert(e.getMessage.contains("skipRows"))
+  }
+
+  test("useCols: pandas letter/range string selects original positions") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_usecols").toString
+    Xlsx.write(s"$dir/u.xlsx", Seq("a", "b", "c", "d", "e"),
+      Seq(Seq(1, 2, 3, 4, 5), Seq(6, 7, 8, 9, 10)))
+    val df = Xlsx.read(spark, s"$dir/u.xlsx", useCols = Some("A:B,D"))
+    assert(df.columns.toSeq == Seq("a", "b", "d"))
+    assert(df.orderBy("a").collect().map(_.getString(2)).toSeq == Seq("4", "9"))
+    // spec order does not matter; duplicates collapse (pandas keeps
+    // sheet order)
+    assert(Xlsx.read(spark, s"$dir/u.xlsx", useCols = Some("D,A,A"))
+      .columns.toSeq == Seq("a", "d"))
+    // a selected position past a short row reads null, past the header
+    // gets the _c<i> placeholder name
+    Xlsx.write(s"$dir/v.xlsx", Seq("k"), Seq(Seq(1)))
+    val wide = Xlsx.read(spark, s"$dir/v.xlsx", useCols = Some("A,C"))
+    assert(wide.columns.toSeq == Seq("k", "_c1"))
+    assert(wide.collect().head.isNullAt(1))
+    assert(intercept[IllegalArgumentException] {
+      Xlsx.parseUseCols("C:A")
+    }.getMessage.contains("descending"))
+    assert(intercept[IllegalArgumentException] {
+      Xlsx.parseUseCols("1,2")
+    }.getMessage.contains("not an Excel column letter"))
+  }
+
+  test("skipRows + useCols compose, and dispatch to .xls transparently") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_skip_xls").toString
+    graft.sources.Xls.write(s"$dir/r.xls", Seq("Legacy export"),
+      Seq(Seq("id", "junk", "name"), Seq(1, "x", "a"), Seq(2, "y", "b")))
+    val df = Xlsx.read(spark, s"$dir/r.xls", skipRows = 1,
+      useCols = Some("A,C"))
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
 }

@@ -241,6 +241,53 @@ object Cdc {
     }
     touched
   }
+
+  /** Swap residue under `tablePath`: the `_backup_<uuid>/` and
+    * `_staging_<uuid>/` directories a failed rollback or failed
+    * post-commit cleanup leaves behind. Underscore-prefixed, so
+    * readers never see them — but the BYTES are still on disk, which
+    * for a delete-upsert (takedown, right-to-erasure) is a compliance
+    * problem, not a cosmetic one. This is the audit surface; feed it
+    * to [[vacuum]] or alerting.
+    */
+  def swapResidue(spark: SparkSession, tablePath: String): Seq[String] = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && {
+        val n = s.getPath.getName
+        n.startsWith("_backup_") || n.startsWith("_staging_")
+      })
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Remove aged swap residue (see [[swapResidue]]): every
+    * `_backup_*`/`_staging_*` directory whose modification time is
+    * older than `olderThanMs` is deleted; younger dirs are left alone
+    * because they may belong to an IN-FLIGHT swap (a concurrent
+    * upsert's staging write or a just-failed swap an operator is
+    * still recovering by hand). Live partition directories are never
+    * candidates. Returns the removed paths.
+    *
+    * Run it the way table formats run VACUUM: periodically, with a
+    * retention window comfortably longer than any swap could run
+    * (default 24 h). After a MANUAL recovery from a failed rollback,
+    * run it with the retention you can attest to — the takedown is
+    * not complete until this has removed the backup bytes.
+    */
+  def vacuum(spark: SparkSession, tablePath: String,
+             olderThanMs: Long = 24L * 3600 * 1000,
+             committer: SwapCommitter = SwapCommitter.hadoop): Seq[String] = {
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0: $olderThanMs")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    swapResidue(spark, tablePath)
+      .map(new Path(_))
+      .filter(p => fs.getFileStatus(p).getModificationTime <= cutoff)
+      .map { p => committer.delete(fs, p); p.toString }
+  }
 }
 
 /** The filesystem commit primitives [[Cdc.upsertPartitioned]] swaps

@@ -80,6 +80,15 @@ class AnnSpec extends SparkSpec {
     val lists = spark.read.parquet(dir).select("list_id").distinct()
       .collect().map(_.getInt(0)).toSet
     assert(!lists.contains(after(survivor)), "emptied list must vanish")
+    // takedown hygiene (r14): the deleted vectors' bytes are gone —
+    // the rewritten lists' OLD files were removed, not just hidden,
+    // and the copy-on-write swap left zero backup/staging residue
+    val timesFinal = fileTimes()
+    doomedLists.foreach { l =>
+      timesBefore.keys.filter(_.contains(s"list_id=$l/")).foreach(p =>
+        assert(!timesFinal.contains(p), s"superseded file still on disk: $p"))
+    }
+    assert(graft.operators.Cdc.swapResidue(spark, dir).isEmpty)
   }
 
   test("knn join: k rows per id, self excluded, ranked by cosine") {

@@ -303,4 +303,56 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.upsertPartitioned(spark, dir, empty, Seq("k"), "part", Some("del")).isEmpty)
     assert(spark.read.parquet(dir).count() == 1)
   }
+
+  test("takedown hygiene: a delete-upsert leaves no superseded bytes; vacuum reaps aged residue only") {
+    val dir = Files.createTempDirectory("graft_vacuum").toString
+    Seq((1L, "p0", "keepme"), (2L, "p0", "ERASE-ME"), (3L, "p1", "other"))
+      .toDF("k", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    def allFiles(): Set[String] =
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(_.toString).toSet
+    val before = allFiles()
+    val oldP0 = before.filter(_.contains("part=p0"))
+    assert(oldP0.nonEmpty)
+
+    // right-to-erasure: delete key 2
+    Cdc.upsertPartitioned(spark, dir,
+      Seq((2L, "p0", "", true)).toDF("k", "part", "v", "del"),
+      Seq("k"), "part", Some("del"))
+
+    // the files that HELD the erased row are gone from disk — not just
+    // hidden from readers — and no swap residue remains anywhere
+    val after = allFiles()
+    assert(oldP0.forall(f => !after.contains(f)),
+      "superseded p0 files must be physically removed")
+    assert(Cdc.swapResidue(spark, dir).isEmpty)
+    assert(spark.read.parquet(dir).filter(col("k") === 2L).count() == 0)
+
+    // plant residue (the failed-rollback / failed-cleanup leftovers)
+    val b = Paths.get(dir, "_backup_old", "part=p0")
+    val s = Paths.get(dir, "_staging_old")
+    Files.createDirectories(b)
+    Files.createDirectories(s)
+    Files.write(b.resolve("f.parquet"), Array[Byte](1, 2, 3))
+    val residue = Cdc.swapResidue(spark, dir)
+    assert(residue.size == 2)
+    assert(residue.forall(p => p.contains("_backup_old") || p.contains("_staging_old")))
+
+    // a retention window longer than the dirs' age reaps nothing (an
+    // in-flight swap's staging dir must survive a concurrent vacuum)
+    assert(Cdc.vacuum(spark, dir, olderThanMs = 3600L * 1000).isEmpty)
+    assert(Cdc.swapResidue(spark, dir).size == 2)
+
+    // aged out: vacuum removes exactly the residue, never live dirs
+    val removed = Cdc.vacuum(spark, dir, olderThanMs = 0)
+    assert(removed.size == 2)
+    assert(Cdc.swapResidue(spark, dir).isEmpty)
+    assert(!Files.exists(b) && !Files.exists(s))
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // vacuum on a path with no residue (or no table at all) is a no-op
+    assert(Cdc.vacuum(spark, dir, olderThanMs = 0).isEmpty)
+    assert(Cdc.vacuum(spark, dir + "/nope", olderThanMs = 0).isEmpty)
+  }
 }

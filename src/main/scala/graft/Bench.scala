@@ -124,6 +124,64 @@ object Bench {
     // the scale-relevant operators while the stress pair stays
     // measured and visible.
     val stressTier = Set("dedup_embedding", "dedup_embedding_lsh")
+    // exclusive-mode control runs (r13 judge ask #6): the documented
+    // noise-sensitive queries measured up to 2x their isolated wall
+    // INSIDE the suite with unchanged plans/shuffle bytes (q4_exists
+    // 6.4 s in-suite vs 4.4 s exclusive at sf100, r13) — shared-JVM
+    // neighbor effects (JIT state, heap fragmentation), not plan
+    // regressions. A full-suite run re-times each flagged query in a
+    // FRESH JVM (same classpath/heap, subset env) after the suite and
+    // publishes both numbers, so ladder fits can read the exclusive
+    // figure and a widening in-suite gap flags interference loudly
+    // instead of polluting round-over-round comparison.
+    val noiseSensitive = Seq("q4_exists", "join_anti", "src_xls")
+    val exclusive: Map[String, Double] =
+      if (subset.nonEmpty || iters < 3 ||
+          sys.env.get("SPARK_GRAFT_EXCLUSIVE").contains("0")) Map.empty
+      else {
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+        val javaBin = java.nio.file.Paths
+          .get(System.getProperty("java.home"), "bin", "java").toString
+        noiseSensitive.filter(results.contains).flatMap { q =>
+          val out = s"/tmp/graft_exclusive_$q.json"
+          try {
+            val cmd = new java.util.ArrayList[String]()
+            cmd.add(javaBin)
+            jvmArgs.forEach(a => cmd.add(a))
+            cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+            cmd.add("graft.Bench")
+            val pb = new ProcessBuilder(cmd)
+            pb.environment().put("SPARK_GRAFT_BENCH_QUERIES", q)
+            pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+            pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+            pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+            pb.environment().put("SPARK_GRAFT_BENCH_ITERS", "3")
+            pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+            pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+            val rc = pb.start().waitFor()
+            val re = ("\"queries\":\\{\"" + q + "\":([-0-9.eE]+)").r
+            val parsed = if (rc == 0)
+              re.findFirstMatchIn(java.nio.file.Files.readString(
+                java.nio.file.Paths.get(out))).map(_.group(1).toDouble)
+            else None
+            parsed.filter(_ >= 0).map(q -> _).orElse {
+              System.err.println(s"[bench] exclusive rerun of $q failed (rc=$rc)")
+              None
+            }
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] exclusive rerun of $q: ${e.getMessage}")
+              None
+          }
+        }.toMap
+      }
+    exclusive.foreach { case (q, ex) =>
+      val in = results(q).median
+      if (ex > 0 && in > 1.15 * ex)
+        System.err.println(
+          f"[bench] INTERFERENCE: $q in-suite $in%.2f s > 1.15x exclusive $ex%.2f s")
+    }
     def numMap(f: QueryResult => Double): String =
       results.map { case (k, r) => s"\"" + k + "\":" + f(r) }
         .mkString("{", ",", "}")
@@ -150,7 +208,10 @@ object Bench {
     val totalSpill = results.values
       .map(r => math.max(r.m.memSpill, 0L) + math.max(r.m.diskSpill, 0L)).sum
     val nFailed = results.values.count(_.median < 0)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"queries_min":$qsMin,"plan_hash":$qsHash,"queries_shuffle_read":$qsShufR,"queries_shuffle_write":$qsShufW,"queries_spill_mem":$qsSpillM,"queries_spill_disk":$qsSpillD,"queries_peak_task_mem":$qsPeak,"total_shuffle_read":$totalShufR,"total_shuffle_write":$totalShufW,"total_spill":$totalSpill,"total_cold":$totalCold,"total_core":$totalCore,"total_stress":$totalStress,"stress_tier":[${stressTier.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"failed":$nFailed,"sf":"$sfDir"}"""
+    val qsExcl = exclusive.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_exclusive":$qsExcl,"queries_cold":$qsCold,"queries_min":$qsMin,"plan_hash":$qsHash,"queries_shuffle_read":$qsShufR,"queries_shuffle_write":$qsShufW,"queries_spill_mem":$qsSpillM,"queries_spill_disk":$qsSpillD,"queries_peak_task_mem":$qsPeak,"total_shuffle_read":$totalShufR,"total_shuffle_write":$totalShufW,"total_spill":$totalSpill,"total_cold":$totalCold,"total_core":$totalCore,"total_stress":$totalStress,"stress_tier":[${stressTier.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"failed":$nFailed,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact capture keeps only a ~3 KB stdout TAIL and
     // parses the last JSON line it can find in it. The full record
@@ -166,7 +227,7 @@ object Bench {
       .map { case (k, r) => s"\"" + k + f"\":${r.median}%.3f" }
       .mkString("{", ",", "}")
     def r3(v: Double): String = f"$v%.3f"
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top20,"queries_full":"BENCH_QUERIES.json","n_queries":${results.size},"total_cold":${r3(totalCold)},"total_core":${r3(totalCore)},"total_stress":${r3(totalStress)},"total_shuffle_read":$totalShufR,"total_shuffle_write":$totalShufW,"total_spill":$totalSpill,"failed":$nFailed,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top20,"queries_exclusive":$qsExcl,"queries_full":"BENCH_QUERIES.json","n_queries":${results.size},"total_cold":${r3(totalCold)},"total_core":${r3(totalCore)},"total_stress":${r3(totalStress)},"total_shuffle_read":$totalShufR,"total_shuffle_write":$totalShufW,"total_spill":$totalSpill,"failed":$nFailed,"sf":"$sfDir"}"""
     println(compact)
     // The driver's artifact capture tails stdout to ~2 KB, which
     // clipped the per-query map to the last ~67 queries (judge,

@@ -105,11 +105,22 @@ object TextFunctions {
     * are deliberately RE2-compatible (no lookarounds/backrefs) so the
     * DuckDB oracle applies the identical regexes; email first, so the
     * phone pattern can't eat an address's digits.
+    *
+    * Quantifiers are BOUNDED (RFC 5321's 64-char local part / 255-char
+    * domain; 20 digits covers every E.164 number): Java's regex is a
+    * backtracker, so an UNbounded `[...]+@` against a multi-megabyte
+    * token re-consumes the rest of the document from every start
+    * offset — O(doc²), a 15-minute single task on a 4 MB no-whitespace
+    * doc (r14 adversarial rung). Bounding caps per-offset work at the
+    * quantifier ceiling — O(64·doc) — and only excludes strings no
+    * mail server would accept anyway. DuckDB's RE2 is a DFA and never
+    * backtracks, but it applies the same bounded pattern so the
+    * decisions stay byte-identical.
     */
   def redactPii(c: Column): Column = {
     val email = regexp_replace(c,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
-    regexp_replace(email, "\\+\\d[\\d ]{4,}\\d", "[PHONE]")
+      "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24}", "[EMAIL]")
+    regexp_replace(email, "\\+\\d[\\d ]{4,20}\\d", "[PHONE]")
   }
 
   /** HTML/markup strip for crawled corpora: tags are replaced with a
@@ -124,7 +135,11 @@ object TextFunctions {
     * sequence.
     */
   def stripMarkup(c: Column): Column = {
-    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    // tag length bounded for the same backtracker reason as
+    // [[redactPii]] (unbounded [^>]* makes a '<'-run document
+    // quadratic); 1000 is RE2's repetition ceiling, and no sane
+    // markup carries a 1 KB tag
+    val noTags = regexp_replace(c, "<[^>]{0,1000}>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

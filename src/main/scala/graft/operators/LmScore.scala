@@ -80,8 +80,15 @@ object LmScore {
     val bc = spark.sparkContext.broadcast(model)
     val scoreUdf = udf { ws: Seq[String] =>
       val m = bc.value
-      // null text yields a null word array, not an empty one
-      val v = if (ws == null) Seq.empty[String] else ws.filter(_.nonEmpty)
+      // null text yields a null word array, not an empty one.
+      // Materialize to an ARRAY before the indexed loop: the deser-
+      // ialized Seq is a List, whose apply/length are O(i)/O(n) — the
+      // loop below was O(words²) per doc, a 15-minute single task on
+      // a 176 k-word document (found by the r14 adversarial rung; at
+      // crawl scale a long doc is a guaranteed straggler, not a rarity)
+      val v: Array[String] =
+        if (ws == null) Array.empty
+        else ws.iterator.filter(_.nonEmpty).toArray
       if (v.length < 2) None
       else {
         var sum = 0.0

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
 /** Session extension registering graft's native expressions so they
@@ -65,7 +65,26 @@ object GraftExtensions {
     (new FunctionIdentifier("graft_term_counts"),
       new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts"),
       (children: Seq[Expression]) => TermCounts(children(0),
-        children.tail.zipWithIndex.map { case (c, i) => strLit(c, s"term$i") })))
+        children.tail.zipWithIndex.map { case (c, i) => strLit(c, s"term$i") })),
+    // Spark's OWN codegen'd Bloom probe (the expression behind its
+    // injected runtime filters), exposed as a callable function:
+    // children(0) = the serialized util.sketch filter (a foldable
+    // binary — e.g. lit(bytes) of BloomFilter.writeTo), children(1)
+    // = the probed LONG (build the filter over the same hash, e.g.
+    // xxhash64). Evaluated as the r13 ask-#5 swap candidate for the
+    // incremental-dedup prefilter and REJECTED there on measurement
+    // (R14BloomProfile, SCALING r14): the filter rides the plan as a
+    // literal, so every TASK deserializes it — 7x slower than the
+    // broadcast+UDF probe at a 6 MB epoch-scale filter, while the
+    // UDF's per-row cost is indistinguishable from the bare scan.
+    // Kept registered for what it IS good at: small frozen filters
+    // (≲100 KB) probed from SQL with no broadcast plumbing.
+    // BloomProbeSpec pins decision-equality between the two forms.
+    (new FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "graft_bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(children(0), children(1))))
 
   /** Register into an existing session (no-op if already present). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -513,8 +513,10 @@ object DedupQueries {
         |  UNION ALL
         |  SELECT doc_id + (SELECT max(doc_id) + 100000 FROM documents) AS doc_id, text FROM documents WHERE doc_id < 50),
         |sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
-        |           FOR i IN generate_series(1, greatest(len(w) - 2, 0))]) AS s
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct([array_to_string(w[i:i+2], ' ')
+        |           FOR i IN generate_series(1, len(w) - 2)])
+        |    ELSE [array_to_string(w, ' ')] END AS s
         |  FROM (SELECT doc_id,
         |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
         |        FROM corpus WHERE text IS NOT NULL AND length(trim(text)) > 0)),
@@ -541,7 +543,11 @@ object DedupQueries {
         |fp AS (
         |  SELECT doc_id,
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-        |  FROM corpus WHERE text IS NOT NULL)
+        |  FROM corpus
+        |  -- blank-trim filter mirrors the engine's nonEmptyText: docs
+        |  -- with no signature never reach the banding side, so their
+        |  -- identical-fp pairs are not in the hamming<=3 set either
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -734,8 +740,10 @@ object DedupQueries {
         |  UNION ALL
         |  SELECT doc_id + (SELECT max(doc_id) + 100000 FROM documents) AS doc_id, text FROM documents WHERE doc_id < 50),
         |sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
-        |           FOR i IN generate_series(1, greatest(len(w) - 2, 0))]) AS s
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct([array_to_string(w[i:i+2], ' ')
+        |           FOR i IN generate_series(1, len(w) - 2)])
+        |    ELSE [array_to_string(w, ' ')] END AS s
         |  FROM (SELECT doc_id,
         |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
         |        FROM corpus WHERE text IS NOT NULL AND length(trim(text)) > 0)),
@@ -867,8 +875,10 @@ object DedupQueries {
         |  UNION ALL
         |  SELECT doc_id + (SELECT max(doc_id) + 100000 FROM documents) AS doc_id, text FROM documents WHERE doc_id < 50),
         |sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
-        |           FOR i IN generate_series(1, greatest(len(w) - 2, 0))]) AS s
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct([array_to_string(w[i:i+2], ' ')
+        |           FOR i IN generate_series(1, len(w) - 2)])
+        |    ELSE [array_to_string(w, ' ')] END AS s
         |  FROM (SELECT doc_id,
         |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
         |        FROM corpus WHERE text IS NOT NULL AND length(trim(text)) > 0)),

@@ -234,7 +234,7 @@ object TextQueries {
                 lit("\">"), col("text"), lit("</div>")))
             .otherwise(col("text")).as("raw"))
       raw.select(col("doc_id"),
-          regexp_count(col("raw"), lit("<[^>]*>")).cast("long").as("n_tags"),
+          regexp_count(col("raw"), lit("<[^>]{0,1000}>")).cast("long").as("n_tags"),
           T.stripMarkup(col("raw")).as("text_clean"),
           (length(col("raw")) - length(T.stripMarkup(col("raw"))))
             .cast("long").as("chars_removed"))
@@ -897,13 +897,13 @@ object TextQueries {
         |  SELECT doc_id, raw,
         |    trim(regexp_replace(
         |      replace(replace(replace(replace(replace(replace(
-        |        regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |        regexp_replace(raw, '<[^>]{0,1000}>', ' ', 'g'),
         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |        '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |      '\s+', ' ', 'g')) AS text_clean
         |  FROM raw)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(raw, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  CAST(len(regexp_extract_all(raw, '<[^>]{0,1000}>')) AS BIGINT) AS n_tags,
         |  text_clean,
         |  CAST(length(raw) - length(text_clean) AS BIGINT) AS chars_removed
         |FROM clean ORDER BY doc_id""".stripMargin,
@@ -1262,8 +1262,8 @@ object TextQueries {
         |  SELECT doc_id, source,
         |    regexp_replace(
         |      regexp_replace(raw,
-        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |      '\+\d[\d ]{4,}\d', '[PHONE]', 'g') AS clean
+        |        '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}', '[EMAIL]', 'g'),
+        |      '\+\d[\d ]{4,20}\d', '[PHONE]', 'g') AS clean
         |  FROM planted)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum((length(clean) - length(replace(clean, '[EMAIL]', ''))) / 7)
@@ -1324,7 +1324,8 @@ object TextQueries {
 
     "text_ngrams" ->
       s"""SELECT doc_id,
-         |  CAST(CASE WHEN len(w) >= 3 THEN
+         |  CAST(CASE WHEN text IS NULL THEN NULL
+         |    WHEN len(w) >= 3 THEN
          |      len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
          |                         for i in range(1, len(w) - 1)]))
          |    ELSE 1 END AS BIGINT) AS n_shingles,

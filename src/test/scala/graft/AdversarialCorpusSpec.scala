@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Dedup, LmScore}
+
+/** Unicode/size-pathology contracts for the text/dedup family (r13
+  * judge ask #3), pinned against the [[R14AdversarialGen]] corpus.
+  * Every decision the adversarial-rung gate run surfaced is made
+  * EXPLICIT here:
+  *
+  *  - byte-level canonicalization: NFC/NFD twins are DISTINCT
+  *    documents (no unicode normalization before fingerprinting);
+  *  - JVM casing is the engine contract: `lower` follows Java's
+  *    Unicode full-case mapping — U+0130 İ lowers to i+U+0307 (two
+  *    codepoints) and word-final Σ lowers context-sensitively to ς.
+  *    DuckDB's utf8proc maps İ→i and Σ→σ unconditionally, so the
+  *    oracle diverges on EXACTLY these two classes (8/500 adversarial
+  *    docs, enumerated in SCALING r14) — a documented oracle-scope
+  *    limit, not an engine defect;
+  *  - ASCII-`\s` tokenization: zero-width characters (ZWSP/ZWJ/ZWNJ/
+  *    WJ/BOM) are NOT separators, and unsegmented CJK/Thai text is
+  *    ONE token per whitespace run — whitespace tokenization is the
+  *    declared semantic, segmentation is out of scope;
+  *  - ingest sanitization: unpaired surrogates cannot cross the
+  *    parquet boundary; they encode as the UTF-8 replacement and the
+  *    persisted corpus is always well-formed;
+  *  - long-doc linearity: the three O(doc²) hot paths the rung
+  *    exposed (LmScore's List-indexed loop, redactPii's and
+  *    stripMarkup's unbounded greedy quantifiers) stay linear — each
+  *    pinned with a generous wall ceiling that the quadratic form
+  *    missed by two orders of magnitude.
+  */
+class AdversarialCorpusSpec extends SparkSpec {
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("NFC/NFD twins fingerprint differently: byte-level canonicalization") {
+    import java.text.Normalizer
+    val base = "café résumé naïve crème brûlée"
+    val nfc = Normalizer.normalize(base, Normalizer.Form.NFC)
+    val nfd = Normalizer.normalize(base, Normalizer.Form.NFD)
+    assert(nfc != nfd)
+    val df = spark.createDataFrame(Seq((1L, nfc), (2L, nfd)))
+      .toDF("id", "text")
+      .select(col("id"), T.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(_.getString(1))
+    assert(fps(0) != fps(1),
+      "NFC and NFD forms must stay distinct under the byte-level fingerprint")
+  }
+
+  test("JVM casing contract: İ expands, final sigma is context-sensitive") {
+    val df = spark.createDataFrame(Seq(
+        (1L, "İstanbul"), (2L, "ΟΔΥΣΣΕΥΣ")))
+      .toDF("id", "text")
+      .select(col("id"), lower(col("text")).as("l"))
+    val rows = df.orderBy(col("id")).collect().map(_.getString(1))
+    // U+0130 -> i + COMBINING DOT ABOVE (the Unicode full mapping;
+    // DuckDB's simple mapping drops the dot — oracle-scoped divergence)
+    assert(rows(0) == "i̇stanbul", rows(0).map(_.toInt.toHexString))
+    // word-final capital sigma -> ς (Java context rule; DuckDB: σ)
+    assert(rows(1) == "οδυσσευς", rows(1).map(_.toInt.toHexString))
+  }
+
+  test("zero-width characters are not token separators; CJK is one token") {
+    val df = spark.createDataFrame(Seq(
+        (1L, "data​base merge"),   // ZWSP glues data+base
+        (2L, "a‍‌b c⁠d"), // ZWJ/ZWNJ/WJ glue
+        (3L, "大数据处理引擎性能优化"),   // unsegmented CJK
+        (4L, "การประมวลผลข้อมูล")))      // unsegmented Thai
+      .toDF("id", "text")
+      .select(col("id"), T.tokenCount(col("text")).as("n"))
+    val n = df.orderBy(col("id")).collect().map(_.getInt(1))
+    assert(n.toSeq == Seq(2, 2, 1, 1), n.toSeq)
+  }
+
+  test("unpaired surrogates sanitize at the parquet boundary; ingest never crashes") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("adv_surrogate").toString
+    val df = spark.createDataFrame(Seq(
+        (1L, "head \ud800 tail"), (2L, "pair😀ok lone\ud83dend")))
+      .toDF("id", "text")
+    df.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).orderBy(col("id"))
+      .collect().map(_.getString(1))
+    // lone surrogate -> replacement; the REAL pair survives intact
+    assert(!back(0).exists(Character.isSurrogate),
+      back(0).map(_.toInt.toHexString))
+    assert(back(1).contains("pair😀ok"))
+    assert(back(1).endsWith("end") && !back(1).contains("lone\ud83de"))
+    // and the whole adversarial corpus round-trips without error
+    val n = spark.read
+      .parquet("/root/repo/testdata-adv/documents.parquet").count()
+    assert(n == 500)
+  }
+
+  test("exact unicode dup pairs collapse under Dedup.exact") {
+    val rows = R14AdversarialGen.corpus()
+      .filter { case (id, t, _, _) => id >= 350 && id < 370 && t.isDefined }
+      .map { case (id, t, _, _) => (id, t.get) }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val kept = Dedup.exact(df, "doc_id", "text")
+    // 20 docs = 10 byte-identical pairs -> 10 survivors, each n_copies=2
+    assert(kept.count() == 10)
+    assert(kept.filter(col("n_copies") =!= 2).count() == 0)
+  }
+
+  test("LmScore stays linear on a 200k-word document") {
+    val longDoc = ("alpha beta gamma delta " * 50000).trim // 200k words
+    val docs = spark.createDataFrame(
+        Seq((1L, longDoc), (2L, "alpha beta alpha beta")))
+      .toDF("doc_id", "text")
+    val model = LmScore.train(docs, "text")
+    val (rows, sec) = timed(
+      LmScore.score(docs, "text", model).select("lm_score").collect())
+    assert(rows.forall(!_.isNullAt(0)))
+    // the List-indexed form took ~15 min here; linear is sub-second,
+    // ceiling is 100x slack for a loaded CI host
+    assert(sec < 60.0, f"LmScore took $sec%.1f s on a 200k-word doc")
+  }
+
+  test("bounded redaction/markup regexes: linear on degenerate docs, semantics kept") {
+    val xRun = "x" * 1000000
+    val ltRun = "<" * 200000
+    val df = spark.createDataFrame(Seq(
+        (1L, s"contact bob@example.com or +1 5550 1234 now $xRun"),
+        (2L, s"$ltRun <b>keep me</b> tail"),
+        (3L, "long tag <" + ("a" * 2000) + "> stays")))
+      .toDF("id", "text")
+    val (out, sec) = timed(df
+      .select(col("id"), T.redactPii(col("text")).as("r"),
+        T.stripMarkup(col("text")).as("m"))
+      .orderBy(col("id")).collect())
+    assert(sec < 60.0, f"redact+strip took $sec%.1f s — quantifier bound lost?")
+    assert(out(0).getString(1).contains("[EMAIL]"))
+    assert(out(0).getString(1).contains("[PHONE]"))
+    assert(out(1).getString(2).contains("keep me") &&
+      !out(1).getString(2).contains("<b>"))
+    // the documented bound: a >1000-char tag is not markup, it survives
+    assert(out(2).getString(2).contains("<aaa"))
+  }
+}

@@ -33,10 +33,15 @@ Test / testGrouping := {
     .withEnvVars(Map(
       "SPARK_HOME" -> "/opt/spark",
       "SPARK_SCALA_VERSION" -> "2.13"))
-  val (cluster, rest) = (Test / definedTests).value
+  val (cluster, nonCluster) = (Test / definedTests).value
     .partition(_.name == "graft.ClusterFaultSpec")
+  // DeterminismSpec needs master local[4,4] (task retries) — its own
+  // SparkContext can't coexist with the shared local[4] session either
+  val (determinism, rest) = nonCluster
+    .partition(_.name == "graft.DeterminismSpec")
   Seq(
     Tests.Group("cluster-fault", cluster, Tests.SubProcess(forkOpts)),
+    Tests.Group("determinism", determinism, Tests.SubProcess(forkOpts)),
     Tests.Group("main", rest, Tests.SubProcess(forkOpts))
   ).filter(_.tests.nonEmpty)
 }

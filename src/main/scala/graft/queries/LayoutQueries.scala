@@ -94,6 +94,14 @@ object LayoutQueries {
   private val bucketCache = scala.collection.mutable.Map.empty[String, (String, String)]
   private def bucketedTables(s: SparkSession, d: String): (String, String) =
     bucketCache.synchronized {
+      // the cache is JVM-scoped but the catalog registration is
+      // SparkContext-scoped: a second session in the same JVM (the
+      // determinism harness' speculation pass found this) would reuse
+      // the name and hit TABLE_OR_VIEW_NOT_FOUND — rebuild when the
+      // current catalog doesn't know the table
+      bucketCache.get(d).filterNot { case (liT, _) =>
+        s.catalog.tableExists(liT)
+      }.foreach(_ => bucketCache.remove(d))
       bucketCache.getOrElseUpdate(d, {
         val suffix = (d.hashCode & Int.MaxValue).toString
         val (liT, ordT) = (s"li_bucketed_$suffix", s"ord_bucketed_$suffix")

@@ -19,13 +19,17 @@ import org.apache.spark.sql.types._
 object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Bounded scratch space: one fixed directory per round-trip query,
-    * wiped on entry — repeated Verify/Bench runs reuse it instead of
-    * leaking a fresh temp copy of the data every invocation.
+  /** Bounded scratch space: one fixed directory per round-trip query
+    * PER PROCESS, wiped on entry — repeated Verify/Bench runs in one
+    * JVM reuse it instead of leaking a fresh temp copy of the data
+    * every invocation, and two graft JVMs on one box (gate + test
+    * suite, a real collision the determinism harness hit) can't race
+    * each other's round-trip files.
     */
+  private val procTag = java.lang.ProcessHandle.current().pid().toString
   private def tmp(prefix: String): String = {
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_roundtrip", prefix)
+      System.getProperty("java.io.tmpdir"), s"graft_roundtrip_$procTag", prefix)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse

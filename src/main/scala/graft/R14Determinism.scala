@@ -159,7 +159,7 @@ object R14Determinism {
     val sfDir = args(0)
     val modes: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
-      else Set("invariance", "retry", "speculation")
+      else Set("invariance", "retry", "speculation", "clusterchaos")
     val subset = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     subset.foreach { qs =>
@@ -172,6 +172,7 @@ object R14Determinism {
     val configs = scala.collection.mutable.LinkedHashMap
       .empty[String, SortedMap[String, String]]
     var retryStats = (0L, 0L)
+    var clusterRetryStats = (0L, 0L)
     val speculativeMarked = new AtomicLong(0)
     val speculativeLaunched = new AtomicLong(0)
 
@@ -228,6 +229,18 @@ object R14Determinism {
       configs("speculation_cluster") = runRoster(s2, sfDir, roster)
       lap(s"speculation_cluster (marked=${speculativeMarked.get()} " +
         s"launched=${speculativeLaunched.get()})")
+      // maximal-chaos pass: kill-and-reschedule WHILE speculation is
+      // engaged, across real executor JVMs — task retries now also
+      // pay broadcast rehydration, closure transport, and remote
+      // shuffle fetches, the exact combination a lossy production
+      // cluster serves
+      if (modes("clusterchaos")) {
+        val (res, req, landed) =
+          Chaos.withTaskKills(s2, everyK = 3)(runRoster(s2, sfDir, roster))
+        configs("cluster_kills") = res
+        clusterRetryStats = (req, landed)
+        lap(s"cluster_kills (requested=$req landed=$landed)")
+      }
       s2.stop()
     }
 
@@ -244,7 +257,9 @@ object R14Determinism {
     val nDiverged = diverged.map(_._2.size).sum
     val pass = nDiverged == 0 && errors.isEmpty &&
       (!modes("retry") || retryStats._2 > 0) &&
-      (!modes("speculation") || speculativeMarked.get() > 0)
+      (!modes("speculation") || speculativeMarked.get() > 0) &&
+      (!(modes("speculation") && modes("clusterchaos")) ||
+        clusterRetryStats._2 > 0)
     val detail = diverged.map { case (cfg, bad) =>
       q(cfg) + ":" + bad.map(n =>
         s"{${q(n)}:{${q("base")}:${q(base(n))},${q("got")}:${q(configs(cfg)(n))}}}")
@@ -256,6 +271,8 @@ object R14Determinism {
       s""""diverged":$detail,"n_diverged":$nDiverged,""" +
       s""""errors":${errors.map(q).mkString("[", ",", "]")},""" +
       s""""retry_requested":${retryStats._1},"retry_landed":${retryStats._2},""" +
+      s""""cluster_kills_requested":${clusterRetryStats._1},""" +
+      s""""cluster_kills_landed":${clusterRetryStats._2},""" +
       s""""speculative_marked":${speculativeMarked.get()},""" +
       s""""speculative_launched":${speculativeLaunched.get()},"pass":$pass}"""
     Files.writeString(Paths.get(

@@ -216,6 +216,54 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sorted.toSeq == (0L until 1000L))
   }
 
+  test("hard-stopped stream resumes from its checkpoint exactly-once") {
+    // the other recovery class: not a task retry but a DRIVER-side
+    // abort — stop() mid-run cancels the in-flight batch; the restart
+    // must replay exactly the uncommitted offsets and the sink
+    // manifest must never show the aborted batch's partial files
+    import java.nio.file.{Files => JFiles}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val srcDir = JFiles.createTempDirectory("resume_src").toString
+    val sinkDir = JFiles.createTempDirectory("resume_sink").toString
+    val ckDir = JFiles.createTempDirectory("resume_ck").toString
+    (0 until 10).foreach { f =>
+      spark.range(f * 50L, (f + 1) * 50L).toDF("id").coalesce(1)
+        .write.mode("append").json(srcDir)
+    }
+    val slow = udf((x: Long) => { Thread.sleep(5); x })
+    def startQuery(trigger: Trigger) = spark.readStream
+      .schema(new StructType().add("id", LongType))
+      .option("maxFilesPerTrigger", "1")
+      .json(srcDir)
+      .select(slow(col("id")).as("id"))
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(trigger)
+      .start()
+    def sinkCount(): Long =
+      try spark.read.parquet(sinkDir).count() catch { case _: Throwable => 0L }
+    // run 1: ProcessingTime, hard-stop once at least two batches landed
+    val q1 = startQuery(Trigger.ProcessingTime("50 milliseconds"))
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (sinkCount() < 100 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(sinkCount() >= 100, "first run never committed two batches")
+    q1.stop()
+    val afterStop = sinkCount()
+    // run 2: resume from the same checkpoint and drain
+    val q2 = startQuery(Trigger.AvailableNow())
+    q2.awaitTermination()
+    val got = spark.read.parquet(sinkDir).select("id")
+      .collect().map(_.getLong(0))
+    assert(got.length == 500 && got.distinct.length == 500,
+      s"resume broke exactly-once: ${got.length} rows / " +
+        s"${got.distinct.length} distinct (post-stop snapshot had " +
+        s"$afterStop rows)")
+    assert(got.sorted.toSeq == (0L until 500L))
+  }
+
   test("gate queries are shuffle-partition-count and AQE invariant") {
     val sf = "/root/testdata/sf0.001"
     // one representative per family: agg, topn, window, near-dup,

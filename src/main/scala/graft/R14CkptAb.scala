@@ -52,8 +52,10 @@ object R14CkptAb {
     val edges = spark.read.parquet(edgeDir)
     val nEdges = edges.count()
 
-    def labelsChecksum(ckDir: Option[String]): (Long, Long, Long) = {
-      val lab = Dedup.components(edges, checkpointDir = ckDir)
+    def labelsChecksum(ckDir: Option[String],
+        interval: Int = 1): (Long, Long, Long) = {
+      val lab = Dedup.components(edges, checkpointDir = ckDir,
+        checkpointInterval = interval)
       // order-free fingerprint of the full (id, label) table
       val row = lab.agg(count(lit(1)), sum(col("id") * 31 + col("label")),
         sum(col("label"))).collect()(0)
@@ -61,11 +63,12 @@ object R14CkptAb {
         row.getAs[Number](2).longValue())
     }
 
-    def timedMode(ckDir: Option[String]): (Double, Seq[Double]) = {
-      labelsChecksum(ckDir) // warm-up
+    def timedMode(ckDir: Option[String],
+        interval: Int = 1): (Double, Seq[Double]) = {
+      labelsChecksum(ckDir, interval) // warm-up
       val samples = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        labelsChecksum(ckDir)
+        labelsChecksum(ckDir, interval)
         (System.nanoTime() - t0) / 1e9
       }
       (samples.sorted.apply(samples.length / 2), samples)
@@ -77,11 +80,18 @@ object R14CkptAb {
     // equal answers first — the price below is for the same labels
     val base = labelsChecksum(None)
     val rel = labelsChecksum(Some(ckRoot))
+    val relI4 = labelsChecksum(Some(ckRoot), interval = 4)
     require(base == rel,
       s"label tables diverge between checkpoint modes: $base vs $rel")
+    require(base == relI4,
+      s"label tables diverge at interval 4: $base vs $relI4")
 
     val (localSec, localAll) = timedMode(None)
     val (relSec, relAll) = timedMode(Some(ckRoot))
+    // the amortization knob (MLlib PeriodicRDDCheckpointer discipline):
+    // checkpoint every 4th round, persist-only between — recovery
+    // replays <= 3 rounds from the last files instead of failing
+    val (relI4Sec, relI4All) = timedMode(Some(ckRoot), interval = 4)
 
     // bytes the reliable mode parked on shared storage (all rounds of
     // the LAST run — earlier runs' rdd dirs accumulate under the same
@@ -100,8 +110,11 @@ object R14CkptAb {
       s""""local_sec":${f"$localSec%.3f"},""" +
       s""""reliable_sec":${f"$relSec%.3f"},""" +
       s""""ratio":${f"${relSec / localSec}%.3f"},""" +
+      s""""reliable_i4_sec":${f"$relI4Sec%.3f"},""" +
+      s""""ratio_i4":${f"${relI4Sec / localSec}%.3f"},""" +
       s""""local_all":[${localAll.map(v => f"$v%.3f").mkString(",")}],""" +
       s""""reliable_all":[${relAll.map(v => f"$v%.3f").mkString(",")}],""" +
+      s""""reliable_i4_all":[${relI4All.map(v => f"$v%.3f").mkString(",")}],""" +
       s""""reliable_dir_bytes":$ckBytes}""")
     println(line)
     sys.env.get("SPARK_GRAFT_AB_OUT").foreach { p =>

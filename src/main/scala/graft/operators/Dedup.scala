@@ -806,10 +806,19 @@ object Dedup {
     * mid-loop costs one stage retry, not the run (ClusterFaultSpec
     * kills a real executor JVM between rounds under local-cluster and
     * asserts identical convergence). The caller owns `dir` cleanup.
+    * `checkpointInterval` (reliable mode's amortization knob, the
+    * MLlib PeriodicRDDCheckpointer discipline) checkpoints every k-th
+    * round and persists the rounds between un-truncated: lineage
+    * depth stays <= k (bounded plan size), recovery replays at most
+    * k-1 rounds from the last files, and the per-round file-write tax
+    * — the dominant reliable-mode cost, priced in SCALING.md — is
+    * paid once per k rounds.
     */
   def components(pairs: DataFrame, maxIter: Int = 20,
-                 checkpointDir: Option[String] = None): DataFrame =
-    componentsWithRounds(pairs, maxIter, checkpointDir)._1
+                 checkpointDir: Option[String] = None,
+                 checkpointInterval: Int = 1): DataFrame =
+    componentsWithRounds(pairs, maxIter, checkpointDir,
+      checkpointInterval = checkpointInterval)._1
 
   /** [[components]] plus the number of rounds it took — exposed for
     * specs asserting the O(log) convergence behavior. `onRound` fires
@@ -818,8 +827,10 @@ object Dedup {
     */
   private[graft] def componentsWithRounds(pairs: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None,
-      onRound: Int => Unit = _ => ()): (DataFrame, Int) = {
-    val ck = new IterCheckpoint(pairs.sparkSession, checkpointDir)
+      onRound: Int => Unit = _ => (),
+      checkpointInterval: Int = 1): (DataFrame, Int) = {
+    val ck = new IterCheckpoint(pairs.sparkSession, checkpointDir,
+      checkpointInterval)
     // ONE scan of the (possibly expensive) pairs input: self-pairs
     // ride along into the checkpoint so the label-extraction step can
     // recover self-paired-only nodes without re-running the pair

@@ -218,13 +218,16 @@ object TextFilters {
   def removeRepeatedSpansFixpoint(docs: DataFrame, idCol: String,
       textCol: String, n: Int, minDf: Long, maxPasses: Int = 8,
       strategy: String = "auto",
-      checkpointDir: Option[String] = None): (DataFrame, Seq[Long]) = {
+      checkpointDir: Option[String] = None,
+      checkpointInterval: Int = 1): (DataFrame, Seq[Long]) = {
     require(maxPasses >= 1, s"maxPasses must be >= 1: $maxPasses")
     // same truncation-policy switch as Dedup.components: default
     // localCheckpoint (fast, executor-bound blocks), reliable file
     // checkpoints when a dir is given — survives executor loss
-    // mid-fixpoint (see IterCheckpoint / ClusterFaultSpec)
-    val ck = new IterCheckpoint(docs.sparkSession, checkpointDir)
+    // mid-fixpoint (see IterCheckpoint / ClusterFaultSpec);
+    // checkpointInterval amortizes the file writes across passes
+    val ck = new IterCheckpoint(docs.sparkSession, checkpointDir,
+      checkpointInterval)
     def cumRemoved(df: DataFrame): Long = {
       val c = Option(df.agg(sum(col("n_removed"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)

@@ -20,16 +20,25 @@ object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Bounded scratch space: one fixed directory per round-trip query
-    * PER PROCESS, wiped on entry — repeated Verify/Bench runs in one
-    * JVM reuse it instead of leaking a fresh temp copy of the data
-    * every invocation, and two graft JVMs on one box (gate + test
-    * suite, a real collision the determinism harness hit) can't race
-    * each other's round-trip files.
+    * PER (PROCESS, CALLING THREAD), wiped on entry — repeated
+    * Verify/Bench runs in one JVM reuse it instead of leaking a fresh
+    * temp copy of the data every invocation; two graft JVMs on one box
+    * (gate + test suite, a real collision the determinism harness hit)
+    * can't race each other's round-trip files; and two THREADS of one
+    * JVM running the same query simultaneously (a shared thrift-server
+    * -style session — the R14Concurrent duplicate drill caught exactly
+    * this: simultaneous sink_parquet instances tore each other's
+    * overwrite and two of them returned WRONG content, not errors)
+    * each get their own dir. A thread only ever wipes its own scratch,
+    * so a returned-but-unconsumed round-trip frame stays readable
+    * until ITS thread re-invokes a round-trip query — the same
+    * lifecycle the per-process form already had.
     */
   private val procTag = java.lang.ProcessHandle.current().pid().toString
   private def tmp(prefix: String): String = {
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_roundtrip_$procTag", prefix)
+      System.getProperty("java.io.tmpdir"),
+      s"graft_roundtrip_${procTag}_t${Thread.currentThread().getId}", prefix)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse

@@ -8,7 +8,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Fault injection under a REAL multi-JVM topology (r13 judge ask #1):
-  * a `local-cluster[3,2,1024]` session (three executor JVMs forked via
+  * a `local-cluster[4,2,1024]` session (four executor JVMs forked via
   * SPARK_HOME, exactly the Verify/Bench multi-JVM gate recipe), with an
   * executor KILLED between iteration rounds.
   *
@@ -21,9 +21,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *     checkpoint option — converges to the IDENTICAL label table when
   *     an executor JVM dies mid-loop: the lost shuffle/cache blocks are
   *     recomputed from the round checkpoints on shared storage.
-  *  2. The fixpoint span remover's reliable mode is output-identical to
+  *  2. The same at checkpointInterval = 3: a kill BETWEEN marks is
+  *     recovered by replaying <= interval-1 rounds of RDD lineage from
+  *     the last checkpoint files (the bounded-replay contract the
+  *     interval knob trades the per-round file write for).
+  *  3. The fixpoint span remover's reliable mode is output-identical to
   *     its localCheckpoint mode under the multi-JVM topology.
-  *  3. The default localCheckpoint mode, under the same kill, must
+  *  4. The default localCheckpoint mode, under the same kill, must
   *     never produce a WRONG answer: it either fails loudly (the
   *     documented behavior — truncated lineage + executor-bound blocks
   *     are unrecoverable) or, if every needed block happened to survive,
@@ -39,7 +43,7 @@ class ClusterFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
-      .master("local-cluster[3,2,1024]")
+      .master("local-cluster[4,2,1024]")
       .appName("graft-fault")
       .config("spark.sql.shuffle.partitions", "12")
       .config("spark.sql.session.timeZone", "UTC")
@@ -55,9 +59,9 @@ class ClusterFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     // executors register asynchronously; every test assumes the full
     // topology is up before it starts killing parts of it
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while ((executorCount < 3 || execIds.size < 3) &&
+    while ((executorCount < 4 || execIds.size < 4) &&
            System.nanoTime() < deadline) Thread.sleep(250)
-    assert(executorCount >= 3, s"only $executorCount executors came up")
+    assert(executorCount >= 4, s"only $executorCount executors came up")
   }
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
@@ -95,6 +99,33 @@ class ClusterFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
         killedAtRound = r
         killOneExecutor()
       })
+    val rows = labels.collect()
+    assert(killedAtRound == 2)
+    assert(rounds > 2,
+      s"converged in $rounds rounds — the kill was not mid-iteration")
+    assert(rows.length == n)
+    assert(rows.map(_.getLong(0)).toSet == (0L until n).toSet)
+    assert(rows.forall(_.getLong(1) == 0L),
+      "every chain node must label to the component minimum 0")
+  }
+
+  test("reliable checkpointing at interval 3: an executor killed BETWEEN " +
+      "marks recovers through RDD lineage from the last files") {
+    // marks land at the init frame and every 3rd round; the kill after
+    // round 2 destroys cache/shuffle blocks of two UN-checkpointed
+    // rounds, so convergence requires replaying their RDD lineage from
+    // the init checkpoint files — the exact bounded-replay contract
+    // the interval knob trades the per-round file write for
+    val n = 1024
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck_iv").toString
+    @volatile var killedAtRound = -1
+    val (labels, rounds) = Dedup.componentsWithRounds(
+      chainPairs(n), maxIter = 30, checkpointDir = Some(dir),
+      onRound = r => if (r == 2 && killedAtRound < 0) {
+        killedAtRound = r
+        killOneExecutor()
+      },
+      checkpointInterval = 3)
     val rows = labels.collect()
     assert(killedAtRound == 2)
     assert(rounds > 2,

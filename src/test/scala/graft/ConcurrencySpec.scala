@@ -1,0 +1,93 @@
+package graft
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+
+/** CI form of the R14Concurrent contract: the query surface must be
+  * thread-safe on a SHARED SparkSession — a thrift server, notebook
+  * kernel, or pipeline scheduler runs many queries (and duplicate
+  * instances of one query) from many threads at once. The full-roster
+  * measured gate is `runMain graft.R14Concurrent` (CONCURRENCY_r14
+  * .json); this spec pins the contract's shape in the suite at
+  * sf0.001 over the representative shared-state suspects: scratch-dir
+  * round-trips (the duplicate drill caught simultaneous sink_parquet
+  * instances TEARING each other's fixed per-process scratch — two
+  * returned wrong content, not errors — fixed by per-(process,
+  * thread) scoping in SourceQueries.tmp), memoized stored-index and
+  * bucketed-table builders, copy-on-write swaps, and the iterative
+  * components loop.
+  *
+  * The shared test session is FIFO (scheduler mode is fixed at
+  * context build), which still executes jobs from multiple threads
+  * concurrently — thread safety is scheduler-independent; FAIR only
+  * changes who waits.
+  */
+class ConcurrencySpec extends SparkSpec {
+
+  // scratch round-trips + memoized builders + iterative loop + a
+  // plain relational control
+  private val names = Seq(
+    "sink_parquet", "sink_orc", "src_csv", "src_schema_evolution",
+    "ann_ivf_indexed", "layout_bucketed_join", "batch_upsert",
+    "dedup_resolve", "q1_agg")
+
+  private def hashOf(name: String): String =
+    try {
+      val (n, h) = R14Determinism.contentHash(
+        SparkEntry.queries(name)(spark, sf0001))
+      s"$n:$h"
+    } catch {
+      case e: Throwable =>
+        s"ERR:${e.getClass.getSimpleName}:" +
+          String.valueOf(e.getMessage).take(160)
+    }
+
+  private lazy val baseline: Map[String, String] = {
+    val b = names.map(n => n -> hashOf(n)).toMap
+    spark.catalog.clearCache()
+    b
+  }
+
+  test("distinct queries from concurrent threads hash identical to serial") {
+    baseline.foreach { case (n, v) =>
+      assert(!v.startsWith("ERR:"), s"baseline $n failed: $v") }
+    val queue = new ConcurrentLinkedQueue[String]()
+    names.foreach(queue.add)
+    val got = new java.util.concurrent.ConcurrentHashMap[String, String]
+    val workers = (0 until 4).map { _ =>
+      val t = new Thread(() => {
+        var n = queue.poll()
+        while (n != null) { got.put(n, hashOf(n)); n = queue.poll() }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    workers.foreach(_.join())
+    spark.catalog.clearCache()
+    names.foreach { n =>
+      assert(got.get(n) == baseline(n),
+        s"$n diverged under concurrency: ${got.get(n)} vs ${baseline(n)}")
+    }
+  }
+
+  test("simultaneous duplicate instances of scratch-writing queries all " +
+      "hash identical to serial (the torn-overwrite class)") {
+    for (name <- Seq("sink_parquet", "src_csv", "ann_ivf_indexed",
+        "dedup_resolve")) {
+      val results = new ConcurrentLinkedQueue[String]()
+      val gate = new CountDownLatch(1)
+      val threads = (0 until 3).map { _ =>
+        val t = new Thread(() => { gate.await(); results.add(hashOf(name)) })
+        t.setDaemon(true); t.start(); t
+      }
+      gate.countDown()
+      threads.foreach(_.join())
+      spark.catalog.clearCache()
+      val got = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(results.iterator()).asScala.toSeq
+      assert(got.size == 3)
+      got.zipWithIndex.foreach { case (v, i) =>
+        assert(v == baseline(name),
+          s"$name instance $i diverged: $v vs ${baseline(name)}")
+      }
+    }
+  }
+}

@@ -256,6 +256,58 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 10, s"expected O(log) convergence, got $rounds rounds")
   }
 
+  test("components: checkpoint interval never changes the labels " +
+      "(local and reliable, interval spanning and exceeding the rounds)") {
+    // multi-round fixture (deep chain + star, ~8 rounds) so interval 3
+    // genuinely leaves un-truncated rounds between marks, and interval
+    // 50 exceeds the round count entirely (only the init frame marked)
+    val chain = (1L until 128L).map(i => (i, i + 1))
+    val star = (1002L to 1501L).map(i => (1001L, i))
+    val pairs = (chain ++ star).toDF("id_a", "id_b")
+    def labels(dir: Option[String], k: Int) =
+      Dedup.components(pairs, checkpointDir = dir, checkpointInterval = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = labels(None, 1)
+    assert(base.size == 128 + 501)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck_iv").toString
+    for ((d, k) <- Seq(None -> 3, None -> 50,
+        Some(dir) -> 1, Some(dir) -> 3, Some(dir) -> 50))
+      assert(labels(d, k) == base, s"labels diverge at dir=$d interval=$k")
+    // the interval writes fewer rdd dirs than every-round mode: the
+    // amortization is real, not just a no-op flag
+    def rddDirs(p: String): Int = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(java.nio.file.Files.isDirectory(_))
+        .filter(_.getFileName.toString.startsWith("rdd-")).count().toInt
+      finally s.close()
+    }
+    val every = java.nio.file.Files.createTempDirectory("graft_ck_iv1").toString
+    Dedup.components(pairs, checkpointDir = Some(every)).collect()
+    val sparse = java.nio.file.Files.createTempDirectory("graft_ck_iv50").toString
+    Dedup.components(pairs, checkpointDir = Some(sparse),
+      checkpointInterval = 50).collect()
+    assert(rddDirs(sparse) < rddDirs(every),
+      s"interval 50 wrote ${rddDirs(sparse)} rdd dirs vs every-round's " +
+        s"${rddDirs(every)} — expected strictly fewer")
+  }
+
+  test("fixpoint span remover: checkpoint interval is output-identical") {
+    val docs = (0 until 40).map { i =>
+      if (i < 30) (i.toLong, s"alpha beta gamma delta unique$i tail")
+      else (i.toLong, s"solo$i words only here")
+    }.toDF("doc_id", "text")
+    val (base, passesB) = graft.operators.TextFilters
+      .removeRepeatedSpansFixpoint(docs, "doc_id", "text", n = 3, minDf = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck_fxiv").toString
+    val (iv, passesI) = graft.operators.TextFilters
+      .removeRepeatedSpansFixpoint(docs, "doc_id", "text", n = 3, minDf = 5,
+        checkpointDir = Some(dir), checkpointInterval = 3)
+    assert(passesB == passesI)
+    assert(base.orderBy("doc_id").collect().toSeq ==
+      iv.orderBy("doc_id").collect().toSeq)
+    assert(passesB.head > 0, "the fixture must actually remove spans")
+  }
+
   test("resolve: survivors are component minima, singletons pass through") {
     val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id") // 9 is in no pair
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

@@ -38,16 +38,20 @@ class QueriesSmokeSpec extends SparkSpec {
     // UNREFERENCED — drive a GC cycle so the assertion distinguishes
     // a real leak (still-referenced frame, survives any GC) from
     // cleaner lag (r11: queries now use localCheckpoint by design)
-    // 100 tries / ~30 s ceiling: on a noisy host the ContextCleaner's
+    // 300 tries / ~90 s ceiling: on a noisy host the ContextCleaner's
     // reference-queue drain can lag several GC cycles (one full-suite
-    // run flaked at 10 tries, r13 another at 30 — the cleaner's ONE
-    // thread drains shuffle/broadcast cleanups for all 150+ queries
-    // before it reaches these RDDs); a REAL leak — a still-referenced
-    // frame — survives any number of tries, so patience costs nothing
-    // in detection power and only the flake pays the wait
+    // run flaked at 10 tries, r13 another at 30, r14 another at 100
+    // once ConcurrencySpec added ~60 more query executions to the
+    // shared JVM — the cleaner's ONE thread drains shuffle/broadcast
+    // cleanups for every query the JVM has run before it reaches
+    // these RDDs, so the ceiling scales with suite size); a REAL leak
+    // — a still-referenced frame — survives any number of tries, so
+    // patience costs nothing in detection power and only the flake
+    // pays the wait (isolated probes of the concurrency load drain
+    // at tries=0)
     var leaked = spark.sparkContext.getPersistentRDDs
     var tries = 0
-    while (leaked.nonEmpty && tries < 100) {
+    while (leaked.nonEmpty && tries < 300) {
       System.gc()
       Thread.sleep(300)
       leaked = spark.sparkContext.getPersistentRDDs

@@ -92,6 +92,10 @@ object R14CkptAb {
     // checkpoint every 4th round, persist-only between — recovery
     // replays <= 3 rounds from the last files instead of failing
     val (relI4Sec, relI4All) = timedMode(Some(ckRoot), interval = 4)
+    // local-mode interval: localCheckpoint marks, wrap+persist between
+    // — prices the wrap against the per-round block write the default
+    // mode pays (relevant to the gate queries, which run local mode)
+    val (locI4Sec, locI4All) = timedMode(None, interval = 4)
 
     // bytes the reliable mode parked on shared storage (all rounds of
     // the LAST run — earlier runs' rdd dirs accumulate under the same
@@ -112,6 +116,9 @@ object R14CkptAb {
       s""""ratio":${f"${relSec / localSec}%.3f"},""" +
       s""""reliable_i4_sec":${f"$relI4Sec%.3f"},""" +
       s""""ratio_i4":${f"${relI4Sec / localSec}%.3f"},""" +
+      s""""local_i4_sec":${f"$locI4Sec%.3f"},""" +
+      s""""ratio_local_i4":${f"${locI4Sec / localSec}%.3f"},""" +
+      s""""local_i4_all":[${locI4All.map(v => f"$v%.3f").mkString(",")}],""" +
       s""""local_all":[${localAll.map(v => f"$v%.3f").mkString(",")}],""" +
       s""""reliable_all":[${relAll.map(v => f"$v%.3f").mkString(",")}],""" +
       s""""reliable_i4_all":[${relI4All.map(v => f"$v%.3f").mkString(",")}],""" +

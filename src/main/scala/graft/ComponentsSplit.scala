@@ -37,7 +37,8 @@ object ComponentsSplit {
     val pairs = pairsDf.persist()
     pairs.count() // materialize outside the loop timing
     val (nComponents, loopSec) =
-      timed(Dedup.components(pairs).select(col("label")).distinct().count())
+      timed(Dedup.components(pairs, strategy = "loop")
+        .select(col("label")).distinct().count())
     println(
       f"""{"sf":"$sfDir","n_vectors":$nVec,"n_edges":$nEdges,""" +
         f""""kernel_sec":$kernelSec%.2f,"loop_sec":$loopSec%.2f,""" +

@@ -44,7 +44,41 @@ object PlanAudit {
     * not obvious from the operator tree alone.
     */
   val notes: Map[String, String] = Map(
+    "dedup_components" -> (
+      "Baseline refresh r14 (dc13a52c -> 83df292e): components' auto " +
+        "strategy — the normalized edge set (920 rows at sf0.1, " +
+        "checkpointed + counted in one job) is under the 1e6-edge " +
+        "threshold, so the driver union-finds it and the labels enter " +
+        "this plan as a LocalTableScan instead of the star loop's " +
+        "LogicalRDD: ~10 per-round jobs collapse to one (R14StratAb: " +
+        "10.1x at sf0.1, 6.9x at testdata-sf10; identical labels " +
+        "asserted). The loop remains the above-threshold path — a " +
+        "100 TB dup graph is billions of edges — and is still what " +
+        "ClusterFaultSpec/DeterminismSpec pin (strategy=loop)."),
+    "dedup_resolve" -> (
+      "Baseline refresh r14 (dd14e56a -> 21ebe518): same components " +
+        "auto-strategy refresh as dedup_components — the label side " +
+        "of both resolve joins is now a LocalTableScan (accurate " +
+        "LocalRelation stats, so the broadcast gate fires exactly as " +
+        "it did off the checkpoint stats); corpus side unchanged, " +
+        "still zero corpus exchanges."),
+    "fuzzy_canonicalize" -> (
+      "Baseline refresh r14 (2c57d468 -> 00274c63): components auto " +
+        "strategy (see dedup_components) — the canonical-group label " +
+        "frame is driver-union-found below the edge threshold."),
+    "pipeline_dedup_corpus" -> (
+      "Baseline refresh r14 (c5946fa9 -> 76bbbbb9): components auto " +
+        "strategy (see dedup_components) inside the pipeline's " +
+        "resolve stage; candidate mining and verify stages unchanged."),
+    "pipeline_excerpt_dedup" -> (
+      "Baseline refresh r14 (c5946fa9 -> 76bbbbb9): components auto " +
+        "strategy (see dedup_components) inside the survivorship " +
+        "stage; the df-capped inverted-index mining is unchanged."),
     "semdedup" -> (
+      "Baseline refresh r14 (3ab833bf -> aab6d276): the resolve " +
+        "consumed by the gate query rides the components " +
+        "auto-strategy refresh (see dedup_components). Previous " +
+        "refresh r13 below.\n\n" +
       "Baseline refresh r13 (a965384a -> 3ab833bf): the gate query's " +
         "orig-row filter moved from the literal `vec_id < 50` to a " +
         "broadcast semi-join with the 50-row plantBases frame — the " +

@@ -54,8 +54,11 @@ object R14CkptAb {
 
     def labelsChecksum(ckDir: Option[String],
         interval: Int = 1): (Long, Long, Long) = {
+      // strategy=loop: this probe prices the STAR LOOP's truncation
+      // policies; the auto path would take the driver union-find at
+      // these edge counts (priced separately in R14StratAb)
       val lab = Dedup.components(edges, checkpointDir = ckDir,
-        checkpointInterval = interval)
+        checkpointInterval = interval, strategy = "loop")
       // order-free fingerprint of the full (id, label) table
       val row = lab.agg(count(lit(1)), sum(col("id") * 31 + col("label")),
         sum(col("label"))).collect()(0)

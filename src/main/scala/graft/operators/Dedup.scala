@@ -813,12 +813,126 @@ object Dedup {
     * k-1 rounds from the last files, and the per-round file-write tax
     * — the dominant reliable-mode cost, priced in SCALING.md — is
     * paid once per k rounds.
+    *
+    * `strategy` is the same measured-crossover discipline as the
+    * incremental dedup's broadcast-vs-bloom switch: `"auto"`
+    * (default) runs the distributed star loop UNLESS the normalized
+    * edge set is at most `localEdgeThreshold` rows with long ids, in
+    * which case the graph fits on the driver the same way a broadcast
+    * dimension fits on an executor — ONE job materializes the
+    * deduped edge checkpoint, the driver union-finds it in
+    * O(E α(E)), and the labels come back as a LocalRelation (accurate
+    * stats, so [[resolve]]'s broadcast gate keeps firing; the build
+    * side needs no job at all). A components run is ~10 Spark jobs of
+    * per-round fixed cost; below the threshold the driver path
+    * replaces them with one, which at gate scale is most of the wall
+    * of every resolve-consuming query (priced in R14StratAb /
+    * SCALING). `"loop"` forces the star loop (the 100 TB path — a
+    * corpus-scale dup graph is billions of edges and NEVER fits the
+    * driver; also what the fault/interval specs pin), `"local"`
+    * forces the driver path (caller owns the memory claim; long ids
+    * required). The label table is IDENTICAL either way — component
+    * minima — spec-pinned across strategies in DedupSpec.
     */
   def components(pairs: DataFrame, maxIter: Int = 20,
                  checkpointDir: Option[String] = None,
-                 checkpointInterval: Int = 1): DataFrame =
-    componentsWithRounds(pairs, maxIter, checkpointDir,
-      checkpointInterval = checkpointInterval)._1
+                 checkpointInterval: Int = 1,
+                 strategy: String = "auto",
+                 localEdgeThreshold: Long = 1000000L): DataFrame = {
+    require(Set("auto", "local", "loop")(strategy),
+      s"strategy must be auto|local|loop: $strategy")
+    if (strategy == "loop")
+      componentsWithRounds(pairs, maxIter, checkpointDir,
+        checkpointInterval = checkpointInterval)._1
+    else {
+      val spark = pairs.sparkSession
+      val ck = new IterCheckpoint(spark, checkpointDir, checkpointInterval)
+      val initCk = ck(normalizedInit(pairs))
+      val longIds = initCk.schema("u").dataType ==
+        org.apache.spark.sql.types.LongType
+      if (strategy == "local")
+        require(longIds, "strategy=local requires long ids")
+      // the ONE materializing action either way: the count truncates
+      // the checkpoint exactly like the loop's first round would
+      val nEdges = initCk.count()
+      ck.roundDone()
+      if (strategy == "local" || (longIds && nEdges <= localEdgeThreshold))
+        componentsLocal(initCk)
+      else starLoop(initCk, ck, maxIter, _ => ())._1
+    }
+  }
+
+  /** The loop/local-shared edge normalization: one scan of the
+    * (possibly expensive) pairs input — orient large→small, drop
+    * null-only pairs, dedup. Self-pairs ride along so label
+    * extraction can recover self-paired-only nodes without re-running
+    * the pair pipeline.
+    */
+  private def normalizedInit(pairs: DataFrame): DataFrame =
+    pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .withColumn("chg", lit(true))
+
+  /** Driver union-find over a materialized edge checkpoint: weighted
+    * quick-union with path compression, then per-root minimum so the
+    * output contract (label = component minimum id) matches the star
+    * loop exactly. Bounded by the caller ([[components]]' auto
+    * threshold): <= 2 * localEdgeThreshold node slots — the same
+    * driver-memory class as the k-means sample cap in Ann. Returns a
+    * LocalRelation-backed frame: accurate row stats for downstream
+    * broadcast decisions, zero jobs to build.
+    */
+  private def componentsLocal(initCk: DataFrame): DataFrame = {
+    val spark = initCk.sparkSession
+    val rows = initCk.select(col("u"), col("v")).collect()
+    // LongMap, not java.util.HashMap[Long, Int]: the latter's get
+    // unboxes a missing key's null to 0 silently in Scala
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length * 2)
+    val parent = new scala.collection.mutable.ArrayBuffer[Int](rows.length * 2)
+    val rank = new scala.collection.mutable.ArrayBuffer[Byte](rows.length * 2)
+    def node(id: Long): Int = idx.getOrElseUpdate(id, {
+      val i = ids.length
+      ids += id; parent += i; rank += 0
+      i
+    })
+    def find(i0: Int): Int = {
+      var i = i0
+      while (parent(i) != i) { parent(i) = parent(parent(i)); i = parent(i) }
+      i
+    }
+    var r = 0
+    while (r < rows.length) {
+      val row = rows(r)
+      val a = find(node(row.getLong(0)))
+      val b = find(node(row.getLong(1)))
+      if (a != b) {
+        if (rank(a) < rank(b)) parent(a) = b
+        else if (rank(b) < rank(a)) parent(b) = a
+        else { parent(b) = a; rank(a) = (rank(a) + 1).toByte }
+      }
+      r += 1
+    }
+    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < ids.length) {
+      val root = find(i).toLong
+      if (ids(i) < minOfRoot.getOrElse(root, Long.MaxValue))
+        minOfRoot(root) = ids(i)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](ids.length)
+    i = 0
+    while (i < ids.length) {
+      out(i) = (ids(i), minOfRoot(find(i).toLong))
+      i += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("id", "label")
+  }
 
   /** [[components]] plus the number of rounds it took — exposed for
     * specs asserting the O(log) convergence behavior. `onRound` fires
@@ -831,19 +945,19 @@ object Dedup {
       checkpointInterval: Int = 1): (DataFrame, Int) = {
     val ck = new IterCheckpoint(pairs.sparkSession, checkpointDir,
       checkpointInterval)
-    // ONE scan of the (possibly expensive) pairs input: self-pairs
-    // ride along into the checkpoint so the label-extraction step can
-    // recover self-paired-only nodes without re-running the pair
-    // pipeline. greatest/least skip nulls, so a half-null pair
-    // degrades to a self-pair of its non-null side; fully-null pairs
-    // are dropped.
-    val init = pairs
-      .select(greatest(col("id_a"), col("id_b")).as("u"),
-        least(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull)
-      .distinct()
-      .withColumn("chg", lit(true))
-    val initCk = ck(init)
+    // greatest/least skip nulls, so a half-null pair degrades to a
+    // self-pair of its non-null side; fully-null pairs are dropped
+    // (see normalizedInit).
+    starLoop(ck(normalizedInit(pairs)), ck, maxIter, onRound)
+  }
+
+  /** The large-star/small-star alternation over a checkpointed
+    * normalized edge frame — shared by [[componentsWithRounds]] and
+    * [[components]]' auto path (which checkpoints + counts the init
+    * before deciding, so the loop never re-runs the pair pipeline).
+    */
+  private def starLoop(initCk: DataFrame, ck: IterCheckpoint,
+      maxIter: Int, onRound: Int => Unit): (DataFrame, Int) = {
     var edges = initCk.filter(col("u") =!= col("v"))
     var converged = false
     var i = 0

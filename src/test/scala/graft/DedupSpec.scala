@@ -264,13 +264,19 @@ class DedupSpec extends SparkSpec {
     val chain = (1L until 128L).map(i => (i, i + 1))
     val star = (1002L to 1501L).map(i => (1001L, i))
     val pairs = (chain ++ star).toDF("id_a", "id_b")
+    // loop strategy forced: this test pins the star loop's truncation
+    // policies (auto would union-find this tiny graph on the driver);
+    // the base is the DRIVER path, so the same comparison also pins
+    // local-vs-loop strategy equality
     def labels(dir: Option[String], k: Int) =
-      Dedup.components(pairs, checkpointDir = dir, checkpointInterval = k)
+      Dedup.components(pairs, checkpointDir = dir, checkpointInterval = k,
+          strategy = "loop")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val base = labels(None, 1)
+    val base = Dedup.components(pairs, strategy = "local")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(base.size == 128 + 501)
     val dir = java.nio.file.Files.createTempDirectory("graft_ck_iv").toString
-    for ((d, k) <- Seq(None -> 3, None -> 50,
+    for ((d, k) <- Seq(None -> 1, None -> 3, None -> 50,
         Some(dir) -> 1, Some(dir) -> 3, Some(dir) -> 50))
       assert(labels(d, k) == base, s"labels diverge at dir=$d interval=$k")
     // the interval writes fewer rdd dirs than every-round mode: the
@@ -282,13 +288,30 @@ class DedupSpec extends SparkSpec {
       finally s.close()
     }
     val every = java.nio.file.Files.createTempDirectory("graft_ck_iv1").toString
-    Dedup.components(pairs, checkpointDir = Some(every)).collect()
+    Dedup.components(pairs, checkpointDir = Some(every),
+      strategy = "loop").collect()
     val sparse = java.nio.file.Files.createTempDirectory("graft_ck_iv50").toString
     Dedup.components(pairs, checkpointDir = Some(sparse),
-      checkpointInterval = 50).collect()
+      checkpointInterval = 50, strategy = "loop").collect()
     assert(rddDirs(sparse) < rddDirs(every),
       s"interval 50 wrote ${rddDirs(sparse)} rdd dirs vs every-round's " +
         s"${rddDirs(every)} — expected strictly fewer")
+  }
+
+  test("components strategies agree on random graphs " +
+      "(driver union-find == star loop, self-loops and dups included)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 300
+      val pairs = Seq.fill(400)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("id_a", "id_b")
+      val loop = Dedup.components(pairs, strategy = "loop")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = Dedup.components(pairs, strategy = "local")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == loop, s"trial $trial: strategies disagree")
+      assert(loop.nonEmpty)
+    }
   }
 
   test("fixpoint span remover: checkpoint interval is output-identical") {

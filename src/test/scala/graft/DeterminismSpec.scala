@@ -121,7 +121,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("connected components converge identically over a flaky edge frame") {
     val pairs = spark.range(511)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-    retryInvariant("components", pairs)(Dedup.components(_))
+    retryInvariant("components-loop", pairs)(
+      Dedup.components(_, strategy = "loop"))
+    retryInvariant("components-local", pairs)(
+      Dedup.components(_, strategy = "local"))
   }
 
   test("kill-and-reschedule mid-task leaves aggregation content intact") {

@@ -19,9 +19,11 @@ import graft.operators.Dedup
   * The two label tables are asserted IDENTICAL before any timing is
   * reported. Median of `iters` steady passes after one warm-up per
   * mode, [[StarAb]] discipline. The auto threshold
-  * (localEdgeThreshold = 1e6 edges ≈ 16 MB driver heap) sits far
-  * right of the crossover this measures — the loop's ~10-job fixed
-  * cost only amortizes once rounds carry real shuffle volume.
+  * (localEdgeThreshold = 1e6 edges ≈ 40 MB of specialized collected
+  * tuples + ~50 MB of union-find state on the driver — JVM headers
+  * counted, see componentsLocal) sits far right of the crossover this
+  * measures — the loop's ~10-job fixed cost only amortizes once
+  * rounds carry real shuffle volume.
   *
   * `runMain graft.R14StratAb <sfDir> [iters]` on an idle machine.
   * Output: one JSON line (also to SPARK_GRAFT_AB_OUT if set).

@@ -821,9 +821,14 @@ object Dedup {
     * which case the graph fits on the driver the same way a broadcast
     * dimension fits on an executor — ONE job materializes the
     * deduped edge checkpoint, the driver union-finds it in
-    * O(E α(E)), and the labels come back as a LocalRelation (accurate
-    * stats, so [[resolve]]'s broadcast gate keeps firing; the build
-    * side needs no job at all). A components run is ~10 Spark jobs of
+    * O(E α(E)), and the labels come back as a LocalRelation while they
+    * are broadcast-dim-sized (accurate stats, so [[resolve]]'s
+    * broadcast gate keeps firing; the build side needs no job at all)
+    * or as a parallelized RDD past ~200k rows (plan-embedding millions
+    * of label rows taxes every consumer's analysis/serialization).
+    * Driver memory at the default threshold: ~40 MB of specialized
+    * edge tuples + ~50 MB of union-find state — the broadcast-dim
+    * class, honestly counted with JVM object headers. A components run is ~10 Spark jobs of
     * per-round fixed cost; below the threshold the driver path
     * replaces them with one, which at gate scale is most of the wall
     * of every resolve-consuming query (priced in R14StratAb /
@@ -887,7 +892,15 @@ object Dedup {
     */
   private def componentsLocal(initCk: DataFrame): DataFrame = {
     val spark = initCk.sparkSession
-    val rows = initCk.select(col("u"), col("v")).collect()
+    // primitive tuples, not Rows: Tuple2 is @specialized on Long, so
+    // the collected edge array is ~40 B/edge (object header + two
+    // primitive longs + array slot) — ~40 MB at the 1e6-edge default
+    // threshold — where GenericRow boxing was ~10x that
+    val rows = initCk.select(col("u"), col("v"))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
     // LongMap, not java.util.HashMap[Long, Int]: the latter's get
     // unboxes a missing key's null to 0 silently in Scala
     val idx = scala.collection.mutable.LongMap.empty[Int]
@@ -907,8 +920,8 @@ object Dedup {
     var r = 0
     while (r < rows.length) {
       val row = rows(r)
-      val a = find(node(row.getLong(0)))
-      val b = find(node(row.getLong(1)))
+      val a = find(node(row._1))
+      val b = find(node(row._2))
       if (a != b) {
         if (rank(a) < rank(b)) parent(a) = b
         else if (rank(b) < rank(a)) parent(b) = a
@@ -931,8 +944,28 @@ object Dedup {
       i += 1
     }
     import spark.implicits._
-    out.toSeq.toDF("id", "label")
+    // representation is size-dependent: a LocalRelation gives accurate
+    // stats (downstream broadcast gates keep firing) but is EMBEDDED
+    // in every consuming logical plan — fine at broadcast-dim size,
+    // a per-query analysis/serialization tax at millions of rows. Past
+    // the cap the labels ship once as a parallelized RDD instead; its
+    // default (huge) stats make resolve's gate fall back to a shuffle
+    // join, which is the right call for a label table that big anyway.
+    if (out.length <= localRelationMaxLabelRows) out.toSeq.toDF("id", "label")
+    else spark.sparkContext
+      .parallelize(scala.collection.immutable.ArraySeq.unsafeWrapArray(out),
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          out.length / 65536 + 1)))
+      .toDF("id", "label")
   }
+
+  /** Label-table rows above which [[componentsLocal]] stops returning
+    * a plan-embedded LocalRelation: ~200k (id, label) rows is the same
+    * ~10 MB class as a broadcastable dimension — small enough to embed
+    * and serialize with every consuming plan, big enough that the
+    * driver path's win still covers most gate-scale graphs.
+    */
+  private val localRelationMaxLabelRows = 200000
 
   /** [[components]] plus the number of rounds it took — exposed for
     * specs asserting the O(log) convergence behavior. `onRound` fires
@@ -1006,6 +1039,10 @@ object Dedup {
       s"components did not converge within $maxIter rounds — the " +
         "large-star/small-star alternation converges in O(log²) rounds, " +
         "so this graph is astronomically deep or maxIter is tiny; raise it")
+    // deterministic end-of-loop release: a run that ended between
+    // marks (interval > 1) would otherwise leave its final cache to
+    // the ContextCleaner's whim on a long-lived session
+    edges = ck.seal(edges)
     // fixpoint is a star forest oriented member→minimum: members are
     // the u side, each component minimum appears only as v
     val starLabels = edges.select(col("u").as("id"), col("v").as("label"))

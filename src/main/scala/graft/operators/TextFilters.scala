@@ -257,7 +257,10 @@ object TextFilters {
       lastCum = cumNow
       pass += 1
     }
-    (cur, perPass.toSeq)
+    // deterministic end-of-loop release (see IterCheckpoint.seal): a
+    // fixpoint reached between marks must not leave its final cache
+    // pinned until GC on a long-lived session
+    (ck.seal(cur), perPass.toSeq)
   }
 
   /** Per-document repetition signals (Gopher-style quality gates):

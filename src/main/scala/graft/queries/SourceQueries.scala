@@ -35,10 +35,37 @@ object SourceQueries {
     * lifecycle the per-process form already had.
     */
   private val procTag = java.lang.ProcessHandle.current().pid().toString
+  // ThreadLocal UUID, not Thread.getId: the JVM spec permits thread
+  // ids to be REUSED after a thread dies, so an id-keyed dir could let
+  // an unrelated new thread wipe a dead thread's scratch while a frame
+  // returned from it is still being consumed. A UUID is never reused;
+  // dirs of dead threads are swept by the exit hook below instead of
+  // being reclaimed by id collision.
+  private val threadTag: ThreadLocal[String] = ThreadLocal.withInitial(() =>
+    java.util.UUID.randomUUID().toString.take(8))
+  // long-lived thread-pool servers accumulate one scratch dir per
+  // distinct worker thread; sweep THIS process's dirs (and only its
+  // own — the pid key keeps two graft JVMs on one box disjoint) when
+  // the JVM exits, so repeated server restarts can't pile copies of
+  // the round-trip datasets in java.io.tmpdir
+  locally {
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      try {
+        java.nio.file.Files.list(tmpRoot).iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"graft_roundtrip_${procTag}_"))
+          .foreach { d =>
+            java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+      } catch { case _: java.io.IOException => () } // exit-path best effort
+    }, "graft-roundtrip-scratch-sweep"))
+  }
   private def tmp(prefix: String): String = {
     val root = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_roundtrip_${procTag}_t${Thread.currentThread().getId}", prefix)
+      s"graft_roundtrip_${procTag}_t${threadTag.get()}", prefix)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse

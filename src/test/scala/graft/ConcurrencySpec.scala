@@ -90,4 +90,51 @@ class ConcurrencySpec extends SparkSpec {
       }
     }
   }
+
+  test("two simultaneous RELIABLE checkpoint loops: correct labels, files " +
+      "confined to each loop's own subdir (the setCheckpointDir footgun)") {
+    // SparkContext.setCheckpointDir is context-global; IterCheckpoint
+    // gives each loop a per-loop subdir and materializes every marked
+    // round eagerly under a JVM-wide write lock, so two concurrent
+    // reliable loops can each delete THEIR dir afterwards without
+    // destroying the other's files. Both loops run interval > 1 so
+    // the sealed-final-frame path is exercised concurrently too.
+    import spark.implicits._
+    def chain(lo: Long, n: Long) =
+      (lo until lo + n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ccA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ccB").toString
+    @volatile var gotA: Map[Long, Long] = null
+    @volatile var gotB: Map[Long, Long] = null
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val gate = new CountDownLatch(1)
+    def run(dir: String, lo: Long)(set: Map[Long, Long] => Unit) =
+      new Thread(() => {
+        gate.await()
+        try set(graft.operators.Dedup.components(chain(lo, 200), maxIter = 30,
+            checkpointDir = Some(dir), checkpointInterval = 3,
+            strategy = "loop")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    val ta = run(dirA, 1L)(gotA = _)
+    val tb = run(dirB, 100000L)(gotB = _)
+    ta.start(); tb.start(); gate.countDown()
+    ta.join(300000); tb.join(300000)
+    assert(errs.isEmpty, s"concurrent reliable loops failed: ${errs.peek()}")
+    assert(gotA != null && gotA.size == 201 && gotA.values.forall(_ == 1L))
+    assert(gotB != null && gotB.size == 201 &&
+      gotB.values.forall(_ == 100000L))
+    // every checkpoint file lands under its OWN loop's dir: each dir
+    // is non-empty (the loop really checkpointed there) and deleting
+    // one dir leaves the other loop's files whole
+    def rddDirs(p: String): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.filter(_.getFileName.toString.startsWith("rdd-")).toSeq
+      finally s.close()
+    }
+    assert(rddDirs(dirA).nonEmpty, s"loop A wrote no checkpoints under $dirA")
+    assert(rddDirs(dirB).nonEmpty, s"loop B wrote no checkpoints under $dirB")
+  }
 }

@@ -50,29 +50,50 @@ class QueriesSmokeSpec extends SparkSpec {
     // execution bookkeeping — repeated runs keep the leftover count
     // at 1-3, never growing, and the next query's activity releases
     // the previous run's frames. Bounded-and-released is lifecycle,
-    // not leak, so entries from the IterCheckpoint line are tolerated
-    // in small number and reported via info(); ANY other creation
-    // site still fails: the r7 target class — a hidden .persist a
-    // query never releases — has a different call site and survives
-    // regardless of patience, and a GROWING IterCheckpoint count
-    // trips the <= 4 bound.
-    var leaked = spark.sparkContext.getPersistentRDDs
-    var tries = 0
-    def unmanaged = leaked.values.filterNot(
-      _.toString.contains("IterCheckpoint.scala"))
-    while ((unmanaged.nonEmpty || leaked.size > 4) && tries < 100) {
-      System.gc()
-      Thread.sleep(300)
-      leaked = spark.sparkContext.getPersistentRDDs
-      tries += 1
+    // not leak. r15 (advisor ask): the whitelist keys on the
+    // EXPLICIT creation-site tag IterCheckpoint stamps on every RDD
+    // it manages (a file rename can't silently blank the match), and
+    // "bounded" is asserted directly — re-running the loop queries a
+    // second time must not GROW the lagged set — instead of trusting
+    // a fixed numeric bound to encode it. ANY other creation site
+    // still fails immediately: the r7 target class — a hidden
+    // .persist a query never releases — has a different call site
+    // and survives regardless of patience.
+    def settle(): Map[Int, org.apache.spark.rdd.RDD[_]] = {
+      var leaked = spark.sparkContext.getPersistentRDDs
+      var tries = 0
+      def unmanaged = leaked.values.filterNot(
+        _.toString.contains(graft.operators.IterCheckpoint.CallSiteTag))
+      while (unmanaged.nonEmpty && tries < 100) {
+        System.gc()
+        Thread.sleep(300)
+        leaked = spark.sparkContext.getPersistentRDDs
+        tries += 1
+      }
+      assert(unmanaged.isEmpty,
+        s"persisted RDDs outlive clearCache + GC: ${unmanaged.map(_.toString)}")
+      leaked.toMap
     }
-    if (leaked.nonEmpty)
+    val first = settle()
+    if (first.nonEmpty)
       info(s"cleaner-lagged IterCheckpoint RDDs tolerated: " +
-        leaked.values.map(_.toString).mkString("; "))
-    assert(unmanaged.isEmpty,
-      s"persisted RDDs outlive clearCache + GC: ${unmanaged.map(_.toString)}")
-    assert(leaked.size <= 4,
-      s"too many lagged checkpoint RDDs (${leaked.size}) — that is a " +
-        s"leak, not cleaner lag: ${leaked.values.map(_.toString)}")
+        first.values.map(_.toString).mkString("; "))
+    // the retention slot is O(1): a SECOND pass over the loop-running
+    // queries must land at or below the first pass's lagged count —
+    // a genuine slow leak from the managed call sites grows instead
+    val loopQueries = Seq("text_substring_dedup_fixpoint",
+      "pipeline_excerpt_dedup", "dedup_components", "dedup_resolve")
+    loopQueries.foreach(q => SparkEntry.queries(q)(spark, sf0001).count())
+    spark.catalog.clearCache()
+    var second = settle()
+    var drains = 0
+    while (second.size > math.max(first.size, 3) && drains < 30) {
+      System.gc(); Thread.sleep(300)
+      second = settle(); drains += 1
+    }
+    assert(second.size <= math.max(first.size, 3),
+      s"lagged checkpoint RDDs GREW across roster passes " +
+        s"(${first.size} -> ${second.size}) — that is a leak, not " +
+        s"cleaner lag: ${second.values.map(_.toString)}")
   }
 }

@@ -234,11 +234,19 @@ object Ann {
   def appendIvfIndex(embs: DataFrame, idCol: String, vecCol: String,
                      indexPath: String): Unit = {
     val spark = embs.sparkSession
-    val cents = indexCentroids(spark, indexPath)
-    assignLists(embs, idCol, vecCol, cents)
-      .write.mode("append")
-      .partitionBy("list_id")
-      .parquet(indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer lock: two concurrent Spark append jobs to ONE path share
+    // the _temporary commit dir and can tear each other's commit —
+    // the second appender fails loudly and retries after the holder
+    // (PathLock doc; ConcurrencySpec pins failure + retry-lands-both)
+    PathLock.withLock(fs, root, "appendIvfIndex") {
+      val cents = indexCentroids(spark, indexPath)
+      assignLists(embs, idCol, vecCol, cents)
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(indexPath)
+    }
   }
 
   /** Compact a stored IVF index's list partitions into a FRESH index
@@ -264,6 +272,12 @@ object Ann {
     val cents = indexCentroids(spark, indexPath)
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // holds the SOURCE index's writer lock for the whole rewrite: the
+    // output path is fresh (probes of the old index are unaffected),
+    // but an append landing MID-COMPACT would be visible in the lists
+    // compacted after it and absent from those before — a torn
+    // snapshot. Appenders fail loudly until the compaction finishes.
+    PathLock.withLock(fs, root, "compactIvfIndex") {
     val listDirs = fs.listStatus(root)
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("list_id="))
     require(listDirs.nonEmpty,
@@ -275,6 +289,7 @@ object Ann {
     }
     writeIvfMeta(spark, outPath, cents)
     stats
+    }
   }
 
   /** DELETE vectors from a stored IVF index at partition granularity

@@ -63,8 +63,15 @@ object AsOfJoin {
       right
         // equi-join semantics: a null key matches nothing, so null-
         // key right rows can never contribute payload (left null-key
-        // rows still come through with a null payload)
-        .filter(col(key).isNotNull)
+        // rows still come through with a null payload). A null
+        // rightTime is dropped for the same reason: "latest row
+        // at-or-before t" is undefined for a timeless row — without
+        // this filter Spark's NULLS-FIRST sort would quietly treat it
+        // as before-everything and hand its payload to every probe
+        // row with no earlier real match (r15 adversarial rung).
+        // Left rows with a null probe time still come through with a
+        // null payload (nothing can be at-or-before an unknown time).
+        .filter(col(key).isNotNull && col(rightTime).isNotNull)
         .withColumn("__t", col(rightTime))
         .withColumn("__right", lit(1))
         .withColumn("__tb", col(rightTiebreak).cast(tbType))

@@ -157,6 +157,12 @@ object Cdc {
     if (touched.isEmpty) return touched
 
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer lock around the WHOLE read-merge-swap: a second
+    // concurrent upsert into this table fails loudly instead of
+    // losing the other's update or nesting a live dir inside its
+    // swap (PathLock doc; ConcurrencySpec pins both the failure and
+    // that retry-after-completion lands both batches)
+    PathLock.withLock(fs, new Path(tablePath), "upsertPartitioned") {
     // null and "" both land in __HIVE_DEFAULT_PARTITION__ and read
     // back as null — the scan filter must ask for null, not ""
     val nonDefault = touched.filter(v => v != null && v.nonEmpty)
@@ -166,9 +172,15 @@ object Cdc {
     }
     // first contact creates the table: an empty target with the
     // change schema (minus the delete flag) makes the merge below a
-    // pure insert — the streaming CDC sink relies on this
+    // pure insert — the streaming CDC sink relies on this. "Has
+    // data", not "exists": the lock file's mkdirs means the dir
+    // exists from the first acquire, and a second first-contact
+    // writer serialized behind the lock must SEE the first one's
+    // partitions (underscore entries are lock/staging/backup)
+    val tableHasData = fs.listStatus(new Path(tablePath))
+      .exists(st => !st.getPath.getName.startsWith("_"))
     val target =
-      if (fs.exists(new Path(tablePath)))
+      if (tableHasData)
         spark.read.parquet(tablePath).filter(scanFilter)
       else
         deleteCol.fold(changes)(dc => changes.drop(dc)).filter(lit(false))
@@ -240,6 +252,7 @@ object Cdc {
           s"stale $backupRoot / $staging left for manual removal): ${c.getMessage}")
     }
     touched
+    }
   }
 
   /** Swap residue under `tablePath`: the `_backup_<uuid>/` and

@@ -96,10 +96,12 @@ object Rank {
       maxMetaRows, "keyedRank")
 
     // Driver-side prefix sums per key, in partition order.
+    // a NULL key is a legitimate group (SQL GROUP BY / window
+    // PARTITION BY both treat NULLs as one partition): the driver map
+    // groups it like any other value, and the attach join below is
+    // null-safe so its offsets actually reach the rows
     val byKey = meta.groupBy(_.get(1))
     val offsetRows = byKey.iterator.flatMap { case (key, rows) =>
-      require(key != null,
-        s"keyedRank: null $keyCol — attach offsets needs a non-null key")
       val total = rows.map(_.getLong(2)).sum
       var acc = 0L
       rows.sortBy(_.getInt(0)).map { r =>
@@ -121,7 +123,7 @@ object Rank {
     sorted
       .join(broadcast(metaDf),
         col("__pid").cast("long") === col("__pid_l") &&
-          col(keyCol) === col("__key"))
+          col(keyCol) <=> col("__key"))
       .withColumn(rankCol,
         col("__pos") - col("__first_pos") + col("__offset") + lit(1L))
       .withColumn(nCol, col("__total"))
@@ -186,8 +188,8 @@ object Rank {
       maxMetaRows, "keyedPrefixSum")
     val byKey = meta.groupBy(r => keyCols.indices.map(i => r.get(1 + i)))
     val offsetRows = byKey.iterator.flatMap { case (key, rows) =>
-      require(!key.contains(null),
-        s"keyedPrefixSum: null in $keyCols — offset attach needs non-null keys")
+      // NULL keys are regular groups here too (see keyedRank): the
+      // in-partition sweep already treats a null run as one group
       var acc = 0L
       rows.sortBy(_.getInt(0)).map { r =>
         val off = acc
@@ -204,7 +206,7 @@ object Rank {
 
     val joinCond = keyCols.foldLeft(
       col("__pid").cast("long") === col("__pid_l")) { (c, k) =>
-      c && col(k) === col(s"__key_$k")
+      c && col(k) <=> col(s"__key_$k")
     }
     withLocal
       .join(broadcast(metaDf), joinCond)

@@ -274,7 +274,13 @@ object EtlQueries {
           stddev_pop(col("value")).as("sigma"))
       ev.join(broadcast(stats), Seq("event_type"))
         .select(col("event_type"),
-          abs((col("value") - col("mu")) / col("sigma")).as("az"))
+          // try_divide: σ = 0 is ordinary data (a constant group, or
+          // any SINGLE-event type) and under ANSI a raw `/` would
+          // throw DIVIDE_BY_ZERO (r15 adversarial rung). NULL z ==
+          // DuckDB's DOUBLE/0.0; both engines' count/max skip it, so
+          // a constant group reports zero outliers instead of killing
+          // the job.
+          abs(try_divide(col("value") - col("mu"), col("sigma"))).as("az"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           count(when(col("az") > 3, 1)).as("n_outliers"),

@@ -193,8 +193,13 @@ object RelationalQueries {
         .select(col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("price"),
           col("o_orderkey"))
+      // asc_nulls_last: price is nullable and the engines disagree on
+      // default NULL placement (Spark ASC = NULLS FIRST, DuckDB/
+      // Postgres = NULLS LAST) — a nullable ordering column must say
+      // where NULLs go or the decile assignment is engine-dependent
       Rank.ntileBy(base, "o_orderstatus",
-          Seq(col("price"), col("o_orderkey")), 10, tileCol = "decile")
+          Seq(col("price").asc_nulls_last, col("o_orderkey")), 10,
+          tileCol = "decile")
         .groupBy(col("o_orderstatus"), col("decile"))
         .agg(count(lit(1)).as("n"),
           round(min(col("price")), 2).as("lo"),
@@ -288,9 +293,13 @@ object RelationalQueries {
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("a"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        // multiplicative form, NOT |a-e|/e: on an empty table e = 0
+        // and under ANSI the division throws DIVIDE_BY_ZERO (r15
+        // empty-facts rung); |a-e| <= 0.05e is the same predicate for
+        // e > 0 and degrades to the sensible a = 0 at e = 0
         .select(col("exact_parts"),
-          (abs(col("a") - col("exact_parts")) /
-            col("exact_parts") <= 0.05).as("approx_within_5pct"))
+          (abs(col("a") - col("exact_parts")) <=
+            lit(0.05) * col("exact_parts")).as("approx_within_5pct"))
     }),
 
     // Conditional-aggregation pivot: events per type per day.
@@ -517,7 +526,12 @@ object RelationalQueries {
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
       val cost = Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_suppkey"),
-          (col("l_extendedprice") / col("l_quantity")).as("unit"))
+          // try_divide, not `/`: under ANSI (the Spark 4 default this
+          // engine runs with) a single zero-quantity line would throw
+          // DIVIDE_BY_ZERO and kill the whole job (r15 adversarial
+          // rung). NULL unit cost == DuckDB's native DOUBLE/0.0, and
+          // min() skips it in both engines.
+          try_divide(col("l_extendedprice"), col("l_quantity")).as("unit"))
         .join(broadcast(euSupp.select(col("s_suppkey"))),
           col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))

@@ -111,11 +111,16 @@ object TemporalQueries {
 
     // Gap-based sessionization: a >30-minute silence starts a new
     // session. One shuffle on user_id; both windows share it.
+    // ts IS NOT NULL is part of the operator's contract (r15
+    // adversarial-relational rung): a timestamp-less event cannot be
+    // placed in a GAP-based session, and engines even disagree on
+    // where NULLs sort (Spark ASC = NULLS FIRST, DuckDB = NULLS
+    // LAST) — so both engine and oracle exclude them explicitly.
     "sessionize" -> ((s, d) => {
       val wOrd = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val ev = Tables.events(s, d)
-        .filter(col("user_id") <= 100)
+        .filter(col("user_id") <= 100 && col("ts").isNotNull)
         .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
@@ -206,19 +211,24 @@ object TemporalQueries {
         |SELECT day, count(DISTINCT user_id) AS u7
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // LATERAL, not row_number-over-event_id (r15 adversarial rung):
+    // an as-of join emits one row PER LEFT ROW — duplicate purchase
+    // rows each get their own output, matching the engine's (and
+    // DuckDB's native ASOF JOIN's) multiset semantics, where the old
+    // rn=1-per-event_id formulation silently collapsed them
     "asof_join" ->
-      """SELECT event_id, user_id, last_view_id, last_view_value FROM (
-        |  SELECT p.event_id, p.user_id,
-        |    v.event_id AS last_view_id,
-        |    round(v.value, 4) AS last_view_value,
-        |    row_number() OVER (PARTITION BY p.event_id
-        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
-        |  FROM (SELECT event_id, user_id, ts FROM events
-        |        WHERE event_type = 'purchase' AND user_id <= 400) p
-        |  LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
-        |             WHERE event_type = 'view') v
-        |    ON v.user_id = p.user_id AND v.ts <= p.ts)
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      """SELECT p.event_id, p.user_id,
+        |  v.last_view_id, v.last_view_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase' AND user_id <= 400) p
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id AS last_view_id,
+        |    round(e.value, 4) AS last_view_value
+        |  FROM events e
+        |  WHERE e.event_type = 'view' AND e.user_id = p.user_id
+        |    AND e.ts <= p.ts
+        |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) v ON true
+        |ORDER BY event_id""".stripMargin,
 
     "range_join" ->
       """SELECT p.event_id, p.user_id, count(*) AS n_clicks,
@@ -246,7 +256,7 @@ object TemporalQueries {
         |      SELECT user_id, ts, event_id,
         |        lag(ts, 1) OVER (PARTITION BY user_id
         |          ORDER BY ts, event_id) AS prev_ts
-        |      FROM events WHERE user_id <= 100)))
+        |      FROM events WHERE user_id <= 100 AND ts IS NOT NULL)))
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
     "funnel" ->

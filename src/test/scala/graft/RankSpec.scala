@@ -94,12 +94,50 @@ class RankSpec extends SparkSpec {
     assert(Rank.keyedRank(df, "k", Seq(col("v"), col("id"))).count() === 500)
   }
 
-  test("keyedRank rejects null keys loudly") {
-    val withNull = Seq((null.asInstanceOf[String], 1.0, 1L), ("A", 2.0, 2L))
-      .toDF("k", "v", "id")
-    val ex = intercept[Exception] {
-      Rank.keyedRank(withNull, "k", Seq(col("v"), col("id"))).count()
-    }
-    assert(ex.getMessage.contains("null"))
+  test("keyedRank treats NULL keys as one group, matching the window form " +
+      "(r15 adversarial-relational rung: window_ntile crashed on null " +
+      "o_orderstatus)") {
+    // SQL GROUP BY / PARTITION BY both treat NULLs as a single group;
+    // the distributed kernel must too — its offset-attach join is
+    // null-safe (<=>) so null-key rows actually receive their offsets
+    val rnd = new scala.util.Random(11)
+    val withNull = (1 to 500).map { i =>
+      val k = rnd.nextInt(4) match {
+        case 0 => null.asInstanceOf[String]
+        case 1 => "B"
+        case _ => "A"
+      }
+      (k, rnd.nextInt(40).toDouble, i.toLong)
+    }.toDF("k", "v", "id").repartition(5)
+    val got = Rank.keyedRank(withNull, "k", Seq(col("v"), col("id")))
+      .select(col("id"), col("rank"), col("key_n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = Window.partitionBy(col("k")).orderBy(col("v"), col("id"))
+    val want = withNull
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("key_n",
+        count(lit(1)).over(Window.partitionBy(col("k"))))
+      .select(col("id"), col("rank"), col("key_n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("keyedPrefixSum treats NULL keys as one group, matching the window " +
+      "form") {
+    val rnd = new scala.util.Random(12)
+    val withNull = (1 to 400).map { i =>
+      val k = if (rnd.nextInt(3) == 0) null.asInstanceOf[String] else "A"
+      (k, (rnd.nextInt(9) + 1).toLong, i.toLong)
+    }.toDF("k", "n", "id").repartition(5)
+    val got = Rank.keyedPrefixSum(withNull, Seq("k"), Seq(col("id")), "n")
+      .select(col("id"), col("prefix_sum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy(col("k")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = withNull
+      .withColumn("prefix_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("id"), col("prefix_sum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
   }
 }

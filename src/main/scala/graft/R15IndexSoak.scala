@@ -95,9 +95,15 @@ object R15IndexSoak {
       StructType(Seq(StructField("embedding", ArrayType(FloatType, false),
         false)))))
 
+    // mirrors the probe's ranking contract exactly: cosine rounded to
+    // 6 decimals (HALF_UP, like Spark round) BEFORE ordering, id-asc
+    // tie-break — full-precision ordering differs at k-boundary ties
     def bruteTopK(q: Array[Float]): Seq[Long] =
       liveSet.toSeq
-        .map { case (id, v) => (id, cosine(q, v)) }
+        .map { case (id, v) =>
+          (id, BigDecimal(cosine(q, v))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
         .sortBy { case (id, c) => (-c, id) }
         .take(k).map(_._1)
 

@@ -469,4 +469,56 @@ class StreamingSpec extends SparkSpec {
         Seq("unmatched" -> Seq("x")), 0L, out, cp)
     }
   }
+
+  test("topic router: refresh-due metric flags df-rate drift while the " +
+      "routing itself stays frozen (r14 ask #8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("topic_drift_out").toString
+    val cp = Files.createTempDirectory("topic_drift_cp").toString
+    val md = Files.createTempDirectory("topic_drift_md").toString
+    val ref = Seq(
+      "spark shuffle join runs fast", "spark join plans well",
+      "shuffle bytes dominate cost", "image pixel grids decode",
+      "audio frames resample", "image audio pipelines",
+      "plain filler text here", "more filler words again"
+    ).toDF("text")
+    val topics = Seq(
+      "dataeng" -> Seq("spark", "shuffle", "join"),
+      "media" -> Seq("image", "audio", "pixel"))
+    def sink(s: org.apache.spark.sql.DataFrame) =
+      StreamIngest.topicRouteSink(s, "doc_id", "text", ref, "text",
+        topics, minScoreE6 = 100000L, out, cp,
+        metricsDir = Some(md))
+    val in = MemoryStream[(Long, String)]
+    // batch 0 IS the reference distribution (the same 8 texts): every
+    // term's batch df-rate equals its reference rate, drift 0
+    in.addData(
+      (1L, "spark shuffle join runs fast"), (2L, "spark join plans well"),
+      (3L, "shuffle bytes dominate cost"), (4L, "image pixel grids decode"),
+      (5L, "audio frames resample"), (6L, "image audio pipelines"),
+      (7L, "plain filler text here"), (8L, "more filler words again"))
+    StreamIngest.runOnce(sink(in.toDF().toDF("doc_id", "text")))
+    // batch 1 is a SHIFTED corpus: every doc is term-saturated, the
+    // df-rate of every shared term jumps to 1.0 vs the reference's
+    // fractional rates — the metric must flag, the routing must not
+    // change its contract (same frozen stats, same scores for same
+    // text as ever)
+    in.addData((10L, "spark shuffle join image audio pixel"),
+      (11L, "spark shuffle join image audio pixel"),
+      (12L, "spark shuffle join image audio pixel"))
+    StreamIngest.runOnce(sink(in.toDF().toDF("doc_id", "text")))
+    val m0 = spark.read.parquet(s"$md/batch=0").collect().head
+    val m1 = spark.read.parquet(s"$md/batch=1").collect().head
+    assert(!m0.getAs[Boolean]("refresh_due"),
+      s"reference-shaped batch flagged: $m0")
+    assert(m1.getAs[Boolean]("refresh_due"),
+      s"saturated batch not flagged: $m1")
+    assert(m1.getAs[Long]("df_drift_e6") > m0.getAs[Long]("df_drift_e6"))
+    // frozen routing: identical text scores identically across the
+    // drift boundary (docs 10-12 are one text, one score, one topic)
+    val b1 = spark.read.parquet(s"$out/batch=1")
+      .collect().map(r => (r.getAs[String]("topic"), r.getAs[Long]("score_e6")))
+      .toSet
+    assert(b1.size == 1, s"identical texts diverged: $b1")
+  }
 }

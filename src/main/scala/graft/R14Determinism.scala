@@ -176,26 +176,35 @@ object R14Determinism {
     val speculativeMarked = new AtomicLong(0)
     val speculativeLaunched = new AtomicLong(0)
 
+    // per-config wall, persisted to the artifact so the drill's cost
+    // is a standing number (SCALING "determinism harness, priced"),
+    // not a one-off stderr scrape. Walls include session-constant
+    // overhead (fixture builds, codegen) amortized across the roster;
+    // the first config additionally pays session startup.
+    val walls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
     // ---- session 1: baseline + runtime-conf sweeps + kill drill ----
     val s1 = localSession()
     def t0 = System.nanoTime()
     var t = t0
-    def lap(tag: String): Unit = {
+    def lap(tag: String, key: String = ""): Unit = {
       val now = System.nanoTime()
-      System.err.println(f"[determinism] $tag done in ${(now - t) / 1e9}%.1f s")
+      val sec = (now - t) / 1e9
+      System.err.println(f"[determinism] $tag done in $sec%.1f s")
+      if (key.nonEmpty) walls(key) = math.round(sec * 10) / 10.0
       t = now
     }
     configs("baseline_p16_aqe") = runRoster(s1, sfDir, roster)
-    lap("baseline_p16_aqe")
+    lap("baseline_p16_aqe", "baseline_p16_aqe")
     if (modes("invariance")) {
       s1.conf.set("spark.sql.shuffle.partitions", "5")
       s1.conf.set("spark.sql.adaptive.enabled", "false")
       configs("p5_noaqe") = runRoster(s1, sfDir, roster)
-      lap("p5_noaqe")
+      lap("p5_noaqe", "p5_noaqe")
       s1.conf.set("spark.sql.shuffle.partitions", "97")
       s1.conf.set("spark.sql.adaptive.enabled", "true")
       configs("p97_aqe") = runRoster(s1, sfDir, roster)
-      lap("p97_aqe")
+      lap("p97_aqe", "p97_aqe")
       s1.conf.set("spark.sql.shuffle.partitions", "16")
     }
     if (modes("retry")) {
@@ -203,7 +212,7 @@ object R14Determinism {
         Chaos.withTaskKills(s1, everyK = 3)(runRoster(s1, sfDir, roster))
       configs("retry_kills") = res
       retryStats = (req, landed)
-      lap(s"retry_kills (requested=$req landed=$landed)")
+      lap(s"retry_kills (requested=$req landed=$landed)", "retry_kills")
     }
     s1.stop()
     SparkSession.clearActiveSession()
@@ -228,7 +237,7 @@ object R14Determinism {
       require(canary == 28, s"canary sum $canary != 28")
       configs("speculation_cluster") = runRoster(s2, sfDir, roster)
       lap(s"speculation_cluster (marked=${speculativeMarked.get()} " +
-        s"launched=${speculativeLaunched.get()})")
+        s"launched=${speculativeLaunched.get()})", "speculation_cluster")
       // maximal-chaos pass: kill-and-reschedule WHILE speculation is
       // engaged, across real executor JVMs — task retries now also
       // pay broadcast rehydration, closure transport, and remote
@@ -239,7 +248,7 @@ object R14Determinism {
           Chaos.withTaskKills(s2, everyK = 3)(runRoster(s2, sfDir, roster))
         configs("cluster_kills") = res
         clusterRetryStats = (req, landed)
-        lap(s"cluster_kills (requested=$req landed=$landed)")
+        lap(s"cluster_kills (requested=$req landed=$landed)", "cluster_kills")
       }
       s2.stop()
     }
@@ -274,7 +283,9 @@ object R14Determinism {
       s""""cluster_kills_requested":${clusterRetryStats._1},""" +
       s""""cluster_kills_landed":${clusterRetryStats._2},""" +
       s""""speculative_marked":${speculativeMarked.get()},""" +
-      s""""speculative_launched":${speculativeLaunched.get()},"pass":$pass}"""
+      s""""speculative_launched":${speculativeLaunched.get()},""" +
+      s""""walls_sec":${walls.map { case (k, v) => q(k) + ":" + v }
+           .mkString("{", ",", "}")},"pass":$pass}"""
     Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_DETERMINISM_OUT",
         "/root/repo/DETERMINISM_r14.json")), json + "\n")

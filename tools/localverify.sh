@@ -1,10 +1,26 @@
 #!/bin/bash
 # Local replica of the driver's t2 correctness gate.
 # Usage: tools/localverify.sh [sfDir] [query ...]
+#        tools/localverify.sh --determinism [sfDir] [query ...]
 # With query args, only those queries are dumped AND compared (fast
 # iteration on one oracle); without, the full suite runs like the
-# driver's own gate.
+# driver's own gate. --determinism runs the redundant-execution drill
+# (partition/AQE sweeps + injected kills + forced speculation;
+# R14Determinism — cost per drill config priced in SCALING
+# "determinism harness, priced") instead of the oracle compare;
+# subset via query args. Expect ..."pass":true on the last line.
 set -e
+if [ "$1" = "--determinism" ]; then
+  shift
+  SF=${1:-/root/testdata/sf0.01}
+  shift || true
+  cd /root/repo
+  if [ $# -gt 0 ]; then
+    export SPARK_GRAFT_VERIFY_QUERIES=$(IFS=,; echo "$*")
+  fi
+  SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+    exec tools/runmain.sh graft.R14Determinism "$SF"
+fi
 SF=${1:-/root/testdata/sf0.01}
 shift || true
 OUT=/tmp/verify_out

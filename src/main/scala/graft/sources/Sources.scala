@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Batch file sources mirroring the reference's ingestion formats
   * (pattern_based_cleaner_watcher.py:163-193: CSV with encoding
@@ -572,11 +572,95 @@ object Sources {
             schema: Option[StructType] = None): DataFrame =
     withSchema(spark.read, schema).json(path)
 
+  /** JSON-lines with a corrupt-record audit for hostile drop zones:
+    * returns (good rows, audit). A line Jackson cannot parse against
+    * `schema` lands in the audit (failure-log shape, one row per
+    * corrupt line with the raw text and its file) instead of either
+    * failing the batch or turning into an indistinguishable all-null
+    * row. Both frames come from ONE permissive read with Spark's
+    * columnNameOfCorruptRecord — fully distributed, nothing driver-
+    * side; the read is cached because good/audit split the same scan
+    * two ways and recomputing a 100 TB scan per side is the bug.
+    *
+    * Contract pinned by AdversarialSourcesSpec: good.count +
+    * audit.count == number of non-blank input lines (Spark skips
+    * blank/whitespace-only lines in json-lines mode).
+    *
+    * Call `release()` once both frames are consumed (written out /
+    * aggregated) to drop the shared cached scan; until then it
+    * occupies (evictable) cache like any hot table.
+    */
+  final case class AuditedRead(good: DataFrame, audit: DataFrame,
+                               release: () => Unit)
+
+  def jsonlAudited(spark: SparkSession, path: String, schema: StructType,
+                   batchId: String = ""): AuditedRead = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not already declare _corrupt_record")
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    // input_file_name() must be captured BEFORE the cache: evaluated
+    // after, it runs over the in-memory relation (no file context)
+    // and returns empty strings
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .withColumn("_src_file", input_file_name())
+      .cache()
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record", "_src_file")
+    val audit = raw.filter(col("_corrupt_record").isNotNull)
+      .select(lit("warning").as("status"),
+        lit("corrupt_json").as("error_message"),
+        col("_src_file").as("source_name"),
+        lit(batchId).as("processing_batch"),
+        col("_corrupt_record").as("raw_line"))
+    AuditedRead(good, audit, () => { raw.unpersist(); () })
+  }
+
   /** Parquet (the lake format; predicate pushdown + column pruning
     * reach the scan).
     */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Per-file parquet magic-number audit (head and tail "PAR1") for a
+    * drop zone that may contain truncated or masquerading files. One
+    * corrupt file in a directory fails the WHOLE read loudly (the
+    * right default — ignoreCorruptFiles silently drops data), so a
+    * pipeline that must make progress quarantines first: read this
+    * report, route !ok files to the failure log, read the rest.
+    * Bounded driver I/O like [[charsetReport]]: 8 bytes per file via
+    * two positioned reads — the same order as the listing itself. A
+    * file can still be corrupt PAST the magic (rot mid-body is caught
+    * by the reader's checksums at scan time); this gate catches the
+    * dominant drop-zone classes — truncation, partial upload, wrong
+    * format renamed — before a 1000-task job is launched.
+    */
+  def parquetMagicReport(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val magic = "PAR1".getBytes("US-ASCII").toSeq
+    listFiles(fs, path).map { f =>
+      val len = fs.getFileStatus(f).getLen
+      // 12 bytes = head magic + the minimal tail (4-byte footer
+      // length + tail magic); anything smaller cannot be parquet
+      if (len < 12) (f.getName, false, "too_short")
+      else {
+        val head = new Array[Byte](4); val tail = new Array[Byte](4)
+        val in = fs.open(f)
+        try {
+          in.readFully(0L, head)
+          in.readFully(len - 4, tail)
+        } finally in.close()
+        if (head.toSeq != magic) (f.getName, false, "bad_head_magic")
+        else if (tail.toSeq != magic) (f.getName, false, "bad_tail_magic")
+        else (f.getName, true, "ok")
+      }
+    }.toDF("file_name", "ok", "reason")
+  }
 
   /** ORC — Spark-native columnar like parquet (footer stats,
     * pushdown, pruning); the read mirror of [[Sinks.orc]].

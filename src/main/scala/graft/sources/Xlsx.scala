@@ -197,12 +197,16 @@ object Xlsx {
       s"$source is not an OOXML workbook (missing zip magic)")
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var workbookXml: Array[Byte] = null
-    var entry = zin.getNextEntry
-    while (entry != null && workbookXml == null) {
-      if (entry.getName == "xl/workbook.xml") workbookXml = zin.readAllBytes()
-      entry = zin.getNextEntry
+    attributed(source) {
+      var entry = zin.getNextEntry
+      val cap = partCap(bytes.length)
+      while (entry != null && workbookXml == null) {
+        if (entry.getName == "xl/workbook.xml")
+          workbookXml = readEntryBounded(zin, entry.getName, source, cap)
+        entry = zin.getNextEntry
+      }
+      zin.close()
     }
-    zin.close()
     require(workbookXml != null, s"$source: no xl/workbook.xml part")
     val names = ArrayBuffer.empty[String]
     val r = newReader(workbookXml)
@@ -274,19 +278,25 @@ object Xlsx {
     var workbookXml: Array[Byte] = null
     var relsXml: Array[Byte] = null
     val sheets = scala.collection.mutable.HashMap.empty[String, Array[Byte]]
-    var entry = zin.getNextEntry
-    while (entry != null) {
-      entry.getName match {
-        case "xl/sharedStrings.xml" => sharedXml = zin.readAllBytes()
-        case "xl/workbook.xml" => workbookXml = zin.readAllBytes()
-        case "xl/_rels/workbook.xml.rels" => relsXml = zin.readAllBytes()
-        case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
-          sheets(n) = zin.readAllBytes()
-        case _ =>
+    attributed(source) {
+      val cap = partCap(bytes.length)
+      var entry = zin.getNextEntry
+      while (entry != null) {
+        entry.getName match {
+          case "xl/sharedStrings.xml" =>
+            sharedXml = readEntryBounded(zin, entry.getName, source, cap)
+          case "xl/workbook.xml" =>
+            workbookXml = readEntryBounded(zin, entry.getName, source, cap)
+          case "xl/_rels/workbook.xml.rels" =>
+            relsXml = readEntryBounded(zin, entry.getName, source, cap)
+          case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
+            sheets(n) = readEntryBounded(zin, entry.getName, source, cap)
+          case _ =>
+        }
+        entry = zin.getNextEntry
       }
-      entry = zin.getNextEntry
+      zin.close()
     }
-    zin.close()
     val part = resolveSheetPart(workbookXml, relsXml, sheetName, source)
     val sheetXml = sheets.getOrElse(part,
       if (sheetName.isEmpty && sheets.contains("xl/worksheets/sheet1.xml"))
@@ -295,6 +305,55 @@ object Xlsx {
         s"$source: worksheet part $part not found (have: ${sheets.keys.toSeq.sorted.mkString(", ")})"))
     val shared = if (sharedXml != null) parseSharedStrings(sharedXml) else Vector.empty
     parseSheet(sheetXml, shared, maxRows).iterator
+  }
+
+  /** Decompressed-size cap for one zip part: 64x the COMPRESSED
+    * archive size (floor 64 MB so tiny legitimate workbooks never
+    * trip it). The file-size gates cap the compressed workbook, but
+    * deflate expands up to ~1000:1 — a small crafted archive (zip
+    * bomb) could pass every size gate and still inflate one entry
+    * past executor memory. Real worksheet XML deflates at ~5-20:1,
+    * so 64x is generous headroom while a crafted bomb fails loudly
+    * and attributably instead of as an OOM kill. The streamed local
+    * headers can't be trusted for this (a bomb lies about sizes, and
+    * streaming-mode entries often carry -1), so the guard counts the
+    * bytes it actually inflates.
+    */
+  private def partCap(archiveBytes: Int): Long =
+    math.max(64L * 1024 * 1024, 64L * archiveBytes)
+
+  /** Re-throw zip decoding failures with the FILE attributed. A
+    * mangled archive surfaces from ZipInputStream as ZipException or
+    * a bare EOFException — the latter with a null message, which in a
+    * thousand-file drop tells the operator nothing. The guard's own
+    * IOExceptions (zip-bomb cap) already carry the source and pass
+    * through unwrapped.
+    */
+  private def attributed[T](source: String)(body: => T): T =
+    try body catch {
+      case e: java.util.zip.ZipException =>
+        throw new java.io.IOException(
+          s"$source: unreadable OOXML zip (${e.getMessage})", e)
+      case e: java.io.EOFException =>
+        throw new java.io.IOException(
+          s"$source: truncated OOXML zip (unexpected end of archive)", e)
+    }
+
+  private def readEntryBounded(zin: ZipInputStream, entryName: String,
+                               source: String, cap: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = zin.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > cap) throw new java.io.IOException(
+        s"decompressed_too_large: $source!$entryName inflates past the " +
+          s"$cap-byte part cap (zip-bomb guard, 64x the archive size); " +
+          "a legitimate workbook part never approaches this — " +
+          "quarantine the file")
+      n = zin.read(buf)
+    }
+    out.toByteArray
   }
 
   /** Resolve a sheet name to its zip part via the workbook's sheet
